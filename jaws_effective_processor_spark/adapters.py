@@ -1,0 +1,167 @@
+"""Adapters: driver star-schema -> canonical alarm event logs.
+
+The reference engine consumes keyed Kafka topics (instances, classes,
+activations, overrides — SURVEY.md §1.4). The driver's testdata has no
+alarm topics, so we derive deterministic alarm event logs from the
+`events` table (FIXTURES.md §6: "the events table plays the role of
+the activation/override event logs"). The mapping is pure column
+algebra — it exists identically in `oracle.py` as DuckDB SQL so the
+correctness gate can replay it.
+
+Mapping (event_type -> topic):
+- signup   -> alarm-instances upsert; `value < 20` is a tombstone
+- error    -> Activation        (AlarmActivationUnion union branch)
+- view     -> NoActivation
+- click    -> activation tombstone (null value deletes the KTable key)
+- purchase -> alarm-overrides:  override type from floor(value) % 7,
+              tombstone from the first fractional digit, Shelved
+              oneshot from event_id parity, expiration = event-time
+              + floor(value) seconds.
+
+Everything is expressed with built-in `pyspark.sql.functions` so the
+whole derivation stays inside whole-stage codegen; there is no Python
+in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The 7 override flavors — OverriddenAlarmType enum values observed at
+# reference ActivationRule.java:220-246.
+OVERRIDE_TYPES = (
+    "Disabled",
+    "Filtered",
+    "Latched",
+    "Masked",
+    "OnDelayed",
+    "OffDelayed",
+    "Shelved",
+)
+
+
+def _alarm_name() -> F.Column:
+    return F.concat(F.lit("alarm_"), F.col("user_id").cast("string")).alias("name")
+
+
+def event_ms(col: str = "ts") -> F.Column:
+    """Epoch millis from the raw epoch-nanos BIGINT `ts` column.
+
+    Exact integer division (`DIV`), matching DuckDB's epoch_ms() on
+    the same (microsecond-truncated) timestamps.
+    """
+    return F.expr(f"{col} DIV 1000000")
+
+
+def event_ts(col: str = "ts") -> F.Column:
+    """Proper TimestampType (microsecond) from the epoch-nanos BIGINT.
+
+    Matches DuckDB's microsecond truncation when it reads the same
+    TIMESTAMP(NANOS) parquet column.
+    """
+    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+
+
+def instances_log(events: DataFrame) -> DataFrame:
+    """Alarm registration (instance) event log; null action = tombstone.
+
+    Mirrors the shape consumed by the reference's KTable source at
+    RegistrationRule.java:81-89 (key=name, value=Alarm{action,...}).
+    """
+    return events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("seq"),
+        _alarm_name(),
+        F.when(
+            F.col("value") >= 20,
+            F.concat(F.lit("class_"), (F.col("user_id") % 3).cast("string")),
+        ).alias("action"),
+    )
+
+
+_ACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("latchable", T.BooleanType(), False),
+        T.StructField("filterable", T.BooleanType(), False),
+        T.StructField("ondelayseconds", T.LongType(), True),
+        T.StructField("offdelayseconds", T.LongType(), True),
+        T.StructField("priority", T.StringType(), False),
+        T.StructField("system", T.StringType(), False),
+    ]
+)
+
+# Static class (AlarmAction) dimension — field set per reference
+# RegistrationRuleTest.java:73-82. Tiny: always broadcast in joins.
+_ACTIONS_ROWS = [
+    ("class_0", True, True, 5, None, "P3_MINOR", "CAMAC"),
+    ("class_1", False, True, None, 5, "P2_MAJOR", "RF"),
+    ("class_2", True, False, 10, None, "P1_CRITICAL", "BPM"),
+]
+
+
+def actions_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_ACTIONS_ROWS, schema=_ACTIONS_SCHEMA)
+
+
+def activations_log(events: DataFrame) -> DataFrame:
+    """Activation event log; union_type null = tombstone.
+
+    Shape of the AlarmActivationUnion KTable consumed at
+    ActivationRule.java:92-99; NoActivation-vs-null normalization is
+    downstream (operators/transitions.py).
+    """
+    return events.filter(
+        F.col("event_type").isin("error", "view", "click")
+    ).select(
+        F.col("event_id").alias("seq"),
+        _alarm_name(),
+        F.when(F.col("event_type") == "error", F.lit("Activation"))
+        .when(F.col("event_type") == "view", F.lit("NoActivation"))
+        .alias("union_type"),
+    )
+
+
+def overrides_log(events: DataFrame) -> DataFrame:
+    """Operator-issued alarm-overrides event log, composite key (name, type).
+
+    Shape of the AlarmOverrideKey/AlarmOverrideUnion KTable consumed at
+    ActivationRule.java:278-281; `tombstone` models a null Kafka value.
+    """
+    # Spread overrides thin: only ~1/3 of purchases carry an override
+    # (idx < 7 of 21) so alarms end up with 0-2 override types and
+    # every cascade branch is reachable in the snapshot.
+    type_idx = (F.col("user_id") * 3 + F.floor(F.col("value")).cast("long")) % 21
+    ovr_type = (
+        F.when(type_idx == 0, "Disabled")
+        .when(type_idx == 1, "Filtered")
+        .when(type_idx == 2, "Latched")
+        .when(type_idx == 3, "Masked")
+        .when(type_idx == 4, "OnDelayed")
+        .when(type_idx == 5, "OffDelayed")
+        .otherwise("Shelved")
+    )
+    return events.filter(
+        (F.col("event_type") == "purchase") & (type_idx < 7)
+    ).select(
+        F.col("event_id").alias("seq"),
+        _alarm_name(),
+        ovr_type.alias("type"),
+        ((F.floor(F.col("value") * 10).cast("long") % 10) < 2).alias("tombstone"),
+        (F.col("event_id") % 2 == 0).alias("oneshot"),
+        (event_ms() + F.floor(F.col("value")).cast("long") * 43200000).alias(
+            "expiration"
+        ),
+    )
+
+
+def snapshot_ms(events: DataFrame) -> DataFrame:
+    """1-row frame with the deterministic 'wall clock' of the snapshot.
+
+    The reference stamps records with System.currentTimeMillis()
+    (ProcessingRule.java:110-113); batch parity needs a deterministic
+    clock, so we freeze it at the max event time. Joined in via a
+    broadcast cross-join (scalar), never collected per-row.
+    """
+    return events.agg(F.max(event_ms()).alias("snapshot_ms"))

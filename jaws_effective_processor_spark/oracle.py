@@ -1,0 +1,165 @@
+"""DuckDB oracle SQL mirroring the Spark alarm pipeline.
+
+Every CTE here is the line-for-line SQL twin of a Spark operator in
+`adapters.py` / `operators/` — same derivation constants, same
+null/tombstone handling, same column names. The driver runs these on
+the same parquet views at sf0.01 and hash-compares against the Spark
+results (see BASELINE.md §b).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- CTEs
+# Mirrors adapters.py exactly; keep the two in lockstep.
+ALARM_CTES = """
+snapshot AS (
+  SELECT max(epoch_ms(ts)) AS snapshot_ms FROM events
+),
+actions AS (
+  SELECT * FROM (VALUES
+    ('class_0', true,  true,  CAST(5 AS BIGINT),    CAST(NULL AS BIGINT), 'P3_MINOR',    'CAMAC'),
+    ('class_1', false, true,  CAST(NULL AS BIGINT), CAST(5 AS BIGINT),    'P2_MAJOR',    'RF'),
+    ('class_2', true,  false, CAST(10 AS BIGINT),   CAST(NULL AS BIGINT), 'P1_CRITICAL', 'BPM')
+  ) AS v(name, latchable, filterable, ondelayseconds, offdelayseconds, priority, system)
+),
+instances_log AS (
+  SELECT event_id AS seq,
+         'alarm_' || CAST(user_id AS VARCHAR) AS name,
+         CASE WHEN value >= 20
+              THEN 'class_' || CAST(user_id % 3 AS VARCHAR) END AS action
+  FROM events WHERE event_type = 'signup'
+),
+registrations AS (
+  SELECT i.name, i.action, a.latchable, a.filterable, a.ondelayseconds,
+         a.offdelayseconds, a.priority
+  FROM (SELECT name, action FROM (
+          SELECT name, action,
+                 row_number() OVER (PARTITION BY name ORDER BY seq DESC) AS rn
+          FROM instances_log) t
+        WHERE rn = 1 AND action IS NOT NULL) i
+  LEFT JOIN actions a ON i.action = a.name
+),
+activations_log AS (
+  SELECT event_id AS seq,
+         'alarm_' || CAST(user_id AS VARCHAR) AS name,
+         CASE event_type WHEN 'error' THEN 'Activation'
+                         WHEN 'view'  THEN 'NoActivation' END AS union_type
+  FROM events WHERE event_type IN ('error', 'view', 'click')
+),
+act_flags AS (
+  SELECT name, seq, cur_active,
+         coalesce(lag(cur_active) OVER (PARTITION BY name ORDER BY seq),
+                  false) AS prev_active
+  FROM (SELECT name, seq,
+               coalesce(union_type = 'Activation', false) AS cur_active
+        FROM activations_log) t
+),
+act_latest AS (
+  SELECT name, cur_active AS active,
+         (cur_active AND NOT prev_active) AS transition_to_active,
+         (NOT cur_active AND prev_active) AS transition_to_normal
+  FROM (SELECT *, row_number() OVER (PARTITION BY name ORDER BY seq DESC) AS rn
+        FROM act_flags) t
+  WHERE rn = 1
+),
+overrides_log AS (
+  SELECT event_id AS seq,
+         'alarm_' || CAST(user_id AS VARCHAR) AS name,
+         CASE (user_id * 3 + CAST(floor(value) AS BIGINT)) % 21
+           WHEN 0 THEN 'Disabled'  WHEN 1 THEN 'Filtered'
+           WHEN 2 THEN 'Latched'   WHEN 3 THEN 'Masked'
+           WHEN 4 THEN 'OnDelayed' WHEN 5 THEN 'OffDelayed'
+           ELSE 'Shelved' END AS type,
+         (CAST(floor(value * 10) AS BIGINT) % 10) < 2 AS tombstone,
+         (event_id % 2 = 0) AS oneshot,
+         epoch_ms(ts) + CAST(floor(value) AS BIGINT) * 43200000 AS expiration
+  FROM events
+  WHERE event_type = 'purchase'
+    AND (user_id * 3 + CAST(floor(value) AS BIGINT)) % 21 < 7
+),
+ovr_live AS (
+  SELECT o.name, o.type, o.oneshot, o.expiration
+  FROM (SELECT *, row_number() OVER (PARTITION BY name, type
+                                     ORDER BY seq DESC) AS rn
+        FROM overrides_log) o, snapshot s
+  WHERE o.rn = 1 AND NOT o.tombstone
+    AND NOT (o.type IN ('Shelved', 'OnDelayed')
+             AND o.expiration <= s.snapshot_ms)
+),
+ovr_set AS (
+  SELECT name,
+    coalesce(bool_or(type = 'Disabled'), false)   AS ov_disabled,
+    coalesce(bool_or(type = 'Filtered'), false)   AS ov_filtered,
+    coalesce(bool_or(type = 'Latched'), false)    AS ov_latched,
+    coalesce(bool_or(type = 'Masked'), false)     AS ov_masked,
+    coalesce(bool_or(type = 'OnDelayed'), false)  AS ov_ondelayed,
+    coalesce(bool_or(type = 'OffDelayed'), false) AS ov_offdelayed,
+    coalesce(bool_or(type = 'Shelved'), false)    AS ov_shelved,
+    max(CASE WHEN type = 'Shelved'   THEN oneshot END)    AS shelved_oneshot,
+    max(CASE WHEN type = 'OnDelayed' THEN expiration END) AS ondelayed_expiration,
+    max(CASE WHEN type = 'Shelved'   THEN expiration END) AS shelved_expiration
+  FROM ovr_live GROUP BY name
+),
+monolog AS (
+  SELECT coalesce(r.name, a.name, o.name) AS name,
+         (r.name IS NOT NULL) AS registered,
+         r.action, r.priority, r.latchable, r.ondelayseconds,
+         coalesce(a.active, false) AS active,
+         coalesce(a.transition_to_active, false) AS transition_to_active,
+         coalesce(a.transition_to_normal, false) AS transition_to_normal,
+         coalesce(o.ov_disabled, false)   AS ov_disabled,
+         coalesce(o.ov_filtered, false)   AS ov_filtered,
+         coalesce(o.ov_latched, false)    AS ov_latched,
+         coalesce(o.ov_masked, false)     AS ov_masked,
+         coalesce(o.ov_ondelayed, false)  AS ov_ondelayed,
+         coalesce(o.ov_offdelayed, false) AS ov_offdelayed,
+         coalesce(o.ov_shelved, false)    AS ov_shelved,
+         o.shelved_oneshot
+  FROM registrations r
+  FULL JOIN act_latest a ON r.name = a.name
+  FULL JOIN ovr_set o ON coalesce(r.name, a.name) = o.name
+),
+flagged AS (
+  SELECT *,
+    (coalesce(latchable, false) AND transition_to_active
+       AND NOT ov_latched) AS latching,
+    (coalesce(ondelayseconds > 0, false) AND transition_to_active
+       AND NOT ov_ondelayed) AS ondelaying,
+    (ov_shelved AND coalesce(shelved_oneshot, false)
+       AND transition_to_normal) AS unshelving
+  FROM monolog
+),
+settled AS (
+  SELECT *,
+    (ov_latched OR latching)      AS eff_latched,
+    (ov_ondelayed OR ondelaying)  AS eff_ondelayed,
+    (ov_shelved AND NOT unshelving) AS eff_shelved
+  FROM flagged
+)
+""".strip()
+
+STATE_CASE = """
+CASE WHEN ov_disabled THEN 'NormalDisabled'
+     WHEN ov_filtered THEN 'NormalFiltered'
+     WHEN ov_masked   THEN 'NormalMasked'
+     WHEN eff_shelved THEN
+          (CASE WHEN coalesce(shelved_oneshot, false)
+                THEN 'NormalOneShotShelved'
+                ELSE 'NormalContinuousShelved' END)
+     WHEN eff_ondelayed THEN 'NormalOnDelayed'
+     WHEN eff_latched   THEN 'ActiveLatched'
+     WHEN ov_offdelayed THEN 'ActiveOffDelayed'
+     WHEN active        THEN 'Active'
+     ELSE 'Normal' END
+""".strip()
+
+EFFECTIVE_ALARMS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, registered, action, priority, active,
+       transition_to_active, transition_to_normal,
+       ov_disabled, ov_filtered, ov_latched, ov_masked,
+       ov_ondelayed, ov_offdelayed, ov_shelved,
+       latching, ondelaying, unshelving,
+       {STATE_CASE} AS state
+FROM settled
+"""

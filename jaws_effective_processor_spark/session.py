@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+same conf block is what we would ship to a 1000-executor cluster —
+AQE (runtime re-planning, skew-join splitting, partition coalescing)
+and Arrow-backed Python interop are the scale-critical settings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs we depend on for oracle parity.
+
+    Applied defensively inside every query entry point because the
+    driver may hand us a session built elsewhere. UTC matters: the
+    testdata parquet stores naive timestamps, and epoch arithmetic
+    must agree with DuckDB's UTC-naive interpretation.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The testdata parquet uses TIMESTAMP(NANOS) which Spark's reader
+    # rejects by default; read as epoch-nanos BIGINT instead. All
+    # event-time math goes through adapters.event_ms()/event_ts() so
+    # the ns->ms/us conversion is exact integer division everywhere.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
