@@ -45,3 +45,42 @@ def register(
 
 
 register("effective_alarms", effective_alarms, oracle.EFFECTIVE_ALARMS_SQL)
+
+
+def _register_rules() -> None:
+    from . import rules
+
+    register(
+        "effective_registrations",
+        rules.q_effective_registrations,
+        oracle.EFFECTIVE_REGISTRATIONS_SQL,
+    )
+    register(
+        "activation_transitions",
+        rules.q_activation_transitions,
+        oracle.ACTIVATION_TRANSITIONS_SQL,
+    )
+    register("override_set", rules.q_override_set, oracle.OVERRIDE_SET_SQL)
+    register("latch_overrides", rules.q_latch_overrides, oracle.LATCH_OVERRIDES_SQL)
+    register(
+        "ondelay_overrides", rules.q_ondelay_overrides, oracle.ONDELAY_OVERRIDES_SQL
+    )
+    register(
+        "oneshot_tombstones", rules.q_oneshot_tombstones, oracle.ONESHOT_TOMBSTONES_SQL
+    )
+    register(
+        "shelve_expirations", rules.q_shelve_expirations, oracle.SHELVE_EXPIRATIONS_SQL
+    )
+    register(
+        "ondelay_expirations",
+        rules.q_ondelay_expirations,
+        oracle.ONDELAY_EXPIRATIONS_SQL,
+    )
+    register(
+        "effective_notifications",
+        rules.q_effective_notifications,
+        oracle.EFFECTIVE_NOTIFICATIONS_SQL,
+    )
+
+
+_register_rules()

@@ -27,12 +27,33 @@ from ..adapters import OVERRIDE_TYPES
 from .compaction import latest_per_key
 
 
+def latest_overrides(overrides_log: DataFrame) -> DataFrame:
+    """Compacted (name, type) override table, tombstones dropped."""
+    return latest_per_key(overrides_log, ["name", "type"]).filter(~F.col("tombstone"))
+
+
+def expired_overrides(overrides_log: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """W1/W2 batch analog — overrides whose expiry has passed.
+
+    These are the (name, type) keys the expiration rules would
+    tombstone on the feedback topic (ShelveExpirationRule.java:147-169,
+    OnDelayExpirationRule.java:160-189).
+    """
+    expirable = F.col("type").isin("Shelved", "OnDelayed")
+    return (
+        latest_overrides(overrides_log)
+        .crossJoin(F.broadcast(snapshot))
+        .filter(expirable & (F.col("expiration") <= F.col("snapshot_ms")))
+    )
+
+
 def live_overrides(overrides_log: DataFrame, snapshot: DataFrame) -> DataFrame:
     """Compacted overrides minus tombstoned and expired entries."""
-    latest = latest_per_key(overrides_log, ["name", "type"]).filter(~F.col("tombstone"))
     expirable = F.col("type").isin("Shelved", "OnDelayed")
-    return latest.crossJoin(F.broadcast(snapshot)).filter(
-        ~(expirable & (F.col("expiration") <= F.col("snapshot_ms")))
+    return (
+        latest_overrides(overrides_log)
+        .crossJoin(F.broadcast(snapshot))
+        .filter(~(expirable & (F.col("expiration") <= F.col("snapshot_ms"))))
     )
 
 

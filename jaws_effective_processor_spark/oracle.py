@@ -77,13 +77,17 @@ overrides_log AS (
   WHERE event_type = 'purchase'
     AND (user_id * 3 + CAST(floor(value) AS BIGINT)) % 21 < 7
 ),
-ovr_live AS (
-  SELECT o.name, o.type, o.oneshot, o.expiration
+ovr_latest AS (
+  SELECT name, type, oneshot, expiration
   FROM (SELECT *, row_number() OVER (PARTITION BY name, type
                                      ORDER BY seq DESC) AS rn
-        FROM overrides_log) o, snapshot s
-  WHERE o.rn = 1 AND NOT o.tombstone
-    AND NOT (o.type IN ('Shelved', 'OnDelayed')
+        FROM overrides_log) t
+  WHERE rn = 1 AND NOT tombstone
+),
+ovr_live AS (
+  SELECT o.name, o.type, o.oneshot, o.expiration
+  FROM ovr_latest o, snapshot s
+  WHERE NOT (o.type IN ('Shelved', 'OnDelayed')
              AND o.expiration <= s.snapshot_ms)
 ),
 ovr_set AS (
@@ -162,4 +166,73 @@ SELECT name, registered, action, priority, active,
        latching, ondelaying, unshelving,
        {STATE_CASE} AS state
 FROM settled
+"""
+
+# -------------------------------------------------- per-rule queries
+
+EFFECTIVE_REGISTRATIONS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, action, latchable, filterable, ondelayseconds,
+       offdelayseconds, priority
+FROM registrations
+"""
+
+ACTIVATION_TRANSITIONS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, seq, cur_active AS active,
+       (cur_active AND NOT prev_active)  AS transition_to_active,
+       (NOT cur_active AND prev_active)  AS transition_to_normal
+FROM act_flags
+"""
+
+OVERRIDE_SET_SQL = f"""
+WITH {ALARM_CTES}
+SELECT * FROM ovr_set
+"""
+
+LATCH_OVERRIDES_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, 'Latched' AS type
+FROM monolog
+WHERE coalesce(latchable, false) AND transition_to_active
+"""
+
+ONDELAY_OVERRIDES_SQL = f"""
+WITH {ALARM_CTES}
+SELECT m.name, 'OnDelayed' AS type,
+       s.snapshot_ms + m.ondelayseconds * 1000 AS expiration
+FROM monolog m, snapshot s
+WHERE coalesce(m.ondelayseconds > 0, false) AND m.transition_to_active
+"""
+
+ONESHOT_TOMBSTONES_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, 'Shelved' AS type, true AS tombstone
+FROM monolog
+WHERE ov_shelved AND coalesce(shelved_oneshot, false)
+  AND transition_to_normal
+"""
+
+SHELVE_EXPIRATIONS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT o.name, o.type, o.expiration
+FROM ovr_latest o, snapshot s
+WHERE o.type = 'Shelved' AND o.expiration <= s.snapshot_ms
+"""
+
+ONDELAY_EXPIRATIONS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT o.name, o.type, o.expiration
+FROM ovr_latest o, snapshot s
+WHERE o.type = 'OnDelayed' AND o.expiration <= s.snapshot_ms
+"""
+
+EFFECTIVE_NOTIFICATIONS_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, active,
+       ov_disabled, ov_filtered, ov_latched, ov_masked,
+       ov_ondelayed, ov_offdelayed, ov_shelved,
+       {STATE_CASE} AS state
+FROM settled
+WHERE NOT (latching OR ondelaying OR unshelving)
 """

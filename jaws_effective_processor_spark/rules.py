@@ -1,0 +1,149 @@
+"""Per-rule batch queries — operator parity, one per reference rule.
+
+Each function is a (spark, sf_dir) -> DataFrame entry in the driver
+contract, mirroring ONE reference rule's output topic (SURVEY.md §2,
+§3 EP2/EP3). All share the column-expression library in `operators/`
+with the flagship pipeline; their DuckDB twins live in `oracle.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import adapters
+from .operators.overrides import expired_overrides, live_overrides, override_set
+from .operators.registration import effective_registrations
+from .operators.transitions import with_transitions
+from .pipeline import alarm_monolog
+from .tables import load_table
+
+
+def q_effective_registrations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegistrationRule: instances ⟕ classes -> effective-registrations
+    (J1; RegistrationRule.java:91-130)."""
+    events = load_table(spark, sf_dir, "events")
+    return effective_registrations(
+        adapters.instances_log(events), adapters.actions_dim(spark)
+    )
+
+
+def q_activation_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ActivationRule T1: per-event transition flags over the activation
+    log (ActivationRule.java:362-414) — the per-step flag sequence the
+    reference's `transitions` test asserts (ActivationRuleTest.java:222-275)."""
+    events = load_table(spark, sf_dir, "events")
+    return with_transitions(adapters.activations_log(events)).select(
+        "name",
+        "seq",
+        F.col("cur_active").alias("active"),
+        "transition_to_active",
+        "transition_to_normal",
+    )
+
+
+def q_override_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ActivationRule A1 + OverrideJoiner pivot: per-alarm
+    AlarmOverrideSet (ActivationRule.java:199-321)."""
+    events = load_table(spark, sf_dir, "events")
+    return override_set(
+        live_overrides(adapters.overrides_log(events), adapters.snapshot_ms(events))
+    )
+
+
+def q_latch_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatchRule P2+P9: Latched overrides emitted to the feedback topic
+    (LatchRule.java:79-106)."""
+    return (
+        alarm_monolog(spark, sf_dir)
+        .filter(
+            F.coalesce(F.col("latchable"), F.lit(False))
+            & F.col("transition_to_active")
+        )
+        .select("name", F.lit("Latched").alias("type"))
+    )
+
+
+def q_ondelay_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OnDelayRule P3+P10: OnDelayed overrides with computed expiry
+    (OnDelayRule.java:79-110); 'now' is the frozen snapshot clock."""
+    events = load_table(spark, sf_dir, "events")
+    snap = adapters.snapshot_ms(events)
+    return (
+        alarm_monolog(spark, sf_dir)
+        .filter(
+            F.coalesce(F.col("ondelayseconds") > 0, F.lit(False))
+            & F.col("transition_to_active")
+        )
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "name",
+            F.lit("OnDelayed").alias("type"),
+            (F.col("snapshot_ms") + F.col("ondelayseconds") * 1000).alias(
+                "expiration"
+            ),
+        )
+    )
+
+
+def q_oneshot_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneShotRule P4+P11: Shelved tombstones on transition-to-normal
+    (OneShotRule.java:79-104)."""
+    return (
+        alarm_monolog(spark, sf_dir)
+        .filter(
+            F.col("ov_shelved")
+            & F.coalesce(F.col("shelved_oneshot"), F.lit(False))
+            & F.col("transition_to_normal")
+        )
+        .select("name", F.lit("Shelved").alias("type"), F.lit(True).alias("tombstone"))
+    )
+
+
+def _expirations(spark: SparkSession, sf_dir: str, ovr_type: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        expired_overrides(adapters.overrides_log(events), adapters.snapshot_ms(events))
+        .filter(F.col("type") == ovr_type)
+        .select("name", "type", "expiration")
+    )
+
+
+def q_shelve_expirations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShelveExpirationRule W1: expired Shelved overrides to tombstone
+    (ShelveExpirationRule.java:105-190)."""
+    return _expirations(spark, sf_dir, "Shelved")
+
+
+def q_ondelay_expirations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OnDelayExpirationRule W2 (OnDelayExpirationRule.java:108-196)."""
+    return _expirations(spark, sf_dir, "OnDelayed")
+
+
+def q_effective_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EffectiveStateRule E1+E2+P8: the published notifications —
+    settled rows only (intermediate-transition rows dropped,
+    EffectiveStateRule.java:163-170), projected to notification shape
+    (EffectiveStateRule.java:100-107)."""
+    from .operators.effective_state import (
+        with_effective_state,
+        with_rule_flags,
+        with_settled_overrides,
+    )
+
+    flagged = with_rule_flags(alarm_monolog(spark, sf_dir))
+    kept = flagged.filter(
+        ~(F.col("latching") | F.col("ondelaying") | F.col("unshelving"))
+    )
+    return with_effective_state(with_settled_overrides(kept)).select(
+        "name",
+        "active",
+        "ov_disabled",
+        "ov_filtered",
+        "ov_latched",
+        "ov_masked",
+        "ov_ondelayed",
+        "ov_offdelayed",
+        "ov_shelved",
+        "state",
+    )
