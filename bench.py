@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Round benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no collect/driver transfer). A warm-up pass of the flagship amortizes
+JVM/codegen startup so numbers reflect plan execution, not session
+boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jaws_effective_processor_spark import entry_queries  # noqa: E402
+from jaws_effective_processor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("jaws-spark-bench")
+    queries = entry_queries.QUERIES
+
+    # warm-up: JVM, codegen, parquet footer caches
+    force(queries["effective_alarms"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_time_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
