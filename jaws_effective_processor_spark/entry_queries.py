@@ -83,4 +83,46 @@ def _register_rules() -> None:
     )
 
 
+def _register_relational() -> None:
+    from . import oracle_relational as osql
+    from . import relational as r
+
+    register("pricing_summary", r.q_pricing_summary, osql.PRICING_SUMMARY_SQL)
+    register("revenue_by_nation", r.q_revenue_by_nation, osql.REVENUE_BY_NATION_SQL)
+    register("top_customers", r.q_top_customers, osql.TOP_CUSTOMERS_SQL)
+    register("order_priority", r.q_order_priority, osql.ORDER_PRIORITY_SQL)
+    register(
+        "parts_without_orders",
+        r.q_parts_without_orders,
+        osql.PARTS_WITHOUT_ORDERS_SQL,
+    )
+    register("lineitem_rollup", r.q_lineitem_rollup, osql.LINEITEM_ROLLUP_SQL)
+    register(
+        "customer_order_windows",
+        r.q_customer_order_windows,
+        osql.CUSTOMER_ORDER_WINDOWS_SQL,
+    )
+    register(
+        "segment_custkeys_setops",
+        r.q_segment_custkeys_setops,
+        osql.SEGMENT_CUSTKEYS_SETOPS_SQL,
+    )
+    register("distinct_counts", r.q_distinct_counts, osql.DISTINCT_COUNTS_SQL)
+    register("approx_distinct", r.q_approx_distinct)  # rows-only: sketch output
+    register(
+        "events_sessionization",
+        r.q_events_sessionization,
+        osql.EVENTS_SESSIONIZATION_SQL,
+    )
+    register("events_daily", r.q_events_daily, osql.EVENTS_DAILY_SQL)
+    register(
+        "parts_above_brand_avg",
+        r.q_parts_above_brand_avg,
+        osql.PARTS_ABOVE_BRAND_AVG_SQL,
+    )
+    register("scalar_functions", r.q_scalar_functions, osql.SCALAR_FUNCTIONS_SQL)
+    register("event_type_pivot", r.q_event_type_pivot, osql.EVENT_TYPE_PIVOT_SQL)
+
+
 _register_rules()
+_register_relational()

@@ -1,0 +1,170 @@
+"""DuckDB oracle SQL for the relational-surface queries.
+
+Cross-engine determinism rules (mirrors relational.py):
+- DuckDB sum(BIGINT/INTEGER) widens to HUGEINT -> always CAST the sum
+  back to BIGINT so schema+values line up with Spark's LongType;
+- no double->int casts (DuckDB rounds, Spark truncates) — money is
+  floor(x*100) cents everywhere and averages stay as exact integer
+  comparisons or integer division on positive values;
+- every windowed ORDER BY carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus, sum_qty_cents, sum_base_cents,
+       sum_disc_cents, sum_charge_cents, count_order,
+       sum_qty_cents // count_order AS avg_qty_cents
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+) t
+"""
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY o_custkey
+ORDER BY revenue_cents DESC, o_custkey
+LIMIT 10
+"""
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE year(o_orderdate) = 1996
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+PARTS_WITHOUT_ORDERS_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+LINEITEM_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+CUSTOMER_ORDER_WINDOWS_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_ms(o_orderdate) AS order_ms,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+SEGMENT_CUSTKEYS_SETOPS_SQL = """
+SELECT custkey, 'orders_not_building' AS side FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) a
+UNION ALL
+SELECT custkey, 'building_with_orders' AS side FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) b
+"""
+
+DISTINCT_COUNTS_SQL = """
+SELECT count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_suppkey)  AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+EVENTS_SESSIONIZATION_SQL = """
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms
+FROM (
+  SELECT user_id, ms,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+                     IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts))
+                     OVER (PARTITION BY user_id ORDER BY event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events) flagged
+) sessioned
+GROUP BY user_id, session_id
+"""
+
+EVENTS_DAILY_SQL = """
+SELECT epoch_ms(ts) // 86400000 AS day_bucket, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+PARTS_ABOVE_BRAND_AVG_SQL = """
+SELECT p_partkey, p_brand, price_cents
+FROM (
+  SELECT p_partkey, p_brand,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT))
+              OVER (PARTITION BY p_brand) AS BIGINT) AS brand_sum,
+         count(*) OVER (PARTITION BY p_brand) AS brand_n
+  FROM part) t
+WHERE price_cents * brand_n > brand_sum
+"""
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+       'o' || CAST(o_orderkey AS VARCHAR) AS tag,
+       abs(CAST(floor(o_totalprice * 100) AS BIGINT) - 100000) AS abs_diff_cents
+FROM orders
+"""
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+"""

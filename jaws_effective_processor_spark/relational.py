@@ -1,0 +1,315 @@
+"""The relational/SQL surface — §2.9 categories as first-class queries.
+
+The reference has no SQL surface (SURVEY.md §2.9); Catalyst supplies
+sorts, limits, top-k, set ops, distinct, grouping sets, window
+functions, scalar functions, semi/anti joins, subqueries, and
+approximate aggregates for free once the engine exposes DataFrames.
+These queries pin that surface with DuckDB oracles over the star
+schema.
+
+Determinism discipline for the hash gate:
+- money/doubles are reduced with CAST(floor(x*100) AS BIGINT)
+  ("cents") before summing — IEEE floor is bit-identical across
+  engines, unlike round() tie-breaking or float sum ordering;
+- averages are integer `DIV` of exact sums;
+- timestamps (epoch-nanos BIGINT under our reader conf) convert via
+  exact integer division, or stay as epoch-ms bigints in outputs;
+- every ORDER BY inside a window has a unique tie-break key.
+
+Scale notes are per-query docstrings; the common themes: dimension
+joins broadcast, aggregations are partial (map-side combine), filters
+and projections sit directly on the parquet scan so pushdown/pruning
+apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+
+def cents(col: Column) -> Column:
+    return F.floor(col * 100).cast("long")
+
+
+def _is_long(df: DataFrame, name: str) -> bool:
+    return df.schema[name].dataType.typeName() in ("long", "bigint")
+
+
+def ts_of(df: DataFrame, name: str) -> Column:
+    """Timestamp column regardless of physical encoding.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet read as epoch-nanos BIGINT
+    (session conf); orders/lineitem dates are microsecond
+    TIMESTAMP_NTZ read natively. Session TZ is pinned UTC so NTZ and
+    epoch math agree with DuckDB.
+    """
+    if _is_long(df, name):
+        return F.timestamp_micros(F.expr(f"{name} DIV 1000"))
+    return F.col(name).cast("timestamp")
+
+
+def ms_of(df: DataFrame, name: str) -> Column:
+    if _is_long(df, name):
+        return F.expr(f"{name} DIV 1000000")
+    return F.unix_millis(F.col(name).cast("timestamp"))
+
+
+# ------------------------------------------------------------ queries
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 6 aggregates.
+
+    At 100 TB: pure map-side partial aggregation into 4 groups — the
+    shuffle carries ~4 rows per task. The filter and the 7-column
+    projection push down to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(ts_of(li, "l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc_price).alias("sum_disc_cents"),
+            F.sum(charge).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty_cents", F.expr("sum_qty_cents DIV count_order")
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join region⋈nation⋈customer⋈orders⋈lineitem.
+
+    region/nation broadcast (tiny dims); customer⋈orders⋈lineitem
+    shuffle on their keys with AQE picking broadcast for customer at
+    small SF and sort-merge at scale.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K: 10 highest-revenue customers (sort + limit).
+
+    TakeOrderedAndProject at the physical layer — per-partition top-10
+    then a single-reduce merge; never a full sort at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then count by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o96 = orders.filter(F.year(ts_of(orders, "o_orderdate")) == 1996)
+    return (
+        o96.join(li, o96["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_parts_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join, grouped by brand."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets incl. grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+    )
+
+
+def q_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic window functions per customer order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    total = cents(F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ms_of(orders, "o_orderdate").alias("order_ms"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag(total).over(w).alias("prev_cents"),
+        F.sum(total)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+    )
+
+
+def q_segment_custkeys_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: EXCEPT + INTERSECT branches tagged and unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    only_orders = with_orders.exceptAll(building).distinct()
+    both = with_orders.intersect(building)
+    return only_orders.withColumn("side", F.lit("orders_not_building")).unionByName(
+        both.withColumn("side", F.lit("building_with_orders"))
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column DISTINCT aggregation (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ / numeric quantile sketch).
+
+    No SQL oracle — sketch internals are engine-specific; the driver
+    records the weaker rows-only check (contract allows it for
+    non-SQL-expressible ops).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running session ids.
+
+    Two stacked windows over the same (user_id, event order)
+    partitioning — one shuffle, both windows in one physical stage.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = events.select(
+        "user_id", "event_id", ms_of(events, "ts").alias("ms")
+    ).withColumn("prev_ms", F.lag("ms").over(w))
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ms").isNull() | (F.col("ms") - F.col("prev_ms") > 1800000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day buckets by integer division of epoch-ms."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.expr("(ts DIV 1000000) DIV 86400000").alias("day_bucket"),
+            "event_type",
+            cents(F.col("value")).alias("value_cents"),
+        )
+        .groupBy("day_bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_cents").alias("sum_value_cents"))
+    )
+
+
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: price above brand average (window form)."""
+    part = load_table(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand")
+    pc = cents(F.col("p_retailprice"))
+    # price > avg  <=>  price * n > sum : pure integer compare, no
+    # double->int cast (DuckDB rounds those, Spark truncates).
+    return (
+        part.withColumn("price_cents", pc)
+        .withColumn("brand_sum", F.sum(pc).over(wb))
+        .withColumn("brand_n", F.count("*").over(wb))
+        .filter(F.col("price_cents") * F.col("brand_n") > F.col("brand_sum"))
+        .select("p_partkey", "p_brand", "price_cents")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math function library over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = ts_of(orders, "o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(ts).cast("long").alias("order_year"),
+        F.month(ts).cast("long").alias("order_month"),
+        F.unix_millis(F.date_trunc("month", ts)).alias("month_start_ms"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.abs(cents(F.col("o_totalprice")) - F.lit(100000)).alias("abs_diff_cents"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns."""
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    out = piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+    return out
