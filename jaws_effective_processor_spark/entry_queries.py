@@ -124,5 +124,32 @@ def _register_relational() -> None:
     register("event_type_pivot", r.q_event_type_pivot, osql.EVENT_TYPE_PIVOT_SQL)
 
 
+def _register_llm() -> None:
+    from . import oracle_llm as osql
+    from .functions import dedup, multimodal, similarity, text
+
+    register("text_stats", text.q_text_stats, osql.TEXT_STATS_SQL)
+    register("language_id", text.q_language_id, osql.LANGUAGE_ID_SQL)
+    register("doc_fingerprint", text.q_doc_fingerprint, osql.DOC_FINGERPRINT_SQL)
+    register("dedup_exact", dedup.q_dedup_exact, osql.DEDUP_EXACT_SQL)
+    register(
+        "dedup_minhash_lsh", dedup.q_dedup_minhash_lsh, osql.DEDUP_MINHASH_LSH_SQL
+    )
+    register(
+        "dedup_ngram_jaccard",
+        dedup.q_dedup_ngram_jaccard,
+        osql.DEDUP_NGRAM_JACCARD_SQL,
+    )
+    register("dedup_simhash", dedup.q_dedup_simhash, osql.DEDUP_SIMHASH_SQL)
+    register(
+        "embedding_neardup", dedup.q_embedding_neardup, osql.EMBEDDING_NEARDUP_SQL
+    )
+    register("knn_bruteforce", similarity.q_knn_bruteforce, osql.KNN_BRUTEFORCE_SQL)
+    register("knn_lsh", similarity.q_knn_lsh, osql.KNN_LSH_SQL)
+    register("multimodal_meta", multimodal.q_multimodal_meta, osql.MULTIMODAL_META_SQL)
+    register("multimodal_features", multimodal.q_multimodal_features)  # stub decode
+
+
 _register_rules()
 _register_relational()
+_register_llm()

@@ -1,0 +1,133 @@
+"""Similarity search over the `embeddings` table (array<float> x 64).
+
+Two paths, mirroring a production ANN stack:
+
+- brute-force cosine top-k: the exactness baseline. One shuffle-free
+  broadcast of the (small) query set against the full corpus; ranking
+  via per-query window top-k. At 100 TB the corpus side stays
+  partition-parallel and the window is per-query-id (high
+  cardinality, no skew).
+- LSH-bucketed top-k: random-hyperplane signatures (deterministic
+  seeded planes shared verbatim with the oracle SQL) shrink each
+  query's candidate set to one bucket — the scale path: bucket join
+  instead of cross product.
+
+Outputs avoid raw floats except floor-scaled ints; ranking ties break
+on vec_id so both engines order identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+DIM = 64
+N_PLANES = 6
+
+_rng = random.Random(20240613)
+HYPERPLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential fold dot product — bit-compatible with DuckDB's
+    list_dot_product on DOUBLE[]."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _cos(a: str, b: str) -> Column:
+    return dot(F.col(f"{a}.v"), F.col(f"{b}.v")) / (
+        F.sqrt(dot(F.col(f"{a}.v"), F.col(f"{a}.v")))
+        * F.sqrt(dot(F.col(f"{b}.v"), F.col(f"{b}.v")))
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vectors."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = e.alias("c")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = (
+        q.join(F.broadcast(c).hint("broadcast"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos("q", "c").alias("cos"),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
+        )
+    )
+
+
+def _plane_col(plane: list[int]) -> Column:
+    return F.array(*[F.lit(float(wgt)) for wgt in plane])
+
+
+def bucket_of(v: Column) -> Column:
+    """LSH bucket id: sign bits of the hyperplane dot products."""
+    acc = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES):
+        bit = F.when(dot(v, _plane_col(plane)) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        acc = acc + bit.cast("long")
+    return acc
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k within the query's LSH bucket (the 100 TB path)."""
+    e = _vectors(spark, sf_dir).withColumn("bucket", bucket_of(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = e.alias("c")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = (
+        q.join(
+            c,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos("q", "c").alias("cos"),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
+        )
+    )

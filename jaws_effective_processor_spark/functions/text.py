@@ -1,0 +1,100 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline surface: token counting, quality scoring,
+language-ID (stopword-marker heuristic), document fingerprinting.
+All pure built-in column expressions (split / transform / filter /
+aggregate stay inside codegen; no Python in the row path), each with
+a DuckDB oracle twin.
+
+Scale: every query here is embarrassingly parallel over documents —
+no shuffle at all except the final aggregation-free scan; at 100 TB
+these run at parquet-scan speed with column pruning down to (doc_id,
+text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# language -> marker stopwords (heuristic n-gram/stopword language ID)
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios as exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_tok_chars"),
+    )
+    return base.select(
+        "doc_id",
+        "len_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stopwords",
+        F.expr("(1000 * n_stopwords) DIV n_tokens").alias("stopword_permille"),
+        F.expr("(100 * _tok_chars) DIV n_tokens").alias("avg_token_len_centi"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic arg-max."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[
+        scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS
+    ])
+    # arg-max with fixed priority order en > es > de on ties
+    best = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") > 0),
+            "en",
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_de")) & (F.col("score_es") > 0), "es"
+        )
+        .when(F.col("score_de") > 0, "de")
+        .otherwise("unknown")
+    )
+    return df.withColumn("predicted_lang", best)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 + order-insensitive token-set md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sorted_toks = F.array_sort(F.array_distinct(_tokens()))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", sorted_toks)).alias("fp_tokenset"),
+    )

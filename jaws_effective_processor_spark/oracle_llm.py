@@ -1,0 +1,226 @@
+"""DuckDB oracles for the LLM-data-pipeline operators.
+
+Generated programmatically where the Spark side is generated from the
+same constants (minhash count, simhash bits, LSH hyperplanes) so the
+two dialects cannot drift.
+"""
+
+from __future__ import annotations
+
+from .functions.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SIMHASH_BITS
+from .functions.similarity import HYPERPLANES, N_QUERIES, TOP_K
+from .functions.text import LANG_MARKERS, STOPWORDS
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id, len_chars, n_tokens, n_distinct_tokens, n_stopwords,
+       (1000 * n_stopwords) // n_tokens AS stopword_permille,
+       (100 * tok_chars) // n_tokens AS avg_token_len_centi
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+           AS n_stopwords,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+           AS tok_chars
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t0
+) t1
+"""
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+
+
+LANGUAGE_ID_SQL = f"""
+SELECT doc_id, labeled_lang, score_en, score_es, score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_de
+                 AND score_en > 0 THEN 'en'
+            WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+            WHEN score_de > 0 THEN 'de'
+            ELSE 'unknown' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang AS labeled_lang,
+         CAST(len(list_filter(tk, t -> t IN ({_marker_list("en")}))) AS BIGINT)
+           AS score_en,
+         CAST(len(list_filter(tk, t -> t IN ({_marker_list("es")}))) AS BIGINT)
+           AS score_es,
+         CAST(len(list_filter(tk, t -> t IN ({_marker_list("de")}))) AS BIGINT)
+           AS score_de
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents) t0
+) t1
+"""
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           ' ')) AS fp_tokenset
+FROM documents
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_COLS = ",\n         ".join(
+    f"list_aggregate(list_transform(tk, t -> md5('{i}|' || t)), 'min') AS m{i}"
+    for i in range(N_MINHASH)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({concat}) AS key FROM sig".format(
+        b=b,
+        concat=" || ".join(f"m{ROWS_PER_BAND * b + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(N_BANDS)
+)
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM toks
+),
+bands AS (
+  {_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = """
+SELECT doc_a, doc_b, jac_permille FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (1000 * CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT))
+           // CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS BIGINT)
+           AS jac_permille
+  FROM (SELECT doc_id, lang, n_chars,
+               list_distinct(string_split(text, ' ')) AS tk FROM documents) a
+  JOIN (SELECT doc_id, lang, n_chars,
+               list_distinct(string_split(text, ' ')) AS tk FROM documents) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 2
+) p
+WHERE jac_permille >= 800
+"""
+
+# hex digit -> value without from_hex: strpos on the hex alphabet
+_H = "0123456789abcdef"
+_HEX4 = (
+    f"(strpos('{_H}', substr(md5(t), 1, 1)) - 1) * 4096"
+    f" + (strpos('{_H}', substr(md5(t), 2, 1)) - 1) * 256"
+    f" + (strpos('{_H}', substr(md5(t), 3, 1)) - 1) * 16"
+    f" + (strpos('{_H}', substr(md5(t), 4, 1)) - 1)"
+)
+_SIMHASH_TERMS = " + ".join(
+    f"CASE WHEN 2 * CAST(len(list_filter(hv, h -> (h // {1 << bit}) % 2 = 1)) AS BIGINT)"
+    f" > n THEN {1 << bit} ELSE 0 END"
+    for bit in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> {_HEX4}) AS hv,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash16 FROM t
+"""
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_a, vec_b, cos_permyriad FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(floor(({_COS}) * 10000) AS BIGINT) AS cos_permyriad
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) p
+WHERE cos_permyriad >= 3000
+"""
+
+_QCOS = (
+    "list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_QCOS} AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_literal(plane: list[int]) -> str:
+    vals = ", ".join(f"{float(w)}" for w in plane)
+    return f"CAST([{vals}] AS DOUBLE[])"
+
+
+_BUCKET = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0"
+    f" THEN {1 << j} ELSE 0 END"
+    for j, p in enumerate(HYPERPLANES)
+)
+
+KNN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST({_BUCKET} AS BIGINT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_QCOS} AS cos
+  FROM e q JOIN e c
+    ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES}
+   AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       source AS origin,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+"""
