@@ -1,0 +1,191 @@
+"""Streaming rule tests.
+
+Strategy (mirrors the reference's TopologyTestDriver per-rule tests,
+SURVEY.md §5): deterministic event logs in -> full expected output
+compare. The transition test additionally proves batch<->streaming
+equivalence: the transformWithState path over a multi-batch file
+stream must produce exactly the batch lag()-window result, which is
+itself oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaws_effective_processor_spark import adapters
+from jaws_effective_processor_spark.operators.transitions import with_transitions
+from jaws_effective_processor_spark.streaming import rules
+from jaws_effective_processor_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="jaws_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _memory_table(spark, q_name):
+    return spark.sql(f"SELECT * FROM {q_name}")
+
+
+def test_transitions_stream_equals_batch(spark, tmpdir):
+    """T1 streaming == T1 batch on the sf0.001 activation log, with the
+    log split across files to force multiple micro-batches."""
+    events = load_table(spark, SF_SMOKE, "events")
+    log = adapters.activations_log(events)
+
+    # two chronological chunks -> two+ micro-batches in file order
+    mid = log.approxQuantile("seq", [0.5], 0.0)[0]
+    src = os.path.join(tmpdir, "activations")
+    log.filter(F.col("seq") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "batch0")
+    )
+    log.filter(F.col("seq") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "batch1")
+    )
+
+    stream = rules.dir_stream(
+        spark,
+        f"{src}/*",
+        rules.ACTIVATION_LOG_SCHEMA,
+        max_files=1,
+    )
+    name = f"trans_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        rules.transitions_stream(stream), name, os.path.join(tmpdir, "ckpt")
+    )
+    got = {
+        tuple(r)
+        for r in _memory_table(spark, name)
+        .select(
+            "name", "seq", "active", "transition_to_active", "transition_to_normal"
+        )
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in with_transitions(log)
+        .select(
+            "name",
+            "seq",
+            F.col("cur_active").alias("active"),
+            "transition_to_active",
+            "transition_to_normal",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def _run_monolog_scenario(spark, tmpdir, rows, stream_fn, out_cols):
+    src = os.path.join(tmpdir, "monolog")
+    df = spark.createDataFrame(rows, schema=rules.MONOLOG_SCHEMA)
+    df.coalesce(1).write.parquet(src)
+    stream = rules.dir_stream(spark, src, rules.MONOLOG_SCHEMA)
+    name = f"rule_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(stream_fn(stream), name, os.path.join(tmpdir, "ckpt"))
+    return {
+        tuple(r) for r in _memory_table(spark, name).select(*out_cols).collect()
+    }
+
+
+def _mono(seq, name="alarm1", latchable=True, ondelay=None, to_active=False,
+          to_normal=False, ov_latched=False, ov_ondelayed=False,
+          shelved_oneshot=False):
+    return (seq, name, latchable, ondelay, to_active, to_normal,
+            ov_latched, ov_ondelayed, shelved_oneshot)
+
+
+def test_latch_scenario(spark, tmpdir):
+    """LatchRuleTest 'latching' lifecycle: trigger -> flag persists ->
+    Latched override observed -> flag clears (LatchRuleTest.java:119-175)."""
+    rows = [
+        _mono(1),                         # no transition: not latching
+        _mono(2, to_active=True),         # trigger: latching
+        _mono(3),                         # persists (store)
+        _mono(4, ov_latched=True),        # override arrives: clears
+        _mono(5, latchable=False),        # unlatchable: never flagged
+    ]
+    got = _run_monolog_scenario(
+        spark, tmpdir, rows, rules.latch_stream, ["seq", "latching"]
+    )
+    assert got == {(1, False), (2, True), (3, True), (4, False), (5, False)}
+
+
+def test_ondelay_scenario(spark, tmpdir):
+    rows = [
+        _mono(1, ondelay=5),
+        _mono(2, ondelay=5, to_active=True),
+        _mono(3, ondelay=5),
+        _mono(4, ondelay=5, ov_ondelayed=True),
+        _mono(5, ondelay=None, to_active=True),  # not registered for delay
+    ]
+    got = _run_monolog_scenario(
+        spark, tmpdir, rows, rules.ondelay_stream, ["seq", "ondelaying"]
+    )
+    assert got == {(1, False), (2, True), (3, True), (4, False), (5, False)}
+
+
+def test_oneshot_scenario(spark, tmpdir):
+    """OneShotRuleTest: unshelving on toNormal while oneshot-shelved;
+    state clears when the shelve goes away (OneShotRuleTest.java:122-168)."""
+    rows = [
+        _mono(1, shelved_oneshot=True),
+        _mono(2, shelved_oneshot=True, to_normal=True),   # unshelve
+        _mono(3, shelved_oneshot=True),                   # persists
+        _mono(4, shelved_oneshot=False),                  # shelve removed: clears
+        _mono(5, shelved_oneshot=False, to_normal=True),  # no shelve: no flag
+    ]
+    got = _run_monolog_scenario(
+        spark, tmpdir, rows, rules.oneshot_stream, ["seq", "unshelving"]
+    )
+    assert got == {(1, False), (2, True), (3, True), (4, False), (5, False)}
+
+
+def test_expiration_timer(spark, tmpdir):
+    """W1: an already-expired shelve fires (clamped past-due timer) and
+    emits a tombstone; a far-future one does not
+    (ShelveExpirationRuleTest.java:59-100)."""
+    import time
+
+    src = os.path.join(tmpdir, "overrides")
+    now_ms = int(time.time() * 1000)
+    rows = [
+        (1, "alarm1", "Shelved", False, now_ms - 5000),       # past due -> fires
+        (2, "alarm2", "Shelved", False, now_ms + 3600_000),   # future -> silent
+        (3, "alarm3", "Shelved", True, None),                 # tombstone in -> cancel
+    ]
+    spark.createDataFrame(rows, schema=rules.OVERRIDE_LOG_SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = rules.dir_stream(spark, src, rules.OVERRIDE_LOG_SCHEMA)
+    name = f"exp_{uuid.uuid4().hex[:8]}"
+    q = (
+        rules.expiration_stream(stream, "Shelved")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        fired = []
+        while time.time() < deadline:
+            fired = _memory_table(spark, name).collect()
+            if fired:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r["name"], r["tombstone"]) for r in fired] == [("alarm1", True)]
