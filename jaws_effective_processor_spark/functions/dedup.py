@@ -23,6 +23,8 @@ DuckDB) so every stage is oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,8 +55,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list[F.Column]:
-    toks = _toks()
+def _minhash_cols(toks: F.Column) -> list[F.Column]:
     return [
         F.array_min(
             F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}|"), t)))
@@ -66,7 +67,9 @@ def _minhash_cols() -> list[F.Column]:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (shingle->minhash->band->bucket-join)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *_minhash_cols())
+    # tokenize once; the 8 hash families share the shingle array
+    toked = docs.select("doc_id", _toks().alias("tk"))
+    sig = toked.select("doc_id", *_minhash_cols(F.col("tk")))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -107,18 +110,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking: same lang, |n_chars delta| <= 2 — turns O(n^2) into a
     skew-free equi-join; the jaccard itself is exact integer permille.
+
+    The length band is folded INTO the join key: one side explodes to
+    its 5 admissible lengths so the equi-key is (lang, n_chars) —
+    high-cardinality and uniform. Joining on lang alone (a handful of
+    values) would be a per-language near-cartesian product: ~60x
+    slower at sf0.1 and quadratic-per-key at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", "n_chars", _toks().alias("tk"))
-    a, b = t.alias("a"), t.alias("b")
+    a = t.alias("a")
+    # each (a,b) pair with |delta|<=2 matches exactly one offset -> no dupes
+    b = t.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("tk"),
+        F.explode(
+            F.array(*[F.col("n_chars") + F.lit(d) for d in range(-2, 3)])
+        ).alias("nc_key"),
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk"))).cast("long")
     uni = F.size(F.array_union(F.col("a.tk"), F.col("b.tk"))).cast("long")
     pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 2),
+            & (F.col("a.n_chars") == F.col("b.nc_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -170,13 +188,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30).
 
-    The dot product is a sequential fold over the zipped arrays —
-    bit-identical to the oracle's list_dot_product on doubles.
+    Float discipline: the oracle computes a sequential left-fold dot
+    on doubles. Per-pair dots go through an Arrow-vectorized pandas
+    UDF using row-wise cumsum — cumsum is strictly sequential, so the
+    rounding matches the fold exactly while the arithmetic runs in
+    numpy instead of Spark's interpreted array-HOF path (~5x on the
+    pair-scoring stage). Norms are folded once per ROW before the
+    self-join (n, not n^2, evaluations).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
 
     def dot(x: F.Column, y: F.Column) -> F.Column:
         return F.aggregate(
@@ -185,10 +205,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
+    @F.pandas_udf("double")
+    def pair_dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.vstack(xs.to_numpy())
+        b = np.vstack(ys.to_numpy())
+        # elementwise products then sequential per-row cumsum == left fold
+        return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
+
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(dot(v, v)).alias("norm"),
+    )
+
     a, b = e.alias("a"), e.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    cos = pair_dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
     )
     return (
         a.join(

@@ -46,15 +46,17 @@ def dot(x: Column, y: Column) -> Column:
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # norm folded once per row, not per candidate pair — same float
+    # value as the oracle's per-pair sqrt(list_dot_product(x,x))
     return emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", v.alias("v"), F.sqrt(dot(v, v)).alias("norm")
     )
 
 
 def _cos(a: str, b: str) -> Column:
     return dot(F.col(f"{a}.v"), F.col(f"{b}.v")) / (
-        F.sqrt(dot(F.col(f"{a}.v"), F.col(f"{a}.v")))
-        * F.sqrt(dot(F.col(f"{b}.v"), F.col(f"{b}.v")))
+        F.col(f"{a}.norm") * F.col(f"{b}.norm")
     )
 
 
