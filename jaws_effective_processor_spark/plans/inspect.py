@@ -1,0 +1,56 @@
+"""Extract assertable facts from a DataFrame's physical plan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what `.explain(mode)` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) operators in the physical plan.
+
+    AQE may later coalesce partitions but never removes a shuffle
+    boundary — this is the plan-time worst case.
+    """
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) in the plan."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan))
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains a non-broadcast cartesian product —
+    at scale that's always a bug."""
+    return "CartesianProduct" in explain_str(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The filter sets pushed into file scans (PushedFilters: [...])."""
+    plan = explain_str(df, "formatted")
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """The column sets each file scan actually reads (ReadSchema) —
+    proves column pruning reached the scan."""
+    plan = explain_str(df, "formatted")
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def whole_stage_codegen_ids(df: DataFrame) -> list[int]:
+    """Distinct whole-stage-codegen span ids — wider spans mean more
+    of the plan runs as generated JVM code, not interpreted."""
+    plan = explain_str(df, "simple")
+    return sorted({int(m) for m in re.findall(r"WholeStageCodegen \((\d+)\)", plan)})

@@ -1,0 +1,178 @@
+"""Source/sink builders (SURVEY.md §2.1).
+
+Everything returns plain DataFrames/writers so Catalyst sees the whole
+plan — format options (pushdown, pruning) stay declarative. Kafka and
+Avro builders express the production path; they need the spark-sql-
+kafka / spark-avro packages on the classpath at runtime, so they are
+constructed lazily and import-gated where the container lacks the jar.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.compaction import compact_table, latest_per_key
+
+# ------------------------------------------------------------ files
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    options: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Batch file source (parquet/csv/json/orc/text).
+
+    Explicit schema skips inference (a full scan for csv/json) and
+    keeps column pruning + predicate pushdown available to the
+    parquet/orc scans — at 100 TB an unpruned scan IS the bottleneck.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def changelog_table(
+    log: DataFrame,
+    keys: Sequence[str],
+    tombstone_col: str,
+    order_col: str = "seq",
+) -> DataFrame:
+    """S1 — KTable snapshot from an append-only changelog.
+
+    Latest record per key wins; a tombstone (null payload / true
+    flag) deletes the key (RegistrationRule.java:81-89 semantics,
+    reference KTable compaction). One shuffle on the key."""
+    return compact_table(log, keys, tombstone_col, order_col)
+
+
+# ------------------------------------------------------------ kafka
+
+
+def kafka_batch(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    value_schema: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S2 as a bounded read (replay): the reference's
+    auto.offset.reset=earliest full-history replay
+    (ProcessingRule.java:53) is a batch Kafka scan in Spark."""
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("includeHeaders", "true")
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("name"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("offset").alias("seq"),
+        F.col("headers"),
+    ).select("name", "seq", "v.*", "headers")
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str,
+    key_col: str = "name",
+):
+    """S3 — keyed topic sink. Null `value` rows are tombstones, which
+    Kafka compaction treats as deletes (the reference emits them at
+    OneShotRule.java:98, ShelveExpirationRule.java:163-168)."""
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.when(
+            F.col("__tombstone") if "__tombstone" in df.columns else F.lit(False),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.to_json(F.struct(*[c for c in df.columns if c != key_col])))
+        .alias("value"),
+    )
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+    )
+
+
+# ------------------------------------------------------------- avro
+
+
+def avro_decode(col, avsc_json: str):
+    """S4 — Avro value decode (SpecificAvroSerde analog). Requires the
+    spark-avro package; import-gated for containers without the jar."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("spark-avro not on classpath") from exc
+    return from_avro(col, avsc_json)
+
+
+def avro_encode(col):
+    """S4 — Avro value encode for the topic sink."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("spark-avro not on classpath") from exc
+    return to_avro(col)
+
+
+# ----------------------------------------------------------- headers
+
+
+def with_headers(
+    df: DataFrame,
+    user: str | None = None,
+    producer: str = "jaws-effective-processor-spark",
+    host: str | None = None,
+) -> DataFrame:
+    """S5 — attach the reference's audit headers + wall-clock restamp.
+
+    populateHeaders (ProcessingRule.java:74-86) puts user/producer/host
+    on every output record and every processor re-stamps records with
+    wall-clock time (P12, ProcessingRule.java:110-113). Kafka's sink
+    consumes `headers` as array<struct<key,value:binary>> when
+    includeHeaders is set.
+    """
+    import getpass
+    import socket
+
+    user = user if user is not None else getpass.getuser()
+    host = host if host is not None else socket.gethostname()
+    hdr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"), F.lit(v).cast("binary").alias("value")
+            )
+            for k, v in (("user", user), ("producer", producer), ("host", host))
+        ]
+    )
+    return df.withColumn("headers", hdr).withColumn(
+        "timestamp", F.current_timestamp()
+    )
+
+
+__all__ = [
+    "read_table",
+    "changelog_table",
+    "kafka_batch",
+    "kafka_sink",
+    "avro_decode",
+    "avro_encode",
+    "with_headers",
+    "latest_per_key",
+]

@@ -1,0 +1,82 @@
+"""Physical-plan discipline tests (the properties that matter at 100 TB).
+
+The small-SF oracle tests prove correctness; these prove the PLANS are
+the ones we'd want on a 1000-executor cluster: filters and pruning
+reach the parquet scans, small dimensions broadcast, aggregations are
+single-shuffle with map-side partials, and nothing degenerates into a
+cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jaws_effective_processor_spark.entry_queries import QUERIES
+from jaws_effective_processor_spark.plans import (
+    broadcast_join_count,
+    explain_str,
+    has_cartesian,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products(spark, name):
+    """No registered query may plan a non-broadcast cartesian product —
+    per-key quadratic work is the one unrecoverable failure at scale."""
+    assert not has_cartesian(QUERIES[name](spark, SF_SMOKE)), name
+
+
+def test_revenue_join_strategy(spark):
+    """Star join: all four dims broadcast, lineitem never shuffles for
+    the joins — the only exchange is the final aggregation."""
+    df = QUERIES["revenue_by_nation"](spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 4
+    assert shuffle_count(df) == 1
+
+
+def test_pricing_summary_pushdown(spark):
+    """The shipdate predicate reaches the parquet scan (PushedFilters)
+    and column pruning drops unused lineitem columns (ReadSchema)."""
+    df = QUERIES["pricing_summary"](spark, SF_SMOKE)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    schemas = read_schemas(df)
+    assert schemas and all("l_comment" not in s for s in schemas)
+    assert shuffle_count(df) == 1  # single agg shuffle, partials map-side
+
+
+def test_transitions_single_shuffle(spark):
+    """T1 (lag per key) is one hash-partition exchange on the alarm
+    name — the same partitioning the streaming state store would use."""
+    df = QUERIES["activation_transitions"](spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
+
+
+def test_ngram_jaccard_is_equijoin(spark):
+    """The banded self-join must plan as an equi-join (hash/SMJ or
+    broadcast at tiny SF) — never nested-loop over the corpus."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Aggregations keep map-side partials (partial_sum/count before
+    the exchange) so the shuffle moves pre-combined rows."""
+    df = QUERIES["pricing_summary"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_effective_pipeline_shuffles_bounded(spark):
+    """The flagship monolog pipeline: compactions + pivot + windows,
+    all keyed by alarm name. The shuffle count must stay bounded (each
+    is one hash exchange on a high-cardinality uniform key)."""
+    df = QUERIES["effective_alarms"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 6
+    assert not has_cartesian(df)
