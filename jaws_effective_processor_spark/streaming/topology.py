@@ -415,6 +415,40 @@ class AlarmTopology:
 
         self._run(stream, fn, "stage4")
 
+    # -------------------------------------------- W1/W2 expiration
+
+    def run_expirations(self, now_ms: int | None = None) -> None:
+        """W1/W2 — tombstone live Shelved/OnDelayed overrides past
+        expiry, onto the overrides feedback topic.
+
+        The streaming deployment uses per-key processing-time timers
+        (rules.expiration_stream, ShelveExpirationRule.java:147-169);
+        under the batch settle() driver the honest analog is a sweep
+        against the frozen clock: compact the topic, keep live
+        overrides with expiration <= now, emit tombstones. Idempotent:
+        once tombstoned, an override is no longer live.
+        """
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        offset = ROUND_OFFSET * (self.round + 1)
+        log = self.spark.read.schema(OVERRIDE_TOPIC_SCHEMA).parquet(
+            self.topics["overrides"]
+        )
+        due = latest_overrides(log).filter(
+            F.col("type").isin("Shelved", "OnDelayed")
+            & (F.col("expiration") <= F.lit(now_ms))
+        )
+        out = due.select(
+            (F.col("seq") + F.lit(offset)).alias("seq"),
+            "name",
+            "type",
+            F.lit(True).alias("tombstone"),
+            F.lit(None).cast("long").alias("expiration"),
+            F.lit(None).cast("boolean").alias("oneshot"),
+        )
+        if not out.isEmpty():
+            self._append(out, "overrides")
+
     # ------------------------------------------------------- driver
 
     def run_round(self) -> None:

@@ -48,6 +48,7 @@ _INSTANCES = [
     (5, "al_shelf", "cls_plain"),
     (6, "al_dis", "cls_plain"),
     (7, "al_norm", "cls_plain"),
+    (8, "al_expshelf", "cls_plain"),
 ]
 
 _ACTIVATIONS = [
@@ -60,6 +61,7 @@ _ACTIVATIONS = [
     (16, "al_dis", "Activation"),
     (17, "al_norm", "Activation"),
     (18, "al_norm", "NoActivation"),
+    (19, "al_expshelf", "Activation"),
 ]
 
 _OVERRIDES = [
@@ -67,6 +69,8 @@ _OVERRIDES = [
     (20, "al_oneshot", "Shelved", False, None, True),
     (21, "al_shelf", "Shelved", False, None, False),
     (22, "al_dis", "Disabled", False, None, None),
+    # already past expiry: W1 sweep tombstones it, state returns to Active
+    (23, "al_expshelf", "Shelved", False, 1_000_000_000_000, False),
 ]
 
 _EXPECTED = {
@@ -84,6 +88,8 @@ _EXPECTED = {
     "al_dis": (True, "NormalDisabled"),
     # active then back to normal, no overrides
     "al_norm": (False, "Normal"),
+    # shelved with past expiration: shelved until the W1 sweep runs
+    "al_expshelf": (True, "NormalContinuousShelved"),
 }
 
 
@@ -134,3 +140,20 @@ def test_topology_settles_reference_scenarios(spark, tmpdir):
         .collect()
     ]
     assert latch_states == ["ActiveLatched"]
+
+    # W1/W2: the expiration sweep tombstones past-due overrides onto
+    # the feedback topic; the next round restores Active. Both timer
+    # rules fire here: al_expshelf's shelve was seeded past-due (W1,
+    # ShelveExpirationRuleTest.java:86-100) and al_delay's 5s ondelay
+    # genuinely expired during settle (W2, OnDelayExpirationRule
+    # semantics: delay persists only until expiry).
+    topo.run_expirations()
+    topo.settle(rounds=1)
+    after = {
+        r["name"]: (r["active"], r["state"])
+        for r in topo.effective_states().collect()
+    }
+    expected_after = dict(
+        _EXPECTED, al_expshelf=(True, "Active"), al_delay=(True, "Active")
+    )
+    assert after == expected_after
