@@ -129,6 +129,8 @@ def _register_llm() -> None:
     from .functions import dedup, multimodal, similarity, text
 
     register("text_stats", text.q_text_stats, osql.TEXT_STATS_SQL)
+    register("token_counts", text.q_token_counts, osql.TOKEN_COUNTS_SQL)
+    register("quality_score", text.q_quality_score, osql.QUALITY_SCORE_SQL)
     register("language_id", text.q_language_id, osql.LANGUAGE_ID_SQL)
     register("doc_fingerprint", text.q_doc_fingerprint, osql.DOC_FINGERPRINT_SQL)
     register("dedup_exact", dedup.q_dedup_exact, osql.DEDUP_EXACT_SQL)

@@ -98,3 +98,67 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp_exact"),
         F.md5(F.concat_ws(" ", sorted_toks)).alias("fp_tokenset"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2 pattern family without lookarounds so Java regex (Spark)
+# and RE2 (DuckDB) agree byte-for-byte.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex, and the
+    chars/4 subword heuristic used for quick budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.expr("(length(text) + 3) DIV 4").alias("est_subwords"),
+    )
+
+
+# quality gates: each worth 250 of 1000; {d} is the INTEGER division
+# operator of the dialect (Spark `DIV`, DuckDB `//`) so both engines
+# agree exactly at bucket boundaries
+QUALITY_EXPR_T = """
+  CASE WHEN len_chars BETWEEN 100 AND 450 THEN 250 ELSE 0 END
++ CASE WHEN n_tokens > 0 AND (1000 * n_stopwords) {d} n_tokens
+            BETWEEN 30 AND 120 THEN 250 ELSE 0 END
++ CASE WHEN n_tokens > 0 AND (1000 * n_distinct_tokens) {d} n_tokens >= 400
+       THEN 250 ELSE 0 END
++ CASE WHEN n_tokens > 0 AND (100 * tok_chars) {d} n_tokens
+            BETWEEN 430 AND 530 THEN 250 ELSE 0 END
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (0-1000) + keep/review/drop
+    bucket — the filter stage of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    return base.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 750, "keep")
+        .when(score >= 500, "review")
+        .otherwise("drop")
+        .alias("bucket"),
+    )

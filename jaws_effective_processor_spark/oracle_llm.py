@@ -224,3 +224,36 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
 FROM documents
 """
+
+
+from .functions.text import BPE_PATTERN, QUALITY_EXPR_T  # noqa: E402
+
+_Q = QUALITY_EXPR_T.format(d="//")
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS BIGINT)
+         AS bpe_tokens,
+       (length(text) + 3) // 4 AS est_subwords
+FROM documents
+"""
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       CAST({_Q} AS BIGINT) AS quality_score,
+       CASE WHEN ({_Q}) >= 750 THEN 'keep'
+            WHEN ({_Q}) >= 500 THEN 'review'
+            ELSE 'drop' END AS bucket
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+           AS n_stopwords,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+           AS tok_chars
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t0
+) t1
+"""
