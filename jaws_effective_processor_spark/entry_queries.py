@@ -122,6 +122,9 @@ def _register_relational() -> None:
     )
     register("scalar_functions", r.q_scalar_functions, osql.SCALAR_FUNCTIONS_SQL)
     register("event_type_pivot", r.q_event_type_pivot, osql.EVENT_TYPE_PIVOT_SQL)
+    register(
+        "asof_last_purchase", r.q_asof_last_purchase, osql.ASOF_LAST_PURCHASE_SQL
+    )
 
 
 def _register_llm() -> None:

@@ -168,3 +168,19 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+ASOF_LAST_PURCHASE_SQL = """
+WITH l AS (
+  SELECT event_id AS activation_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT l.activation_id, l.user_id, l.ts_ms, r.purchase_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+"""

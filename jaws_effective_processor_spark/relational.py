@@ -313,3 +313,30 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event (activation) picks up the user's
+    most recent purchase at-or-before it (operators/asof.py; DuckDB
+    native ASOF JOIN is the oracle)."""
+    from .adapters import event_ms
+    from .operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("activation_id"),
+        "user_id",
+        event_ms().alias("ts_ms"),
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", event_ms().alias("ts_ms"))
+        .agg(
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            )
+        )
+    )
+    return asof_join(
+        left, right, key="user_id", ts="ts_ms", payload_cols=["purchase_cents"]
+    )
