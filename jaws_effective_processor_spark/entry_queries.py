@@ -125,6 +125,9 @@ def _register_relational() -> None:
     register(
         "asof_last_purchase", r.q_asof_last_purchase, osql.ASOF_LAST_PURCHASE_SQL
     )
+    register(
+        "range_copurchase", r.q_range_copurchase, osql.RANGE_COPURCHASE_SQL
+    )
 
 
 def _register_llm() -> None:

@@ -184,3 +184,17 @@ WITH l AS (
 SELECT l.activation_id, l.user_id, l.ts_ms, r.purchase_cents
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
 """
+
+
+RANGE_COPURCHASE_SQL = """
+WITH l AS (
+  SELECT event_id AS activation_id, epoch_ms(ts) AS ms
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT event_id AS purchase_id, epoch_ms(ts) AS ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.activation_id, count(*) AS n_nearby_purchases
+FROM l JOIN r ON r.ms BETWEEN l.ms - 60000 AND l.ms + 60000
+GROUP BY l.activation_id
+"""

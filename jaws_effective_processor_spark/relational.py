@@ -340,3 +340,23 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         left, right, key="user_id", ts="ts_ms", payload_cols=["purchase_cents"]
     )
+
+
+def q_range_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within ±60s of each error event,
+    via the banded equi-join operator (operators/range_join.py)."""
+    from .adapters import event_ms
+    from .operators.range_join import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("activation_id"), event_ms().alias("ms")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), event_ms().alias("ms")
+    )
+    return (
+        range_join(errors, purchases, point="ms", radius=60_000)
+        .groupBy("activation_id")
+        .agg(F.count("*").alias("n_nearby_purchases"))
+    )

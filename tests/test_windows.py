@@ -1,0 +1,81 @@
+"""Event-time window + watermark tests: streamed append-mode windows
+must be a finalized-exact subset of the batch windowed aggregation,
+and late-beyond-watermark data must be dropped."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaws_effective_processor_spark.adapters import event_ms
+from jaws_effective_processor_spark.streaming import rules
+from jaws_effective_processor_spark.streaming.windows import (
+    batch_windowed_counts,
+    windowed_event_counts,
+)
+from jaws_effective_processor_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="jaws_win_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streamed_windows_match_batch(spark, tmpdir):
+    events = load_table(spark, SF_SMOKE, "events")
+    log = events.select(
+        "event_id", "event_type", event_ms().alias("ms")
+    )
+    src = os.path.join(tmpdir, "events")
+    # two chronological chunks -> watermark advances across batches
+    mid = log.approxQuantile("ms", [0.5], 0.0)[0]
+    log.filter(F.col("ms") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    log.filter(F.col("ms") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+
+    stream = rules.dir_stream(
+        spark, f"{src}/*", "event_id long, event_type string, ms long",
+        max_files=1,
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["win_start_ms"], r["event_type"]): r["n"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r["win_start_ms"], r["event_type"]): r["n"]
+        for r in batch_windowed_counts(log).collect()
+    }
+    # append mode emits only watermark-finalized windows: a strict
+    # subset of the batch result, exact where emitted
+    assert streamed, "no finalized windows emitted"
+    assert set(streamed) < set(batch)
+    for k, n in streamed.items():
+        assert batch[k] == n, k
+    # everything except the watermark tail must have been finalized
+    max_ms = log.agg(F.max("ms")).collect()[0][0]
+    horizon = max_ms - 30 * 60_000  # the watermark delay
+    late_tail = {k for k in batch if k[0] + 3_600_000 > horizon}
+    assert set(batch) - set(streamed) <= late_tail
