@@ -91,6 +91,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # the corpus parquet is a handful of input splits at small SF —
+    # without this the candidate-pair join runs as ONE task; hashing
+    # on the bucket key spreads pair generation across the cluster
+    # (at 100 TB the exchange exists anyway as the join shuffle)
+    bands = bands.repartition(F.col("band"), F.col("key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
