@@ -20,6 +20,7 @@ from .io import (
     kafka_sink,
     read_table,
     with_headers,
+    write_bucketed,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "kafka_sink",
     "read_table",
     "with_headers",
+    "write_bucketed",
 ]

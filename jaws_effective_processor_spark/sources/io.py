@@ -174,5 +174,28 @@ __all__ = [
     "avro_decode",
     "avro_encode",
     "with_headers",
+    "write_bucketed",
     "latest_per_key",
 ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+) -> None:
+    """Persist a table bucketed + sorted on its join key.
+
+    Co-locating both sides of a recurring equi-join (e.g. orders x
+    lineitem on orderkey) lets Spark plan the join with ZERO
+    exchanges — at 100 TB the dominant cost of a large-large join is
+    the shuffle, so bucket layout is the single biggest lever for
+    repeated pipelines (tests/test_bucketing.py proves the plan).
+    """
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

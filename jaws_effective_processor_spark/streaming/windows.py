@@ -63,3 +63,50 @@ def batch_windowed_counts(
             "n",
         )
     )
+
+
+def session_windowed_counts(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_ms_col: str = "ms",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time session windows (gap-based) per key — the streaming
+    form of the batch sessionization query (relational.py). A session
+    closes when `gap` passes with no event; the watermark finalizes
+    and evicts closed sessions from state."""
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_ms_col))
+    )
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+        )
+    )
+
+
+def batch_session_counts(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    ts_ms_col: str = "ms",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch oracle for `session_windowed_counts` (all sessions)."""
+    with_ts = df.withColumn("event_time", F.timestamp_millis(F.col(ts_ms_col)))
+    return (
+        with_ts.groupBy(F.session_window("event_time", gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+        )
+    )

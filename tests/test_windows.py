@@ -79,3 +79,43 @@ def test_streamed_windows_match_batch(spark, tmpdir):
     horizon = max_ms - 30 * 60_000  # the watermark delay
     late_tail = {k for k in batch if k[0] + 3_600_000 > horizon}
     assert set(batch) - set(streamed) <= late_tail
+
+
+def test_streamed_sessions_match_batch(spark, tmpdir):
+    from jaws_effective_processor_spark.streaming.windows import (
+        batch_session_counts,
+        session_windowed_counts,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    log = events.select("event_id", "user_id", event_ms().alias("ms"))
+    src = os.path.join(tmpdir, "events")
+    log.coalesce(1).write.parquet(src)
+
+    stream = rules.dir_stream(
+        spark, src, "event_id long, user_id long, ms long"
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["user_id"], r["start_ms"], r["end_ms"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r["user_id"], r["start_ms"], r["end_ms"]): r["n_events"]
+        for r in batch_session_counts(log).collect()
+    }
+    assert streamed, "no finalized sessions emitted"
+    assert set(streamed) <= set(batch)
+    for k, n in streamed.items():
+        assert batch[k] == n, k
