@@ -157,3 +157,40 @@ def test_topology_settles_reference_scenarios(spark, tmpdir):
         _EXPECTED, al_expshelf=(True, "Active"), al_delay=(True, "Active")
     )
     assert after == expected_after
+
+
+def test_topology_fixpoint_on_derived_logs(spark, tmpdir):
+    """Robustness: the full topology settles to a fixpoint on the
+    sf0.001 adapter-derived event logs (real data shape, ~hundreds of
+    alarms): an extra round after settling emits nothing new, and all
+    states are valid AlarmState values."""
+    from jaws_effective_processor_spark import adapters
+    from jaws_effective_processor_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    topo = AlarmTopology(spark, os.path.join(tmpdir, "topics"))
+    ovr = adapters.overrides_log(events)
+    topo.seed(
+        adapters.instances_log(events),
+        adapters.activations_log(events),
+        ovr.select(
+            "seq", "name", "type", "tombstone",
+            F.col("expiration").cast("long").alias("expiration"),
+            "oneshot",
+        ),
+    )
+    topo.settle(rounds=3)
+    n_settled = spark.read.parquet(topo.topics["effective"]).count()
+    assert n_settled > 0
+
+    topo.run_round()  # extra round: must be a no-op
+    assert spark.read.parquet(topo.topics["effective"]).count() == n_settled
+
+    valid = {
+        "Normal", "Active", "ActiveOffDelayed", "ActiveLatched",
+        "NormalOnDelayed", "NormalOneShotShelved",
+        "NormalContinuousShelved", "NormalMasked", "NormalFiltered",
+        "NormalDisabled",
+    }
+    states = {r["state"] for r in topo.effective_states().collect()}
+    assert states and states <= valid
