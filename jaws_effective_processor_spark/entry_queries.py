@@ -121,6 +121,11 @@ def _register_relational() -> None:
         osql.PARTS_ABOVE_BRAND_AVG_SQL,
     )
     register("scalar_functions", r.q_scalar_functions, osql.SCALAR_FUNCTIONS_SQL)
+    register(
+        "json_array_functions",
+        r.q_json_array_functions,
+        osql.JSON_ARRAY_FUNCTIONS_SQL,
+    )
     register("event_type_pivot", r.q_event_type_pivot, osql.EVENT_TYPE_PIVOT_SQL)
     register(
         "asof_last_purchase", r.q_asof_last_purchase, osql.ASOF_LAST_PURCHASE_SQL

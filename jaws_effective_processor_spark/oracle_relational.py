@@ -198,3 +198,23 @@ SELECT l.activation_id, count(*) AS n_nearby_purchases
 FROM l JOIN r ON r.ms BETWEEN l.ms - 60000 AND l.ms + 60000
 GROUP BY l.activation_id
 """
+
+
+JSON_ARRAY_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(json_extract_string(js, '$.k') AS BIGINT) AS json_key,
+       json_extract_string(js, '$.p') AS json_prio,
+       CAST(len(arr) AS BIGINT) AS arr_len,
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+       list_contains(arr, 3) AS arr_has_3,
+       words[1] AS prio_word,
+       list_aggregate(list_sort(words), 'string_agg', '|') AS sorted_words
+FROM (
+  SELECT o_orderkey,
+         '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"p":"'
+             || o_orderpriority || '"}' AS js,
+         range(1, CAST(o_orderkey % 5 + 2 AS INTEGER)) AS arr,
+         string_split(o_orderpriority, '-') AS words
+  FROM orders
+) t
+"""

@@ -360,3 +360,31 @@ def q_range_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("activation_id")
         .agg(F.count("*").alias("n_nearby_purchases"))
     )
+
+
+def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + array scalar functions: build a JSON doc per row (same
+    string both engines), extract typed fields back out, and exercise
+    array construct/aggregate/predicate ops."""
+    orders = load_table(spark, sf_dir, "orders")
+    js = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"p":"'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
+    words = F.split("o_orderpriority", "-")
+    return orders.select(
+        "o_orderkey",
+        F.get_json_object(js, "$.k").cast("long").alias("json_key"),
+        F.get_json_object(js, "$.p").alias("json_prio"),
+        F.size(arr).cast("long").alias("arr_len"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("arr_sum"),
+        F.array_contains(arr, F.lit(3)).alias("arr_has_3"),
+        F.element_at(words, 1).alias("prio_word"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+    )
