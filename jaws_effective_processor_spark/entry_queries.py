@@ -46,6 +46,14 @@ def register(
 
 register("effective_alarms", effective_alarms, oracle.EFFECTIVE_ALARMS_SQL)
 
+from .pipeline import effective_state_history  # noqa: E402
+
+register(
+    "effective_state_history",
+    effective_state_history,
+    oracle.EFFECTIVE_STATE_HISTORY_SQL,
+)
+
 
 def _register_rules() -> None:
     from . import rules

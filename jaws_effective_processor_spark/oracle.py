@@ -236,3 +236,75 @@ SELECT name, active,
 FROM settled
 WHERE NOT (latching OR ondelaying OR unshelving)
 """
+
+
+_OV_HIST_COLS = "\n".join(
+    f"""    coalesce(last_value(CASE WHEN tag='O' AND ovr_type='{t}'
+               THEN ovr_live END IGNORE NULLS) OVER w, false) AS ov_{t.lower()},"""
+    for t in (
+        "Disabled", "Filtered", "Latched", "Masked",
+        "OnDelayed", "OffDelayed", "Shelved",
+    )
+)
+
+EFFECTIVE_STATE_HISTORY_SQL = f"""
+WITH {ALARM_CTES},
+merged AS (
+  SELECT seq, name, 'A' AS tag, cur_active,
+         CAST(NULL AS VARCHAR) AS ovr_type,
+         CAST(NULL AS BOOLEAN) AS ovr_live,
+         CAST(NULL AS BOOLEAN) AS ovr_oneshot,
+         CAST(NULL AS VARCHAR) AS action_sentinel,
+         prev_active
+  FROM act_flags
+  UNION ALL
+  SELECT seq, name, 'O', NULL, type, NOT tombstone,
+         CASE WHEN tombstone THEN false ELSE coalesce(oneshot, false) END,
+         NULL, NULL
+  FROM overrides_log
+  UNION ALL
+  SELECT seq, name, 'R', NULL, NULL, NULL, NULL,
+         coalesce(action, '__deleted__'), NULL
+  FROM instances_log
+),
+asof_state AS (
+  SELECT seq, name, tag,
+    coalesce(last_value(cur_active IGNORE NULLS) OVER w, false) AS active,
+    CASE WHEN tag = 'A' THEN cur_active AND NOT prev_active
+         ELSE false END AS t_to_active,
+    CASE WHEN tag = 'A' THEN (NOT cur_active) AND prev_active
+         ELSE false END AS t_to_normal,
+{_OV_HIST_COLS}
+    coalesce(last_value(CASE WHEN tag='O' AND ovr_type='Shelved'
+               THEN ovr_oneshot END IGNORE NULLS) OVER w, false)
+      AS shelved_oneshot,
+    nullif(last_value(action_sentinel IGNORE NULLS) OVER w, '__deleted__')
+      AS action_eff
+  FROM merged
+  WINDOW w AS (PARTITION BY name ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+hist AS (
+  SELECT a.*, d.latchable, d.ondelayseconds
+  FROM asof_state a LEFT JOIN actions d ON a.action_eff = d.name
+)
+SELECT seq, name, active,
+  CASE WHEN ov_disabled THEN 'NormalDisabled'
+       WHEN ov_filtered THEN 'NormalFiltered'
+       WHEN ov_masked THEN 'NormalMasked'
+       WHEN ov_shelved THEN
+            (CASE WHEN shelved_oneshot THEN 'NormalOneShotShelved'
+                  ELSE 'NormalContinuousShelved' END)
+       WHEN ov_ondelayed THEN 'NormalOnDelayed'
+       WHEN ov_latched THEN 'ActiveLatched'
+       WHEN ov_offdelayed THEN 'ActiveOffDelayed'
+       WHEN active THEN 'Active'
+       ELSE 'Normal' END AS state
+FROM hist
+WHERE NOT (
+      (coalesce(latchable, false) AND t_to_active AND NOT ov_latched)
+   OR (coalesce(ondelayseconds > 0, false) AND t_to_active
+       AND NOT ov_ondelayed)
+   OR (ov_shelved AND shelved_oneshot AND t_to_normal)
+)
+"""

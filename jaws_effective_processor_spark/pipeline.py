@@ -106,3 +106,172 @@ def effective_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The settled effective-state snapshot, one row per known alarm."""
     settled = with_settled_overrides(with_rule_flags(alarm_monolog(spark, sf_dir)))
     return with_effective_state(settled).select(*OUTPUT_COLS)
+
+
+def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event effective-state stream — the reference's actual output
+    shape (EffectiveStateRule emits on EVERY upstream record, not just
+    a final snapshot; re-emission on override/registration updates is
+    the KTable-join firing on either side, ActivationRule.java:101-126).
+
+    One window pass over the merged changelog does all the point-in-
+    time joins: activation, override, and registration events union
+    into a single per-alarm ordered stream, and `last(... IGNORE
+    NULLS)` recovers each KTable's state as-of every event. Tombstones
+    ride along as non-null sentinels (false / '__deleted__') so a
+    delete correctly resets state — the subtlety that makes plain
+    ignore-nulls insufficient.
+
+    E1 then drops intermediate records (rule-trigger rows) and E2
+    evaluates the cascade per surviving event. Scale shape: ONE
+    shuffle on the alarm key for the window; everything else is
+    codegen'd column work + a broadcast dim join.
+    """
+    pin_session_conf(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+
+    act = adapters.activations_log(events)
+    w_act = Window.partitionBy("name").orderBy("seq")
+    act_rows = act.select(
+        "seq",
+        "name",
+        F.lit("A").alias("tag"),
+        F.coalesce(F.col("union_type") == "Activation", F.lit(False)).alias(
+            "cur_active"
+        ),
+        F.lit(None).cast("string").alias("ovr_type"),
+        F.lit(None).cast("boolean").alias("ovr_live"),
+        F.lit(None).cast("boolean").alias("ovr_oneshot"),
+        F.lit(None).cast("string").alias("action_sentinel"),
+    ).withColumn(
+        "prev_active",
+        F.coalesce(F.lag("cur_active").over(w_act), F.lit(False)),
+    )
+
+    ovr = adapters.overrides_log(events)
+    ovr_rows = ovr.select(
+        "seq",
+        "name",
+        F.lit("O").alias("tag"),
+        F.lit(None).cast("boolean").alias("cur_active"),
+        F.col("type").alias("ovr_type"),
+        (~F.col("tombstone")).alias("ovr_live"),
+        F.when(F.col("tombstone"), F.lit(False))
+        .otherwise(F.coalesce(F.col("oneshot"), F.lit(False)))
+        .alias("ovr_oneshot"),
+        F.lit(None).cast("string").alias("action_sentinel"),
+        F.lit(None).cast("boolean").alias("prev_active"),
+    )
+
+    inst = adapters.instances_log(events)
+    inst_rows = inst.select(
+        "seq",
+        "name",
+        F.lit("R").alias("tag"),
+        F.lit(None).cast("boolean").alias("cur_active"),
+        F.lit(None).cast("string").alias("ovr_type"),
+        F.lit(None).cast("boolean").alias("ovr_live"),
+        F.lit(None).cast("boolean").alias("ovr_oneshot"),
+        F.coalesce(F.col("action"), F.lit("__deleted__")).alias(
+            "action_sentinel"
+        ),
+        F.lit(None).cast("boolean").alias("prev_active"),
+    )
+
+    merged = act_rows.unionByName(ovr_rows).unionByName(inst_rows)
+    w = (
+        Window.partitionBy("name")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def ov_live(t: str) -> F.Column:
+        return F.coalesce(
+            F.last(
+                F.when(
+                    (F.col("tag") == "O") & (F.col("ovr_type") == t),
+                    F.col("ovr_live"),
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit(False),
+        )
+
+    state_cols = merged.select(
+        "seq",
+        "name",
+        "tag",
+        F.coalesce(
+            F.last("cur_active", ignorenulls=True).over(w), F.lit(False)
+        ).alias("active"),
+        F.when(
+            F.col("tag") == "A", F.col("cur_active") & ~F.col("prev_active")
+        )
+        .otherwise(F.lit(False))
+        .alias("transition_to_active"),
+        F.when(
+            F.col("tag") == "A", ~F.col("cur_active") & F.col("prev_active")
+        )
+        .otherwise(F.lit(False))
+        .alias("transition_to_normal"),
+        *[ov_live(t).alias(f"ov_{t.lower()}") for t in adapters.OVERRIDE_TYPES],
+        F.coalesce(
+            F.last(
+                F.when(
+                    (F.col("tag") == "O") & (F.col("ovr_type") == "Shelved"),
+                    F.col("ovr_oneshot"),
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit(False),
+        ).alias("shelved_oneshot"),
+        F.nullif(
+            F.last("action_sentinel", ignorenulls=True).over(w),
+            F.lit("__deleted__"),
+        ).alias("action_eff"),
+    )
+
+    dim = adapters.actions_dim(spark).select(
+        F.col("name").alias("dim_name"), "latchable", "ondelayseconds"
+    )
+    joined = state_cols.join(
+        F.broadcast(dim), state_cols["action_eff"] == dim["dim_name"], "left"
+    )
+
+    latching = (
+        F.coalesce(F.col("latchable"), F.lit(False))
+        & F.col("transition_to_active")
+        & ~F.col("ov_latched")
+    )
+    ondelaying = (
+        F.coalesce(F.col("ondelayseconds") > 0, F.lit(False))
+        & F.col("transition_to_active")
+        & ~F.col("ov_ondelayed")
+    )
+    unshelving = (
+        F.col("ov_shelved")
+        & F.col("shelved_oneshot")
+        & F.col("transition_to_normal")
+    )
+
+    from .operators.effective_state import state_cascade
+
+    kept = joined.filter(~(latching | ondelaying | unshelving))  # E1
+    return kept.select(
+        "seq",
+        "name",
+        "active",
+        state_cascade(
+            active=F.col("active"),
+            disabled=F.col("ov_disabled"),
+            filtered=F.col("ov_filtered"),
+            masked=F.col("ov_masked"),
+            shelved=F.col("ov_shelved"),
+            shelved_oneshot=F.col("shelved_oneshot"),
+            ondelayed=F.col("ov_ondelayed"),
+            latched=F.col("ov_latched"),
+            offdelayed=F.col("ov_offdelayed"),
+        ).alias("state"),
+    )
