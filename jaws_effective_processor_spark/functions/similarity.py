@@ -133,3 +133,75 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
         )
     )
+
+
+N_CELLS = 8  # IVF coarse-quantizer cells; centroids are the vectors
+# with vec_id in [N_QUERIES, N_QUERIES + N_CELLS) — deterministic and
+# identical in the oracle SQL
+
+
+def _cell_assignment(e: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (argmax;
+    ties break on centroid id). Centroids are K rows — broadcast
+    cross join + per-vector window argmax, all built-in ops."""
+    cent = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        "cent_id",
+        (dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "norm", F.col("cent_id").alias("cell"))
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: coarse-quantize the corpus into N_CELLS cells, then
+    search only the query's own cell (nprobe=1) — the inverted-file
+    ANN pattern. At 100 TB the cell assignment is one broadcast pass
+    and each query touches ~1/N_CELLS of the corpus."""
+    e = _vectors(spark, sf_dir)
+    cells = _cell_assignment(e)
+    q = cells.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = cells.alias("c")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = q.join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("q.v"), F.col("c.v"))
+            / (F.col("q.norm") * F.col("c.norm"))
+        ).alias("cos"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
+        )
+    )
