@@ -123,9 +123,10 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ignore-nulls insufficient.
 
     E1 then drops intermediate records (rule-trigger rows) and E2
-    evaluates the cascade per surviving event. Scale shape: ONE
-    shuffle on the alarm key for the window; everything else is
-    codegen'd column work + a broadcast dim join.
+    evaluates the cascade per surviving event. Scale shape: two hash
+    exchanges, both on the alarm key (the activation lag window and
+    the merged-changelog window); everything else is codegen'd column
+    work + a broadcast dim join (asserted in tests/test_plans.py).
     """
     pin_session_conf(spark)
     from pyspark.sql import Window

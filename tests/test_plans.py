@@ -80,3 +80,30 @@ def test_effective_pipeline_shuffles_bounded(spark):
     df = QUERIES["effective_alarms"](spark, SF_SMOKE)
     assert shuffle_count(df) <= 6
     assert not has_cartesian(df)
+
+
+def test_history_replay_shuffles_bounded(spark):
+    """The per-event history replay is two hash exchanges on the alarm
+    key (activation lag window + merged-changelog window) — no join
+    shuffle, no cartesian."""
+    df = QUERIES["effective_state_history"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 2
+    assert not has_cartesian(df)
+
+
+def test_asof_join_shuffles_bounded(spark):
+    """asof_join = union + one window on the key; with the right-side
+    pre-aggregation that is two keyed exchanges total."""
+    df = QUERIES["asof_last_purchase"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 2
+    assert not has_cartesian(df)
+
+
+def test_range_join_single_shuffle(spark):
+    """The banded interval join is one equi-join exchange plus the
+    final count aggregation — never a nested loop."""
+    df = QUERIES["range_copurchase"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
