@@ -32,8 +32,18 @@ def main() -> None:
     spark = get_spark("jaws-spark-bench")
     queries = entry_queries.QUERIES
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches — and the Python/
+    # Arrow UDF workers, so the first pandas-UDF query isn't billed
+    # for interpreter startup
     force(queries["effective_alarms"](spark, SF_DIR))
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    _warm = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(0, 1000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
