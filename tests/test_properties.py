@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): the custom operators must agree
+with brute-force Python reference implementations on arbitrary inputs,
+not just the hand-picked fixtures. Few examples, deadline off — each
+example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jaws_effective_processor_spark.operators.asof import asof_join
+from jaws_effective_processor_spark.operators.compaction import latest_per_key
+from jaws_effective_processor_spark.operators.skew import salted_join
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_KEYS = st.sampled_from(["a", "b", "c"])
+_TS = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def _asof_inputs(draw):
+    left = draw(
+        st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=15)
+    )
+    # right unique per (key, ts) — the operator's documented contract
+    right_map = draw(
+        st.dictionaries(
+            st.tuples(_KEYS, _TS),
+            st.integers(min_value=0, max_value=99),
+            max_size=15,
+        )
+    )
+    return left, sorted((k, t, v) for (k, t), v in right_map.items())
+
+
+@given(_asof_inputs())
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, inputs):
+    left_rows, right_rows = inputs
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        right_rows or [("zzz", -1, -1)], "k string, ts long, v long"
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, key="k", ts="ts", payload_cols=["v"]).collect()
+    }
+
+    def brute(k, t):
+        cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        return max(cands)[1] if cands else None
+
+    want = {i: brute(k, t) for i, (k, t) in enumerate(left_rows)}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(_KEYS, st.integers(0, 999), st.integers(-5, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_latest_per_key_matches_bruteforce(spark, rows):
+    # unique seq per row (append a counter) — the changelog contract
+    data = [(k, seq * 100 + i, v) for i, (k, seq, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, seq long, v long")
+    got = {(r["k"], r["seq"], r["v"]) for r in latest_per_key(df, ["k"]).collect()}
+    want = set()
+    for k in {d[0] for d in data}:
+        want.add(max((d for d in data if d[0] == k), key=lambda d: d[1]))
+    assert got == want
+
+
+@given(
+    st.lists(st.tuples(_KEYS, st.integers(0, 9)), min_size=1, max_size=20),
+    st.lists(st.tuples(_KEYS, st.integers(0, 9)), min_size=0, max_size=6),
+)
+@_SETTINGS
+def test_salted_join_matches_plain(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(i, k, x) for i, (k, x) in enumerate(left_rows)],
+        "lid long, k string, x long",
+    )
+    right = spark.createDataFrame(
+        right_rows or [("zzz", -1)], "k string, y long"
+    )
+    plain = sorted(
+        tuple(r)
+        for r in left.join(right, "k", "left").select("lid", "k", "x", "y").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(left, right, "k", salt=4, how="left")
+        .select("lid", "k", "x", "y")
+        .collect()
+    )
+    assert salted == plain
