@@ -105,3 +105,34 @@ def test_salted_join_matches_plain(spark, left_rows, right_rows):
         .collect()
     )
     assert salted == plain
+
+
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=15),
+    st.lists(st.integers(0, 60), min_size=0, max_size=15),
+    st.integers(min_value=1, max_value=7),
+)
+@_SETTINGS
+def test_range_join_matches_bruteforce(spark, left_pts, right_pts, radius):
+    from jaws_effective_processor_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(left_pts)], "lid long, ms long"
+    )
+    right = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(right_pts)] or [(0, -999)],
+        "rid long, ms long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, point="ms", radius=radius).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, lp in enumerate(left_pts)
+        for j, rp in enumerate(right_pts)
+        if abs(lp - rp) <= radius
+    )
+    if not right_pts:
+        want = []
+    assert got == want

@@ -52,3 +52,45 @@ def test_with_headers(spark):
     hdrs = {h["key"]: bytes(h["value"]).decode() for h in row["headers"]}
     assert hdrs == {"user": "u1", "producer": "p1", "host": "h1"}
     assert row["timestamp"] is not None
+
+
+def test_csv_json_roundtrip(spark, tmp_path=None):
+    """§2.9 file formats: the same relation read back identically from
+    parquet, csv, and json via read_table with explicit schemas (no
+    inference scan)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="jaws_fmt_")
+    try:
+        base = load_table(spark, SF_SMOKE, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.LongType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.LongType()),
+            ]
+        )
+        base.coalesce(1).write.option("header", True).csv(f"{d}/csv")
+        base.coalesce(1).write.json(f"{d}/json")
+        want = sorted(tuple(r) for r in base.collect())
+        got_csv = sorted(
+            tuple(r)
+            for r in read_table(
+                spark, f"{d}/csv", fmt="csv", schema=schema,
+                options={"header": "true"},
+            ).collect()
+        )
+        got_json = sorted(
+            tuple(r)
+            for r in read_table(spark, f"{d}/json", fmt="json", schema=schema).collect()
+        )
+        assert got_csv == want and got_json == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
