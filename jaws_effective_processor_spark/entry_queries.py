@@ -124,6 +124,11 @@ def _register_relational() -> None:
     )
     register("events_daily", r.q_events_daily, osql.EVENTS_DAILY_SQL)
     register(
+        "events_rollup_multires",
+        r.q_events_rollup_multires,
+        osql.EVENTS_ROLLUP_MULTIRES_SQL,
+    )
+    register(
         "parts_above_brand_avg",
         r.q_parts_above_brand_avg,
         osql.PARTS_ABOVE_BRAND_AVG_SQL,

@@ -218,3 +218,23 @@ FROM (
   FROM orders
 ) t
 """
+
+
+EVENTS_ROLLUP_MULTIRES_SQL = """
+WITH b AS (
+  SELECT epoch_ms(ts) // 3600000 AS hour_bucket,
+         epoch_ms(ts) // 86400000 AS day_bucket,
+         event_type, value
+  FROM events
+)
+SELECT CASE WHEN hour_bucket IS NOT NULL THEN 'hour' ELSE 'day' END
+         AS resolution,
+       coalesce(hour_bucket, day_bucket) AS bucket,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM b
+GROUP BY GROUPING SETS ((hour_bucket, event_type),
+                        (day_bucket, event_type))
+"""

@@ -388,3 +388,33 @@ def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(words, 1).alias("prio_word"),
         F.array_join(F.sort_array(words), "|").alias("sorted_words"),
     )
+
+
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at two resolutions in one
+    pass: hourly and daily event counts via GROUPING SETS (one shuffle,
+    map-side partials for both granularities)."""
+    from .adapters import event_ms
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        (event_ms() / F.lit(3600000)).cast("long").alias("hour_bucket"),
+        (event_ms() / F.lit(86400000)).cast("long").alias("day_bucket"),
+        "event_type",
+        "value",
+    )
+    base.createOrReplaceTempView("ev_buckets")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour_bucket IS NOT NULL THEN 'hour' ELSE 'day' END
+                 AS resolution,
+               coalesce(hour_bucket, day_bucket) AS bucket,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM ev_buckets
+        GROUP BY GROUPING SETS ((hour_bucket, event_type),
+                                (day_bucket, event_type))
+        """
+    )
