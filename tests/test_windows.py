@@ -119,3 +119,37 @@ def test_streamed_sessions_match_batch(spark, tmpdir):
     assert set(streamed) <= set(batch)
     for k, n in streamed.items():
         assert batch[k] == n, k
+
+
+def test_streaming_exact_dedup(spark, tmpdir):
+    """Streaming exact dedup: dropDuplicates on the key over a stream
+    whose input files contain full duplicates must emit exactly the
+    batch distinct set (state keyed by event_id; with event-time
+    watermarks this is dropDuplicatesWithinWatermark at scale)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    log = events.select("event_id", "event_type").limit(500)
+    src = os.path.join(tmpdir, "dup")
+    # same rows written twice -> two micro-batches of pure duplicates
+    log.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    log.coalesce(1).write.parquet(os.path.join(src, "c1"))
+
+    stream = rules.dir_stream(
+        spark, f"{src}/*", "event_id long, event_type string", max_files=1
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = sorted(tuple(r) for r in log.dropDuplicates(["event_id"]).collect())
+    assert streamed == batch and streamed
