@@ -36,7 +36,6 @@ def main() -> None:
     # Arrow UDF workers, so the first pandas-UDF query isn't billed
     # for interpreter startup
     force(queries["effective_alarms"](spark, SF_DIR))
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType
 
