@@ -4,10 +4,16 @@ Four families, each a production dedup pattern for LLM training data:
 
 - exact:       hash-groupBy on content fingerprint (one shuffle on
                the fingerprint; map-side combine makes it scan-bound)
-- minhash-LSH: distinct-token shingles -> 8 md5 minhashes -> 4 bands
-               of 2 -> band-bucket self-join. At 100 TB the join is on
-               (band, key) — high-cardinality uniform keys, no skew;
-               candidate pairs instead of O(n^2).
+- minhash-LSH: 3-word shingles -> one md5 per shingle -> 16 affine
+               minhashes ((h1 + i*h2) mod P) -> 4 bands of 4 ->
+               band-bucket self-join -> exact-Jaccard verify on the
+               surviving candidates. Shingles (not unigram tokens) are
+               the pruning power: shared vocabulary no longer collides
+               whole bands, so the candidate set is ~the true near-dup
+               set instead of a third of all pairs. At 100 TB the join
+               is on (band, key) — high-cardinality uniform keys, no
+               skew; candidate pairs instead of O(n^2), then the
+               verify join touches only candidates.
 - n-gram Jaccard: verified similarity on pruned candidate pairs
                (blocking on lang + near-equal length) with exact
                integer permille arithmetic.
@@ -30,10 +36,22 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-N_MINHASH = 8
-N_BANDS = 2  # bands of 4 rows: collision prob j^4 per band keeps the
-# candidate set sparse even on this vocabulary-dense corpus
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands of 4 rows: per-band collision prob ~= j^4 on
+# SHINGLE jaccard j, which is near zero for non-dups once shingles are
+# 3-word grams (unigram token sets shared ~36% of all pairs; 3-gram
+# sets share almost nothing unless the docs really overlap)
 ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 3  # words per shingle
+MINHASH_VERIFY_PERMILLE = 800  # exact shingle-jaccard cut on candidates
+# ONE md5 per shingle, then N_MINHASH affine derivations
+# (h1 + i*h2) mod P — the standard universal-hash MinHash family.
+# vs hashing per (i, shingle): 16x fewer digests AND ~16x less
+# generated code per row — the md5-per-(i,shingle) form emitted a
+# whole-stage-codegen unit so large the JVM wouldn't JIT it (first
+# execution ran 30s+ interpreted). P = 2^31 - 1; h1,h2 < 2^32 and
+# i < 16 so h1 + i*h2 < 2^36 — no 64-bit overflow.
+MINHASH_P = 2147483647
 
 SIMHASH_BITS = 16
 
@@ -55,21 +73,84 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols(toks: F.Column) -> list[F.Column]:
+def _shingles(tk: F.Column) -> F.Column:
+    """Distinct SHINGLE_K-word grams over the token SEQUENCE (order
+    matters — this is what makes bands discriminative). Docs shorter
+    than SHINGLE_K words collapse to one whole-doc shingle."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + o) for o in range(SHINGLE_K)]
+        ),
+    )
+    # CaseWhen evaluates branches lazily per-row, so the descending
+    # sequence()/element_at(0) hazard for short docs never fires
+    return F.when(F.size(tk) >= SHINGLE_K, F.array_distinct(gram)).otherwise(
+        F.array(F.concat_ws(" ", tk))
+    )
+
+
+def _hash_pairs(sh: F.Column) -> F.Column:
+    """Per shingle: one md5, split into two 32-bit halves (h1, h2) —
+    the seeds of the affine minhash family. conv(hex, 16, 10) is the
+    cross-engine hex->int (DuckDB twin: CAST('0x'||substr AS BIGINT))."""
+
+    def half(h: F.Column, pos: int) -> F.Column:
+        return F.conv(F.substring(h, pos, 8), 16, 10).cast("long")
+
+    return F.transform(
+        sh,
+        lambda t: F.struct(
+            half(F.md5(t), 1).alias("h1"), half(F.md5(t), 9).alias("h2")
+        ),
+    )
+
+
+def _minhash_cols(hp: F.Column) -> list[F.Column]:
+    """minhash_i = min over shingles of (h1 + i*h2) mod P — cheap
+    integer arithmetic per hash family instead of a fresh digest."""
     return [
         F.array_min(
-            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}|"), t)))
+            F.transform(
+                hp,
+                lambda p: (p["h1"] + F.lit(i).cast("long") * p["h2"])
+                % F.lit(MINHASH_P).cast("long"),
+            )
         ).alias(f"m{i}")
         for i in range(N_MINHASH)
     ]
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (shingle->minhash->band->bucket-join)."""
+    """MinHash+LSH near-dup pairs: shingle -> minhash -> band-bucket
+    join -> exact-Jaccard verify.
+
+    Pipeline shape at 100 TB: the band self-join shuffles on
+    (band, key) — uniform high-cardinality md5 keys; the verify stage
+    joins the (small) candidate set back to the shingle table on
+    doc_id twice, so exact jaccard is computed O(candidates), never
+    O(n^2). The 4-bands-of-4 threshold (~j^(1/4)) admits pairs down to
+    j~0.7; the verify cut at MINHASH_VERIFY_PERMILLE keeps the output
+    semantics exact ("shingle-jaccard >= 0.8, LSH-pruned")."""
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize once; the 8 hash families share the shingle array
-    toked = docs.select("doc_id", _toks().alias("tk"))
-    sig = toked.select("doc_id", *_minhash_cols(F.col("tk")))
+    # the signature stage is CPU-heavy per row (md5 over every
+    # shingle); a small-SF parquet arrives as ONE input split, which
+    # would serialize it on one core. Spread it — but only when the
+    # scan is under-split: at 100 TB the scan has thousands of splits
+    # and this branch (and its exchange) disappears.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    tk = F.split(F.col("text"), " ")
+    shing = docs.select("doc_id", _shingles(tk).alias("sh"))
+    # hp in its own projection: it's referenced 16x by the minhash
+    # columns, and CollapseProject keeps non-cheap multi-referenced
+    # expressions materialized instead of inlining 16 md5 passes
+    hp = shing.select("doc_id", _hash_pairs(F.col("sh")).alias("hp"))
+    sig = hp.select("doc_id", *_minhash_cols(F.col("hp")))
+    # band bucket key: the band's 4 minhash values joined as text —
+    # decimal longs render identically in Spark and DuckDB, and the
+    # composite is already uniform; no need to re-digest it
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -77,13 +158,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).cast("long").alias("band"),
-                        F.md5(
-                            F.concat(
-                                *[
-                                    F.col(f"m{ROWS_PER_BAND * b + r}")
-                                    for r in range(ROWS_PER_BAND)
-                                ]
-                            )
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{ROWS_PER_BAND * b + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(N_BANDS)
@@ -91,14 +171,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    # the corpus parquet is a handful of input splits at small SF —
-    # without this the candidate-pair join runs as ONE task; hashing
-    # on the bucket key spreads pair generation across the cluster
-    # (at 100 TB the exchange exists anyway as the join shuffle)
-    bands = bands.repartition(F.col("band"), F.col("key"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -107,6 +182,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("_inter"),
+            uni.alias("_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(1000 * _inter) DIV _union").alias("jac_permille"),
+        )
+        .filter(F.col("jac_permille") >= MINHASH_VERIFY_PERMILLE)
     )
 
 

@@ -7,7 +7,15 @@ two dialects cannot drift.
 
 from __future__ import annotations
 
-from .functions.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SIMHASH_BITS
+from .functions.dedup import (
+    MINHASH_P,
+    MINHASH_VERIFY_PERMILLE,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
 from .functions.similarity import HYPERPLANES, N_QUERIES, TOP_K
 from .functions.text import LANG_MARKERS, STOPWORDS
 
@@ -67,33 +75,73 @@ SELECT md5(text) AS fp, count(*) AS n_copies,
 FROM documents GROUP BY 1
 """
 
+# affine minhash family: one md5 per shingle split into 32-bit halves
+# (h1, h2), then minhash_i = min((h1 + i*h2) mod P) — mirrors
+# functions/dedup.py _hash_pairs/_minhash_cols incl. the hex->int
+# conversion (CAST('0x'||substr AS BIGINT) == Spark conv(_, 16, 10))
 _MINHASH_COLS = ",\n         ".join(
-    f"list_aggregate(list_transform(tk, t -> md5('{i}|' || t)), 'min') AS m{i}"
+    f"list_aggregate(list_transform(hp, p -> (p.h1 + {i} * p.h2) "
+    f"% {MINHASH_P}), 'min') AS m{i}"
     for i in range(N_MINHASH)
 )
 _BAND_SELECTS = "\n  UNION ALL ".join(
-    "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({concat}) AS key FROM sig".format(
+    "SELECT doc_id, CAST({b} AS BIGINT) AS band, {concat} AS key FROM sig".format(
         b=b,
-        concat=" || ".join(f"m{ROWS_PER_BAND * b + r}" for r in range(ROWS_PER_BAND)),
+        concat=" || '|' || ".join(
+            f"CAST(m{ROWS_PER_BAND * b + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        ),
     )
     for b in range(N_BANDS)
+)
+# SHINGLE_K-word grams over the 1-indexed token list; short docs fall
+# back to one whole-doc shingle (mirrors functions/dedup.py _shingles)
+_SHINGLE_CONCAT = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SHINGLE_K))
+_SHINGLE = (
+    f"CASE WHEN len(tk) >= {SHINGLE_K} THEN "
+    f"list_distinct(list_transform(range(1, len(tk) - {SHINGLE_K - 2}), "
+    f"i -> {_SHINGLE_CONCAT})) "
+    f"ELSE [array_to_string(tk, ' ')] END"
 )
 
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+shing AS (
+  SELECT doc_id, {_SHINGLE} AS sh FROM toks
+),
+hpairs AS (
+  SELECT doc_id,
+         list_transform(sh, t -> struct_pack(
+           h1 := CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT),
+           h2 := CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)
+         )) AS hp
+  FROM shing
 ),
 sig AS (
   SELECT doc_id,
          {_MINHASH_COLS}
-  FROM toks
+  FROM hpairs
 ),
 bands AS (
   {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+SELECT doc_a, doc_b, jac_permille FROM (
+  SELECT c.doc_a, c.doc_b,
+         (1000 * CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT))
+           // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+           AS jac_permille
+  FROM cand c
+  JOIN shing sa ON c.doc_a = sa.doc_id
+  JOIN shing sb ON c.doc_b = sb.doc_id
+) v
+WHERE jac_permille >= {MINHASH_VERIFY_PERMILLE}
 """
 
 DEDUP_NGRAM_JACCARD_SQL = """
