@@ -1,18 +1,22 @@
 #!/usr/bin/env python
 """Round benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line {"metric", "value", "unit", "queries", "sf", "n"}.
 
 Each query is forced end-to-end with a noop sink (full materialization,
-no collect/driver transfer). A warm-up pass of the flagship amortizes
-JVM/codegen startup so numbers reflect plan execution, not session
-boot.
+no collect/driver transfer), $SPARK_GRAFT_BENCH_N times (default 3),
+and reports the per-query MEDIAN — a single iteration confounds plan
+cost with one-time JIT/codegen warm-up and background machine load
+(round-1 showed 4-10x iteration-to-iteration swings on identical
+plans). A warm-up pass of the flagship amortizes JVM/codegen startup
+so numbers reflect plan execution, not session boot.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +26,7 @@ from jaws_effective_processor_spark import entry_queries  # noqa: E402
 from jaws_effective_processor_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
 
 def force(df) -> None:
@@ -46,9 +51,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(BENCH_N):
+            t0 = time.perf_counter()
+            force(queries[name](spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +68,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "n": BENCH_N,
             }
         )
     )

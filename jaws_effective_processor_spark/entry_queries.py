@@ -174,7 +174,11 @@ def _register_llm() -> None:
     register("knn_lsh", similarity.q_knn_lsh, osql.KNN_LSH_SQL)
     register("knn_ivf", similarity.q_knn_ivf, osql.KNN_IVF_SQL)
     register("multimodal_meta", multimodal.q_multimodal_meta, osql.MULTIMODAL_META_SQL)
-    register("multimodal_features", multimodal.q_multimodal_features)  # stub decode
+    register(
+        "multimodal_features",
+        multimodal.q_multimodal_features,
+        osql.MULTIMODAL_FEATURES_SQL,  # stub decode is deterministic
+    )
 
 
 _register_rules()

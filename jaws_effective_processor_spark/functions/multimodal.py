@@ -57,12 +57,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# feature emitted as SCALAR columns, not array<double>: the driver's
+# canonicalizer sorts output values, and list cells are unhashable —
+# scalars also make the stub decode DuckDB-oracle-expressible
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_frames", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("feature_0", T.DoubleType()),
+        T.StructField("feature_1", T.DoubleType()),
+        T.StructField("feature_2", T.DoubleType()),
+        T.StructField("feature_3", T.DoubleType()),
     ]
 )
 
@@ -87,9 +93,10 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (rows-only
-    check: the decode is a stub, but the plumbing — Arrow batches,
-    schema, partitioning — is the real path)."""
+    """mapInPandas feature extraction over binary payloads. The decode
+    is a stub, but the plumbing — Arrow batches, explicit schema,
+    preserved partitioning — is the real path, and because the stub is
+    deterministic arithmetic the output is fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_columns(docs)
 
@@ -104,7 +111,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_frames": [d["n_frames"] for d in decoded],
-                    "feature": [d["feature"] for d in decoded],
+                    **{
+                        f"feature_{i}": [d["feature"][i] for d in decoded]
+                        for i in range(4)
+                    },
                 }
             )
 

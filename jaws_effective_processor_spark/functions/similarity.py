@@ -61,7 +61,12 @@ def _cos(a: str, b: str) -> Column:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for the first N_QUERIES vectors."""
+    """Exact cosine top-k for the first N_QUERIES vectors.
+
+    The QUERY set (N_QUERIES rows) is the broadcast side; the corpus
+    streams partition-parallel past it. Broadcasting the other way
+    would ship the entire corpus to every task — fine at sf0.1,
+    impossible at 100 TB."""
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = e.alias("c")
@@ -69,7 +74,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), F.col("neighbor_id")
     )
     scored = (
-        q.join(F.broadcast(c).hint("broadcast"), F.col("q.vec_id") != F.col("c.vec_id"))
+        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),

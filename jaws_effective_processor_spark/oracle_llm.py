@@ -273,6 +273,33 @@ SELECT doc_id,
 FROM documents
 """
 
+# Twin of functions/multimodal.py decode_stub: payload is the UTF-8
+# text bytes; first/last byte come from the hex dump of the blob (the
+# payload may hold non-ASCII, so byte != codepoint)
+MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n % 7 + 1 END
+            AS BIGINT) AS n_frames,
+       CAST(n % 256 AS DOUBLE) AS feature_0,
+       CAST(CASE WHEN n > 0
+                 THEN CAST(('0x' || substr(hx, 1, 2)) AS INT)
+                 ELSE 0 END AS DOUBLE) AS feature_1,
+       CAST(CASE WHEN n > 0
+                 THEN CAST(('0x' || substr(hx, 2 * n - 1, 2)) AS INT)
+                 ELSE 0 END AS DOUBLE) AS feature_2,
+       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n % 7 + 1 END
+            AS DOUBLE) AS feature_3
+FROM m
+"""
+
 
 from .functions.text import BPE_PATTERN, QUALITY_EXPR_T  # noqa: E402
 

@@ -10,6 +10,7 @@ accidental cartesian products, bounded shuffle counts.
 
 from .inspect import (
     broadcast_join_count,
+    broadcast_subtrees,
     explain_str,
     has_cartesian,
     pushed_filters,
@@ -20,6 +21,7 @@ from .inspect import (
 
 __all__ = [
     "broadcast_join_count",
+    "broadcast_subtrees",
     "explain_str",
     "has_cartesian",
     "pushed_filters",

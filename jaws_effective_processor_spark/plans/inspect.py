@@ -49,6 +49,27 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The plan subtree under each BroadcastExchange — what actually
+    gets shipped to every task. Lets tests assert WHICH side of a join
+    is broadcast (e.g. the 10-row query set, never the corpus)."""
+    lines = explain_str(df, "simple").splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        m = re.search(r"(\s*(?::  ?|\+- )*)BroadcastExchange", line)
+        if not m:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            nxt_depth = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nxt.strip() and nxt_depth <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def whole_stage_codegen_ids(df: DataFrame) -> list[int]:
     """Distinct whole-stage-codegen span ids — wider spans mean more
     of the plan runs as generated JVM code, not interpreted."""

@@ -107,3 +107,18 @@ def test_range_join_single_shuffle(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_bruteforce_broadcasts_query_side(spark):
+    """The 10-row query set is the broadcast relation; the corpus must
+    stream partition-parallel. Broadcasting the corpus would ship the
+    whole table to every task — impossible at 100 TB."""
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = QUERIES["knn_bruteforce"](spark, SF_SMOKE)
+    subs = broadcast_subtrees(df)
+    assert subs, "expected a broadcast of the query side"
+    for sub in subs:
+        # every broadcast subtree must carry the query filter, and the
+        # unfiltered corpus scan must not appear under a broadcast
+        assert "vec_id" in sub and "< 10" in sub, sub
