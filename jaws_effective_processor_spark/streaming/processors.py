@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 TRANSITION_OUT = "name string, seq long, active boolean, " \
@@ -48,27 +49,77 @@ def _ordered(rows: Iterable[pd.DataFrame]) -> pd.DataFrame:
     return pdf.sort_values("seq", kind="stable")
 
 
+def _bools(pdf: pd.DataFrame, col: str) -> np.ndarray:
+    """Nullable-boolean column -> bool ndarray (Arrow nulls are None,
+    which the old row loops read as falsy — fillna(False) matches)."""
+    return pdf[col].fillna(False).to_numpy(dtype=bool)
+
+
+def transition_flags(cur: np.ndarray, prev: bool):
+    """T1 core, vectorized: per-row transition flags from the current
+    activation array and the carried previous state. Returns
+    (to_active, to_normal, final_state)."""
+    prev_arr = np.concatenate(([prev], cur[:-1])) if len(cur) else cur
+    return cur & ~prev_arr, ~cur & prev_arr, (bool(cur[-1]) if len(cur) else prev)
+
+
+def guarded_latch(
+    guard: np.ndarray, reset: np.ndarray, set_: np.ndarray, init: bool
+):
+    """T2/T3 core, vectorized. On guard rows the state resets on
+    `reset`, sets on `set_` (reset wins), else carries; non-guard rows
+    leave the state untouched and read as flag=False. The sequential
+    machine is a last-event scan: each row's state is the most recent
+    set/reset event at or before it (or `init` if none yet) —
+    expressed as forward-filled event positions via maximum.accumulate
+    instead of a Python row loop. Returns (flags, final_state)."""
+    n = len(guard)
+    if n == 0:
+        return np.zeros(0, dtype=bool), init
+    ev = np.where(guard & reset, -1, np.where(guard & set_, 1, 0))
+    pos = np.arange(n)
+    last = np.maximum.accumulate(np.where(ev != 0, pos, -1))
+    state = np.where(last >= 0, ev[np.maximum(last, 0)] == 1, init)
+    return np.where(guard, state, False), bool(state[-1])
+
+
+def oneshot_scan(guard: np.ndarray, trigger: np.ndarray, init: bool):
+    """T4 core, vectorized: s_i = guard_i & (s_{i-1} | trigger_i) —
+    the state survives only through unbroken guard runs, so it's a
+    per-run cummax of the trigger (with the carried state folded into
+    the first row). Returns (flags, final_state)."""
+    n = len(guard)
+    if n == 0:
+        return np.zeros(0, dtype=bool), init
+    t_eff = trigger.copy()
+    if guard[0] and init:
+        t_eff[0] = True
+    run_id = np.cumsum(~guard)  # constant within each guard=True run
+    s = pd.Series(t_eff).groupby(run_id).cummax().to_numpy(dtype=bool) & guard
+    return s, bool(s[-1])
+
+
 def transition_fn(key, rows, state) -> Iterator[pd.DataFrame]:
     """T1 — previous-activation store + transition flags
     (ActivationRule.java:323-429). NoActivation and tombstones
     normalize to not-active (ActivationRule.java:392-395)."""
     pdf = _ordered(rows)
     prev = bool(state.get[0]) if state.exists else False
-    out = []
-    for _, row in pdf.iterrows():
-        cur = row["union_type"] == "Activation"
-        out.append(
-            {
-                "name": key[0],
-                "seq": int(row["seq"]),
-                "active": cur,
-                "transition_to_active": cur and not prev,
-                "transition_to_normal": (not cur) and prev,
-            }
-        )
-        prev = cur
-    state.update((prev,))
-    yield pd.DataFrame(out)
+    if pdf.empty:
+        state.update((prev,))
+        return
+    cur = (pdf["union_type"] == "Activation").to_numpy(dtype=bool)
+    to_active, to_normal, final = transition_flags(cur, prev)
+    state.update((final,))
+    yield pd.DataFrame(
+        {
+            "name": key[0],
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "active": cur,
+            "transition_to_active": to_active,
+            "transition_to_normal": to_normal,
+        }
+    )
 
 
 def latch_fn(key, rows, state) -> Iterator[pd.DataFrame]:
@@ -76,39 +127,47 @@ def latch_fn(key, rows, state) -> Iterator[pd.DataFrame]:
     observed (LatchRule.java:177-205); guard: class registered+latchable."""
     pdf = _ordered(rows)
     latching = bool(state.get[0]) if state.exists else False
-    out = []
-    for _, row in pdf.iterrows():
-        flag = False
-        if not pd.isna(row["latchable"]) and bool(row["latchable"]):
-            if bool(row["ov_latched"]):
-                latching = False
-            elif bool(row["transition_to_active"]):
-                latching = True
-            flag = latching
-        out.append({"name": key[0], "seq": int(row["seq"]), "latching": flag})
-    state.update((latching,))
-    yield pd.DataFrame(out)
+    if pdf.empty:
+        state.update((latching,))
+        return
+    flags, final = guarded_latch(
+        _bools(pdf, "latchable"),
+        _bools(pdf, "ov_latched"),
+        _bools(pdf, "transition_to_active"),
+        latching,
+    )
+    state.update((final,))
+    yield pd.DataFrame(
+        {
+            "name": key[0],
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "latching": flags,
+        }
+    )
 
 
 def ondelay_fn(key, rows, state) -> Iterator[pd.DataFrame]:
     """T3 — identical machine for ondelaying (OnDelayRule.java:183-213)."""
     pdf = _ordered(rows)
     ondelaying = bool(state.get[0]) if state.exists else False
-    out = []
-    for _, row in pdf.iterrows():
-        flag = False
-        registered = not pd.isna(row["ondelayseconds"]) and (
-            int(row["ondelayseconds"]) > 0
-        )
-        if registered:
-            if bool(row["ov_ondelayed"]):
-                ondelaying = False
-            elif bool(row["transition_to_active"]):
-                ondelaying = True
-            flag = ondelaying
-        out.append({"name": key[0], "seq": int(row["seq"]), "ondelaying": flag})
-    state.update((ondelaying,))
-    yield pd.DataFrame(out)
+    if pdf.empty:
+        state.update((ondelaying,))
+        return
+    secs = pdf["ondelayseconds"]
+    flags, final = guarded_latch(
+        (secs.notna() & (secs.fillna(0) > 0)).to_numpy(dtype=bool),
+        _bools(pdf, "ov_ondelayed"),
+        _bools(pdf, "transition_to_active"),
+        ondelaying,
+    )
+    state.update((final,))
+    yield pd.DataFrame(
+        {
+            "name": key[0],
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "ondelaying": flags,
+        }
+    )
 
 
 def oneshot_fn(key, rows, state) -> Iterator[pd.DataFrame]:
@@ -117,17 +176,22 @@ def oneshot_fn(key, rows, state) -> Iterator[pd.DataFrame]:
     clears when the guard fails (OneShotRule.java:163-191)."""
     pdf = _ordered(rows)
     stored = bool(state.get[0]) if state.exists else False
-    out = []
-    for _, row in pdf.iterrows():
-        unshelving = False
-        if bool(row["shelved_oneshot"]):
-            unshelving = stored
-            if bool(row["transition_to_normal"]):
-                unshelving = True
-        stored = unshelving
-        out.append({"name": key[0], "seq": int(row["seq"]), "unshelving": unshelving})
-    state.update((stored,))
-    yield pd.DataFrame(out)
+    if pdf.empty:
+        state.update((stored,))
+        return
+    flags, final = oneshot_scan(
+        _bools(pdf, "shelved_oneshot"),
+        _bools(pdf, "transition_to_normal"),
+        stored,
+    )
+    state.update((final,))
+    yield pd.DataFrame(
+        {
+            "name": key[0],
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "unshelving": flags,
+        }
+    )
 
 
 def latest_per_key_fn(key, rows, state) -> Iterator[pd.DataFrame]:

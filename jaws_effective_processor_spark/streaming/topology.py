@@ -347,8 +347,9 @@ class AlarmTopology:
             F.lit(None).cast("long").alias("expiration"),
             F.lit(None).cast("boolean").alias("oneshot"),
         )
-        if not out.isEmpty():
-            self._append(out, "overrides")
+        # write unconditionally: isEmpty() would execute the emit plan a
+        # second time, and appending an empty batch is a no-op
+        self._append(out, "overrides")
 
     def _emit_ondelay(self, batch: DataFrame) -> None:
         """P3+P10: OnDelayed override with computed expiry."""
@@ -365,8 +366,9 @@ class AlarmTopology:
             (F.lit(now_ms) + F.col("ondelayseconds") * 1000).alias("expiration"),
             F.lit(None).cast("boolean").alias("oneshot"),
         )
-        if not out.isEmpty():
-            self._append(out, "overrides")
+        # write unconditionally: isEmpty() would execute the emit plan a
+        # second time, and appending an empty batch is a no-op
+        self._append(out, "overrides")
 
     def _emit_oneshot(self, batch: DataFrame) -> None:
         """P4+P11: Shelved tombstones."""
@@ -383,8 +385,9 @@ class AlarmTopology:
             F.lit(None).cast("long").alias("expiration"),
             F.lit(None).cast("boolean").alias("oneshot"),
         )
-        if not out.isEmpty():
-            self._append(out, "overrides")
+        # write unconditionally: isEmpty() would execute the emit plan a
+        # second time, and appending an empty batch is a no-op
+        self._append(out, "overrides")
 
     def _stage4_effective(self) -> None:
         schema = _plus(MONOLOG_FULL_SCHEMA, "latching", "ondelaying", "unshelving")
@@ -410,8 +413,8 @@ class AlarmTopology:
                     offdelayed=F.col("ov_offdelayed"),
                 ),
             ).select("seq", "name", "active", "state")
-            if not out.isEmpty():
-                self._append(out, "effective")
+            # unconditional: isEmpty() would run the plan twice
+            self._append(out, "effective")
 
         self._run(stream, fn, "stage4")
 
@@ -446,8 +449,9 @@ class AlarmTopology:
             F.lit(None).cast("long").alias("expiration"),
             F.lit(None).cast("boolean").alias("oneshot"),
         )
-        if not out.isEmpty():
-            self._append(out, "overrides")
+        # write unconditionally: isEmpty() would execute the emit plan a
+        # second time, and appending an empty batch is a no-op
+        self._append(out, "overrides")
 
     # ------------------------------------------------------- driver
 

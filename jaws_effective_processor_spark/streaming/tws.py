@@ -78,25 +78,23 @@ class TransitionProcessor(StatefulProcessor):
             "seq", kind="stable"
         )
         prev = bool(self._prev.get()[0]) if self._prev.exists() else False
-        out = []
-        for _, row in pdf.iterrows():
-            # NoActivation and tombstone normalize to not-active
-            # (ActivationRule.java:392-395,362-385)
-            cur = (not pd.isna(row["union_type"])) and (
-                row["union_type"] == "Activation"
-            )
-            out.append(
-                {
-                    "name": key[0],
-                    "seq": int(row["seq"]),
-                    "active": cur,
-                    "transition_to_active": cur and not prev,
-                    "transition_to_normal": (not cur) and prev,
-                }
-            )
-            prev = cur
-        self._prev.update((prev,))
-        yield pd.DataFrame(out)
+        # NoActivation and tombstone normalize to not-active
+        # (ActivationRule.java:392-395,362-385); vectorized scan —
+        # same machine as processors.transition_fn
+        from .processors import transition_flags
+
+        cur = (pdf["union_type"] == "Activation").to_numpy(dtype=bool)
+        to_active, to_normal, final = transition_flags(cur, prev)
+        self._prev.update((final,))
+        yield pd.DataFrame(
+            {
+                "name": key[0],
+                "seq": pdf["seq"].astype("int64").to_numpy(),
+                "active": cur,
+                "transition_to_active": to_active,
+                "transition_to_normal": to_normal,
+            }
+        )
 
     def close(self) -> None:
         pass
