@@ -17,7 +17,9 @@ from .io import (
     avro_encode,
     changelog_table,
     kafka_batch,
+    kafka_payload,
     kafka_sink,
+    parse_kafka_records,
     read_table,
     with_headers,
     write_bucketed,
@@ -28,7 +30,9 @@ __all__ = [
     "avro_encode",
     "changelog_table",
     "kafka_batch",
+    "kafka_payload",
     "kafka_sink",
+    "parse_kafka_records",
     "read_table",
     "with_headers",
     "write_bucketed",

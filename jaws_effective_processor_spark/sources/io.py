@@ -76,12 +76,42 @@ def kafka_batch(
         .option("includeHeaders", "true")
         .load()
     )
+    return parse_kafka_records(raw, value_schema)
+
+
+def parse_kafka_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """Wire -> rows: the pure-transform half of `kafka_batch`, split
+    out so the (de)serialization round-trips under test without a
+    broker — `raw` just needs the Kafka wire columns
+    (key/value binary, offset, headers)."""
     return raw.select(
         F.col("key").cast("string").alias("name"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
         F.col("offset").alias("seq"),
         F.col("headers"),
     ).select("name", "seq", "v.*", "headers")
+
+
+def kafka_payload(df: DataFrame, key_col: str = "name") -> DataFrame:
+    """Rows -> wire: key/value/headers exactly as the Kafka sink ships
+    them. The `headers` column built by `with_headers` rides along —
+    the reference attaches user/producer/host to every output record
+    (ProcessingRule.java:74-86), so dropping it silently would strip
+    the audit trail the downstream consumers key on."""
+    aux = {"__tombstone", "headers"}
+    value_cols = [c for c in df.columns if c != key_col and c not in aux]
+    cols = [
+        F.col(key_col).cast("string").alias("key"),
+        F.when(
+            F.col("__tombstone") if "__tombstone" in df.columns else F.lit(False),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.to_json(F.struct(*value_cols)))
+        .alias("value"),
+    ]
+    if "headers" in df.columns:
+        cols.append(F.col("headers"))
+    return df.select(*cols)
 
 
 def kafka_sink(
@@ -92,20 +122,14 @@ def kafka_sink(
 ):
     """S3 — keyed topic sink. Null `value` rows are tombstones, which
     Kafka compaction treats as deletes (the reference emits them at
-    OneShotRule.java:98, ShelveExpirationRule.java:163-168)."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.when(
-            F.col("__tombstone") if "__tombstone" in df.columns else F.lit(False),
-            F.lit(None).cast("string"),
-        )
-        .otherwise(F.to_json(F.struct(*[c for c in df.columns if c != key_col])))
-        .alias("value"),
-    )
+    OneShotRule.java:98, ShelveExpirationRule.java:163-168). Headers
+    are written when present (`includeHeaders` on the source side)."""
     return (
-        payload.write.format("kafka")
+        kafka_payload(df, key_col)
+        .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
+        .option("includeHeaders", "true")
     )
 
 
@@ -170,6 +194,8 @@ __all__ = [
     "read_table",
     "changelog_table",
     "kafka_batch",
+    "parse_kafka_records",
+    "kafka_payload",
     "kafka_sink",
     "avro_decode",
     "avro_encode",

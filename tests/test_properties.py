@@ -136,3 +136,30 @@ def test_range_join_matches_bruteforce(spark, left_pts, right_pts, radius):
     if not right_pts:
         want = []
     assert got == want
+
+
+def test_approx_distinct_bounds(spark):
+    """The sketch query has no SQL oracle (driver: rows-only), so pin
+    its estimates against the exact twin: HLL++ within its documented
+    ~5% default rsd (we allow 3x margin), approx median within the
+    exact p40..p60 band."""
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    approx = QUERIES["approx_distinct"](spark, SF_ORACLE).collect()[0]
+    exact = QUERIES["distinct_counts"](spark, SF_ORACLE).collect()[0]
+    assert abs(approx["approx_parts"] - exact["n_parts"]) <= 0.15 * exact["n_parts"]
+    assert (
+        abs(approx["approx_orders"] - exact["n_orders"]) <= 0.15 * exact["n_orders"]
+    )
+
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.tables import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    p40, p60 = li.select(
+        F.percentile("l_extendedprice", F.lit(0.4)),
+        F.percentile("l_extendedprice", F.lit(0.6)),
+    ).collect()[0]
+    assert p40 <= approx["approx_median_price"] <= p60

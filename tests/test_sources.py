@@ -94,3 +94,41 @@ def test_csv_json_roundtrip(spark, tmp_path=None):
         assert got_csv == want and got_json == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kafka_wire_roundtrip_with_headers(spark):
+    """S3+S5: rows -> kafka wire (key/value/headers) -> parsed rows,
+    broker-free. Headers built by with_headers must survive the sink
+    payload (ProcessingRule.java:74-86) and come back through the
+    source parser; tombstones ship as null values."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources import (
+        kafka_payload,
+        parse_kafka_records,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7, False), ("b", 8, True)],
+        "name string, v long, __tombstone boolean",
+    )
+    wire = kafka_payload(
+        with_headers(df, user="u1", producer="p1", host="h1")
+    )
+    assert set(wire.columns) == {"key", "value", "headers"}
+
+    # fake the broker-assigned columns, binary-cast like real wire
+    raw = wire.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.monotonically_increasing_id().alias("offset"),
+        "headers",
+    )
+    parsed = parse_kafka_records(
+        raw, T.StructType([T.StructField("v", T.LongType())])
+    )
+    rows = {r["name"]: r for r in parsed.collect()}
+    assert rows["a"]["v"] == 7
+    assert rows["b"]["v"] is None  # tombstone: null value -> null fields
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in rows["a"]["headers"]}
+    assert hdrs == {"user": "u1", "producer": "p1", "host": "h1"}
