@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -43,8 +44,15 @@ def asof_join(
     caveat).
     """
     left_cols = [c for c in left.columns]
+    # payloads ride in a per-right-row STRUCT: the struct is non-null
+    # for every right row even when its fields are null, so
+    # last(ignorenulls) can't skip past a matched row whose payload
+    # value is legitimately NULL (it would otherwise fall back to an
+    # older right row, diverging from DuckDB ASOF)
     merged = left.withColumn(_TAG, F.lit(1)).unionByName(
-        right.select(key, ts, *payload_cols).withColumn(_TAG, F.lit(0)),
+        right.select(
+            key, ts, F.struct(*payload_cols).alias(_PAYLOAD)
+        ).withColumn(_TAG, F.lit(0)),
         allowMissingColumns=True,
     )
     w = (
@@ -52,6 +60,12 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col(_TAG) == 1).select(*left_cols, *payload_cols)
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    return (
+        merged.withColumn(_PAYLOAD, carried)
+        .filter(F.col(_TAG) == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols],
+        )
+    )

@@ -63,6 +63,12 @@ def dir_stream(
     return reader.parquet(path)
 
 
+# value payload of the alarm-instances topic (key carries the name)
+INSTANCE_VALUE_SCHEMA = T.StructType(
+    [T.StructField("action", T.StringType(), True)]
+)
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap: str, topic: str, value_schema: T.StructType
 ) -> DataFrame:
@@ -70,7 +76,10 @@ def kafka_stream(
 
     Not exercisable in this container (no broker) — the plan shape is
     what the reference consumes: keyed records with headers
-    (option includeHeaders, SURVEY.md §1.2)."""
+    (option includeHeaders, SURVEY.md §1.2). `name`/`seq` come from
+    the value when the schema carries them (intermediate topics ship
+    full rows), else from the record key / offset — never both, so no
+    duplicate output columns."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -79,11 +88,18 @@ def kafka_stream(
         .option("includeHeaders", "true")
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("name"),
+    parsed = raw.select(
+        F.col("key").cast("string").alias("__key"),
+        F.col("offset").alias("__offset"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        F.col("offset").alias("seq"),
-    ).select("name", "seq", "v.*")
+    )
+    names = [f.name for f in value_schema.fields]
+    cols = [
+        (F.col("v.name") if "name" in names else F.col("__key")).alias("name"),
+        (F.col("v.seq") if "seq" in names else F.col("__offset")).alias("seq"),
+        *[F.col(f"v.{n}") for n in names if n not in ("name", "seq")],
+    ]
+    return parsed.select(*cols)
 
 
 def transitions_stream(activations: DataFrame) -> DataFrame:
@@ -111,6 +127,36 @@ def ondelay_stream(monolog: DataFrame) -> DataFrame:
 def oneshot_stream(monolog: DataFrame) -> DataFrame:
     return monolog.groupBy("name").applyInPandasWithState(
         P.oneshot_fn, P.ONESHOT_OUT, P.BOOL_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def flagged_stream(src: DataFrame, flag_fn, flag_col: str) -> DataFrame:
+    """A flag stage that PRESERVES its input columns: runs `flag_fn`
+    (latch/ondelay/oneshot machine) per key and merges the flag back
+    onto the full rows, so stages can chain through topics the way the
+    reference chains intermediate-latch -> -ondelay -> -oneshot
+    (EffectiveProcessor.java:22-48) without losing the monolog
+    payload."""
+    import pandas as pd
+
+    full_out = T.StructType(
+        list(src.schema.fields) + [T.StructField(flag_col, T.BooleanType())]
+    )
+
+    def wrapped(key, rows, state):
+        chunks = list(rows)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "seq", kind="stable"
+        )
+        flags = list(flag_fn(key, iter([pdf]), state))
+        fl = pd.concat(flags, ignore_index=True)
+        pdf = pdf.merge(fl[["seq", flag_col]], on="seq", how="left")
+        pdf[flag_col] = pdf[flag_col].fillna(False)
+        yield pdf
+
+    return src.groupBy("name").applyInPandasWithState(
+        wrapped, full_out, P.BOOL_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
 

@@ -44,50 +44,16 @@ from ..operators.effective_state import state_cascade
 from ..operators.overrides import latest_overrides
 from ..operators.registration import effective_registrations
 from . import rules
+from .monolog import (
+    MONOLOG_FULL_SCHEMA,
+    OVERRIDE_TOPIC_SCHEMA,
+    monolog_join,
+    override_set,
+    plus as _plus,
+)
 from .processors import latch_fn, ondelay_fn, oneshot_fn
 
 ROUND_OFFSET = 10**9
-
-# the overrides topic carries the Shelved payload's oneshot flag on top
-# of the base override-log columns (ShelvedOverride, SURVEY.md §1.3)
-OVERRIDE_TOPIC_SCHEMA = T.StructType(
-    rules.OVERRIDE_LOG_SCHEMA.fields
-    + [T.StructField("oneshot", T.BooleanType(), True)]
-)
-
-
-def _plus(base: T.StructType, *flags: str) -> T.StructType:
-    """base schema + boolean flag columns (StructType.add mutates; don't)."""
-    return T.StructType(
-        list(base.fields) + [T.StructField(f, T.BooleanType()) for f in flags]
-    )
-
-OV_TYPES = (
-    "disabled",
-    "filtered",
-    "latched",
-    "masked",
-    "ondelayed",
-    "offdelayed",
-    "shelved",
-)
-
-MONOLOG_FULL_SCHEMA = T.StructType(
-    [
-        T.StructField("seq", T.LongType()),
-        T.StructField("name", T.StringType()),
-        T.StructField("latchable", T.BooleanType(), True),
-        T.StructField("ondelayseconds", T.LongType(), True),
-        T.StructField("active", T.BooleanType()),
-        T.StructField("transition_to_active", T.BooleanType()),
-        T.StructField("transition_to_normal", T.BooleanType()),
-        *[
-            T.StructField(f"ov_{t}", T.BooleanType())
-            for t in OV_TYPES
-        ],
-        T.StructField("shelved_oneshot", T.BooleanType(), True),
-    ]
-)
 
 INSTANCES_SCHEMA = T.StructType(
     [
@@ -185,40 +151,11 @@ class AlarmTopology:
         log = self.spark.read.schema(OVERRIDE_TOPIC_SCHEMA).parquet(
             self.topics["overrides"]
         )
-        live = latest_overrides(log)
-        type_names = {
-            "disabled": "Disabled",
-            "filtered": "Filtered",
-            "latched": "Latched",
-            "masked": "Masked",
-            "ondelayed": "OnDelayed",
-            "offdelayed": "OffDelayed",
-            "shelved": "Shelved",
-        }
-        aggs = [
-            F.coalesce(F.bool_or(F.col("type") == type_names[t]), F.lit(False)).alias(
-                f"ov_{t}"
-            )
-            for t in OV_TYPES
-        ]
-        aggs.append(
-            F.max(F.when(F.col("type") == "Shelved", F.col("oneshot"))).alias(
-                "shelved_oneshot"
-            )
-        )
-        return live.groupBy("name").agg(*aggs)
+        return override_set(log)
 
     def _join_monolog(self, base: DataFrame) -> DataFrame:
         """base: (name, seq, active, transition_to_active/_normal)."""
-        reg = self._registrations()
-        ovr = self._override_set()
-        out = base.join(reg, "name", "left").join(ovr, "name", "left")
-        for t in OV_TYPES:
-            out = out.withColumn(f"ov_{t}", F.coalesce(F.col(f"ov_{t}"), F.lit(False)))
-        out = out.withColumn(
-            "shelved_oneshot", F.coalesce(F.col("shelved_oneshot"), F.lit(False))
-        )
-        return out.select(*[f.name for f in MONOLOG_FULL_SCHEMA.fields])
+        return monolog_join(base, self._registrations(), self._override_set())
 
     # ------------------------------------------------------ stages
 
@@ -292,37 +229,8 @@ class AlarmTopology:
         emit_fn,
         ckpt: str,
     ) -> None:
-        from pyspark.sql.streaming.state import GroupStateTimeout
-
-        full_out = _plus(in_schema, flag_col)
-
-        def wrapped(key, rows, state):
-            import pandas as pd
-
-            chunks = list(rows)
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                "seq", kind="stable"
-            )
-            flags = []
-            for sub in flag_fn(key, iter([pdf]), state):
-                flags.append(sub)
-            fl = pd.concat(flags, ignore_index=True) if flags else None
-            pdf = pdf.merge(
-                fl[["seq", flag_col]], on="seq", how="left"
-            )
-            pdf[flag_col] = pdf[flag_col].fillna(False)
-            yield pdf
-
-        stream = (
-            rules.dir_stream(self.spark, in_topic, in_schema)
-            .groupBy("name")
-            .applyInPandasWithState(
-                wrapped,
-                full_out,
-                "flag boolean",
-                "append",
-                GroupStateTimeout.NoTimeout,
-            )
+        stream = rules.flagged_stream(
+            rules.dir_stream(self.spark, in_topic, in_schema), flag_fn, flag_col
         )
 
         def fn(batch: DataFrame, _epoch: int) -> None:

@@ -30,3 +30,22 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, key="k", ts="ts", payload_cols=["v"]).collect()
     }
     assert got == {"l1": 100, "l2": 200, "l3": 200, "l4": None, "l5": None}
+
+
+def test_asof_null_payload_carried(spark):
+    """A matched right row whose payload is NULL must be returned as
+    NULL — not silently replaced by an older non-null right row
+    (DuckDB ASOF returns the matched row's NULL)."""
+    from jaws_effective_processor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 30)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 100), ("k", 20, None)], "key string, ts long, v int"
+    )
+    got = {
+        r["ts"]: r["v"]
+        for r in asof_join(left, right, "key", "ts", ["v"]).collect()
+    }
+    assert got == {10: 100, 30: None}
