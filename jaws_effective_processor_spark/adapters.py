@@ -77,6 +77,13 @@ def instances_log(events: DataFrame) -> DataFrame:
             F.col("value") >= 20,
             F.concat(F.lit("class_"), (F.col("user_id") % 3).cast("string")),
         ).alias("action"),
+        # Alarm payload (SURVEY §1.3: Alarm{action, source, location[]});
+        # deterministic derivations, mirrored in oracle.py
+        F.concat(F.lit("pv_"), F.col("user_id").cast("string")).alias("pv"),
+        F.array(
+            F.concat(F.lit("hall_"), (F.col("user_id") % 4).cast("string")),
+            F.concat(F.lit("sector_"), (F.col("user_id") % 8).cast("string")),
+        ).alias("location"),
     )
 
 
@@ -89,15 +96,20 @@ _ACTIONS_SCHEMA = T.StructType(
         T.StructField("offdelayseconds", T.LongType(), True),
         T.StructField("priority", T.StringType(), False),
         T.StructField("system", T.StringType(), False),
+        T.StructField("correctiveaction", T.StringType(), True),
+        T.StructField("rationale", T.StringType(), True),
     ]
 )
 
 # Static class (AlarmAction) dimension — field set per reference
 # RegistrationRuleTest.java:73-82. Tiny: always broadcast in joins.
 _ACTIONS_ROWS = [
-    ("class_0", True, True, 5, None, "P3_MINOR", "CAMAC"),
-    ("class_1", False, True, None, 5, "P2_MAJOR", "RF"),
-    ("class_2", True, False, 10, None, "P1_CRITICAL", "BPM"),
+    ("class_0", True, True, 5, None, "P3_MINOR", "CAMAC",
+     "Reset CAMAC crate", "rationale_0"),
+    ("class_1", False, True, None, 5, "P2_MAJOR", "RF",
+     "Restart RF chain", "rationale_1"),
+    ("class_2", True, False, 10, None, "P1_CRITICAL", "BPM",
+     "Realign BPM", "rationale_2"),
 ]
 
 
@@ -153,6 +165,17 @@ def overrides_log(events: DataFrame) -> DataFrame:
         (event_ms() + F.floor(F.col("value")).cast("long") * 43200000).alias(
             "expiration"
         ),
+        # override payloads (SURVEY §1.3: DisabledOverride.comments,
+        # ShelvedOverride.reason/comments); deterministic, oracle-mirrored
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("note_"), (F.col("event_id") % 5).cast("string")),
+        ).alias("comments"),
+        F.when(
+            F.col("event_id") % 2 == 0, F.lit("Chattering_Fleeting_Alarm")
+        )
+        .otherwise(F.lit("Other"))
+        .alias("reason"),
     )
 
 

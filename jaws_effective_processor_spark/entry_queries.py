@@ -91,6 +91,32 @@ def _register_rules() -> None:
     )
 
 
+def _register_nested() -> None:
+    from . import nested
+    from . import oracle_nested as osql
+
+    register(
+        "effective_registrations_nested",
+        nested.q_effective_registrations_nested,
+        osql.EFFECTIVE_REGISTRATIONS_NESTED_SQL,
+    )
+    register(
+        "effective_notifications_nested",
+        nested.q_effective_notifications_nested,
+        osql.EFFECTIVE_NOTIFICATIONS_NESTED_SQL,
+    )
+    register(
+        "effective_alarms_nested",
+        nested.q_effective_alarms_nested,
+        osql.EFFECTIVE_ALARMS_NESTED_SQL,
+    )
+    register(
+        "intermediate_monolog_nested",
+        nested.q_intermediate_monolog_nested,
+        osql.INTERMEDIATE_MONOLOG_NESTED_SQL,
+    )
+
+
 def _register_relational() -> None:
     from . import oracle_relational as osql
     from . import relational as r
@@ -182,5 +208,6 @@ def _register_llm() -> None:
 
 
 _register_rules()
+_register_nested()
 _register_relational()
 _register_llm()

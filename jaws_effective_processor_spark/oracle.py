@@ -17,23 +17,32 @@ snapshot AS (
 ),
 actions AS (
   SELECT * FROM (VALUES
-    ('class_0', true,  true,  CAST(5 AS BIGINT),    CAST(NULL AS BIGINT), 'P3_MINOR',    'CAMAC'),
-    ('class_1', false, true,  CAST(NULL AS BIGINT), CAST(5 AS BIGINT),    'P2_MAJOR',    'RF'),
-    ('class_2', true,  false, CAST(10 AS BIGINT),   CAST(NULL AS BIGINT), 'P1_CRITICAL', 'BPM')
-  ) AS v(name, latchable, filterable, ondelayseconds, offdelayseconds, priority, system)
+    ('class_0', true,  true,  CAST(5 AS BIGINT),    CAST(NULL AS BIGINT), 'P3_MINOR',    'CAMAC',
+     'Reset CAMAC crate', 'rationale_0'),
+    ('class_1', false, true,  CAST(NULL AS BIGINT), CAST(5 AS BIGINT),    'P2_MAJOR',    'RF',
+     'Restart RF chain', 'rationale_1'),
+    ('class_2', true,  false, CAST(10 AS BIGINT),   CAST(NULL AS BIGINT), 'P1_CRITICAL', 'BPM',
+     'Realign BPM', 'rationale_2')
+  ) AS v(name, latchable, filterable, ondelayseconds, offdelayseconds, priority, system,
+         correctiveaction, rationale)
 ),
 instances_log AS (
   SELECT event_id AS seq,
          'alarm_' || CAST(user_id AS VARCHAR) AS name,
          CASE WHEN value >= 20
-              THEN 'class_' || CAST(user_id % 3 AS VARCHAR) END AS action
+              THEN 'class_' || CAST(user_id % 3 AS VARCHAR) END AS action,
+         'pv_' || CAST(user_id AS VARCHAR) AS pv,
+         ['hall_' || CAST(user_id % 4 AS VARCHAR),
+          'sector_' || CAST(user_id % 8 AS VARCHAR)] AS location
   FROM events WHERE event_type = 'signup'
 ),
 registrations AS (
-  SELECT i.name, i.action, a.latchable, a.filterable, a.ondelayseconds,
-         a.offdelayseconds, a.priority
-  FROM (SELECT name, action FROM (
-          SELECT name, action,
+  SELECT i.name, i.action, i.pv, i.location,
+         a.latchable, a.filterable, a.ondelayseconds,
+         a.offdelayseconds, a.priority, a.system,
+         a.correctiveaction, a.rationale
+  FROM (SELECT name, action, pv, location FROM (
+          SELECT name, action, pv, location,
                  row_number() OVER (PARTITION BY name ORDER BY seq DESC) AS rn
           FROM instances_log) t
         WHERE rn = 1 AND action IS NOT NULL) i
@@ -72,20 +81,24 @@ overrides_log AS (
            ELSE 'Shelved' END AS type,
          (CAST(floor(value * 10) AS BIGINT) % 10) < 2 AS tombstone,
          (event_id % 2 = 0) AS oneshot,
-         epoch_ms(ts) + CAST(floor(value) AS BIGINT) * 43200000 AS expiration
+         epoch_ms(ts) + CAST(floor(value) AS BIGINT) * 43200000 AS expiration,
+         CASE WHEN event_id % 3 != 0
+              THEN 'note_' || CAST(event_id % 5 AS VARCHAR) END AS comments,
+         CASE WHEN event_id % 2 = 0 THEN 'Chattering_Fleeting_Alarm'
+              ELSE 'Other' END AS reason
   FROM events
   WHERE event_type = 'purchase'
     AND (user_id * 3 + CAST(floor(value) AS BIGINT)) % 21 < 7
 ),
 ovr_latest AS (
-  SELECT name, type, oneshot, expiration
+  SELECT name, type, oneshot, expiration, comments, reason
   FROM (SELECT *, row_number() OVER (PARTITION BY name, type
                                      ORDER BY seq DESC) AS rn
         FROM overrides_log) t
   WHERE rn = 1 AND NOT tombstone
 ),
 ovr_live AS (
-  SELECT o.name, o.type, o.oneshot, o.expiration
+  SELECT o.name, o.type, o.oneshot, o.expiration, o.comments, o.reason
   FROM ovr_latest o, snapshot s
   WHERE NOT (o.type IN ('Shelved', 'OnDelayed')
              AND o.expiration <= s.snapshot_ms)
