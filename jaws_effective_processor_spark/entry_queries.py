@@ -206,6 +206,20 @@ def _register_llm() -> None:
         osql.MULTIMODAL_FEATURES_SQL,  # stub decode is deterministic
     )
 
+    from .functions import corpus
+
+    register(
+        "dedup_normalized", corpus.q_dedup_normalized, osql.DEDUP_NORMALIZED_SQL
+    )
+    register("doc_repetition", corpus.q_doc_repetition, osql.DOC_REPETITION_SQL)
+    register(
+        "stratified_sample",
+        corpus.q_stratified_sample,
+        osql.STRATIFIED_SAMPLE_SQL,
+    )
+    register("pii_scan", corpus.q_pii_scan, osql.PII_SCAN_SQL)
+    register("dedup_clusters", corpus.q_dedup_clusters, osql.DEDUP_CLUSTERS_SQL)
+
 
 _register_rules()
 _register_nested()

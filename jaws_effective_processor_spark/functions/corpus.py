@@ -1,0 +1,187 @@
+"""Corpus-curation operators over `documents` — the data-pipeline ops
+between raw crawl and training set that the dedup/similarity families
+(functions/dedup.py, functions/similarity.py) don't cover:
+
+- normalized near-exact dedup: casefold + punctuation-strip +
+  whitespace-collapse before fingerprinting, catching trivially
+  reformatted copies exact dedup misses.
+- intra-document repetition: duplicated-3-gram fraction per doc (the
+  Gopher/RefinedWeb-style repetition quality signal).
+- deterministic stratified sampling: hash-threshold sampling with
+  per-language rates — reproducible across runs and engines, no RNG.
+- PII-pattern scan: per-doc counts of email/url/number shapes (the
+  redaction-triage pass; patterns kept to character classes that
+  behave identically in Java regex and RE2).
+- near-dup clustering: connected components over the verified
+  MinHash-LSH pair set via iterative min-label propagation — the step
+  that turns pairs into keep-one-per-cluster decisions.
+
+Everything except the clustering loop is a single scan in whole-stage
+codegen. The clustering loop is the standard distributed iterative
+pattern (each step one self-join + min-aggregate, all JVM-side); the
+driver only checks a scalar convergence count per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import SHINGLE_K, q_dedup_minhash_lsh
+
+# per-language keep-rates for stratified sampling, in 1/65536 units of
+# the 16-bit fingerprint space (md5 first 4 hex chars)
+SAMPLE_RATES_64K = {"en": 16384, "es": 32768, "de": 49152}
+SAMPLE_DEFAULT_64K = 8192
+
+PII_PATTERNS = {
+    "email_count": "[a-z0-9._%+-]+@[a-z0-9.-]+",
+    "url_count": "https?://[^ ]+",
+    "number_count": "[0-9]+",
+}
+
+MAX_CLUSTER_ITERS = 20
+
+
+def _normalized_text() -> F.Column:
+    """Casefold, strip non-[a-z0-9 ], collapse runs of spaces, trim —
+    identical function set in the DuckDB twin."""
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup groups on the normalized fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_normalized_text()).alias("fp_norm"))
+        .groupBy("fp_norm")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-3-gram permille per document (0 for docs shorter
+    than the shingle width): 1000 * (total - distinct) / total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + o) for o in range(SHINGLE_K)]
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(F.size(tk) >= SHINGLE_K, F.size(gram))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.when(F.size(tk) >= SHINGLE_K, F.size(F.array_distinct(gram)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("(1000 * (n_grams - n_distinct)) DIV n_grams"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("repetition_permille"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample: keep a doc iff the 16-bit
+    value of md5(doc_id)'s first 4 hex chars falls under the
+    language's rate. Reproducible across engines and runs (no RNG),
+    and at 100 TB it is a scan-local filter — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate = F.lit(SAMPLE_DEFAULT_64K)
+    for lang, r in SAMPLE_RATES_64K.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", h16.alias("h16"), rate.cast("long").alias("rate_64k")
+    ).filter(F.col("h16") < F.col("rate_64k"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc counts of PII-ish shapes (redaction triage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+            .cast("long")
+            .alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH verified pair set:
+    (doc_id, cluster_id = min doc id in the component).
+
+    Iterative min-label propagation: each round joins labels to the
+    (undirected) edge set and takes the min over self + neighbors.
+    Rounds needed = component diameter (near-dup clusters are tiny);
+    the loop is bounded by MAX_CLUSTER_ITERS and stops when a round
+    changes nothing. Each round is one shuffle-join + one aggregate —
+    the standard distributed CC pattern; only the scalar changed-count
+    crosses to the driver. DuckDB twin: WITH RECURSIVE reachability
+    with the same min-label semantics.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .cache()
+    )
+    for _ in range(MAX_CLUSTER_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )

@@ -376,3 +376,97 @@ SELECT query_id, neighbor_id, rank,
        CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------- corpus curation
+# Twins of functions/corpus.py. DuckDB regexp_replace needs the 'g'
+# flag to match Spark's replace-all semantics.
+
+DEDUP_NORMALIZED_SQL = """
+SELECT md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g'))) AS fp_norm,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+_REP_GRAM = (
+    f"list_transform(range(1, len(tk) - {SHINGLE_K - 2}), "
+    f"i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])"
+)
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {SHINGLE_K} THEN {_REP_GRAM}
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+  FROM g
+)
+SELECT doc_id, n_grams,
+       CASE WHEN n_grams > 0
+            THEN (1000 * (n_grams - n_distinct)) // n_grams
+            ELSE CAST(0 AS BIGINT) END AS repetition_permille
+FROM c
+"""
+
+from .functions.corpus import (  # noqa: E402
+    PII_PATTERNS,
+    SAMPLE_DEFAULT_64K,
+    SAMPLE_RATES_64K,
+)
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES_64K.items()
+) + f" ELSE {SAMPLE_DEFAULT_64K} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, h16, rate_64k FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) AS h16,
+         CAST({_RATE_CASE} AS BIGINT) AS rate_64k
+  FROM documents
+) t WHERE h16 < rate_64k
+"""
+
+_PII_COLS = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS {name}"
+    for name, pat in PII_PATTERNS.items()
+)
+
+PII_SCAN_SQL = f"""
+SELECT doc_id,
+       {_PII_COLS}
+FROM documents
+"""
+
+# Connected components over the verified near-dup pairs: recursive
+# reachability, component id = min reachable doc id — the fixpoint the
+# Spark min-label-propagation loop converges to.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_LSH_SQL}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.doc_b, w.lab
+  FROM walk w JOIN edges e ON w.node = e.doc_a
+)
+SELECT node AS doc_id, min(lab) AS cluster_id
+FROM walk GROUP BY node
+"""

@@ -35,9 +35,9 @@ def tmpdir():
 # one class per behavior so each rule triggers in isolation
 # (the built-in actions_dim conflates latchable with ondelay)
 _ACTIONS = [
-    ("cls_latch", True, False, None, None, "P1_CRITICAL", "RF"),
-    ("cls_delay", False, False, 5, None, "P2_MAJOR", "BPM"),
-    ("cls_plain", False, False, None, None, "P3_MINOR", "CAMAC"),
+    ("cls_latch", True, False, None, None, "P1_CRITICAL", "RF", None, None),
+    ("cls_delay", False, False, 5, None, "P2_MAJOR", "BPM", None, None),
+    ("cls_plain", False, False, None, None, "P3_MINOR", "CAMAC", None, None),
 ]
 
 _INSTANCES = [
