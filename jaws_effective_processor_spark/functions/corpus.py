@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread_if_undersplit
 from .dedup import SHINGLE_K, q_dedup_minhash_lsh
 
 # per-language keep-rates for stratified sampling, in 1/65536 units of
@@ -55,7 +55,7 @@ def _normalized_text() -> F.Column:
 
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dedup groups on the normalized fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.md5(_normalized_text()).alias("fp_norm"))
         .groupBy("fp_norm")
@@ -69,7 +69,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-3-gram permille per document (0 for docs shorter
     than the shingle width): 1000 * (total - distinct) / total."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
     gram = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (SHINGLE_K - 1)),
@@ -119,7 +119,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc counts of PII-ish shapes (redaction triage)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         *[

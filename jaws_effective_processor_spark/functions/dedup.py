@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread_if_undersplit
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands of 4 rows: per-band collision prob ~= j^4 on
@@ -132,15 +132,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2). The 4-bands-of-4 threshold (~j^(1/4)) admits pairs down to
     j~0.7; the verify cut at MINHASH_VERIFY_PERMILLE keeps the output
     semantics exact ("shingle-jaccard >= 0.8, LSH-pruned")."""
-    docs = load_table(spark, sf_dir, "documents")
-    # the signature stage is CPU-heavy per row (md5 over every
-    # shingle); a small-SF parquet arrives as ONE input split, which
-    # would serialize it on one core. Spread it — but only when the
-    # scan is under-split: at 100 TB the scan has thousands of splits
-    # and this branch (and its exchange) disappears.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # signature stage is CPU-heavy per row (md5 over every shingle);
+    # spread an under-split small-SF scan across cores
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
     shing = docs.select("doc_id", _shingles(tk).alias("sh"))
     # hp in its own projection: it's referenced 16x by the minhash
@@ -261,7 +255,7 @@ def _hex4_to_int(col: F.Column) -> F.Column:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from per-token md5 bit majorities."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         F.transform(_toks(), lambda tok: _hex4_to_int(F.md5(tok))).alias("hv"),

@@ -33,6 +33,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when the scan arrived
+    in fewer splits than cores.
+
+    For CPU-heavy per-row work (hashing, shingling, regex) a small-SF
+    parquet lands as ONE input split and the whole scan serializes on
+    one core. At real scale the scan has thousands of splits and this
+    branch (and its exchange) disappears — the condition is evaluated
+    at plan-build time from the actual split count.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
