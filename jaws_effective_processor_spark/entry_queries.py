@@ -194,6 +194,11 @@ def _register_llm() -> None:
     )
     register("dedup_simhash", dedup.q_dedup_simhash, osql.DEDUP_SIMHASH_SQL)
     register(
+        "dedup_simhash_pairs",
+        dedup.q_dedup_simhash_pairs,
+        osql.DEDUP_SIMHASH_PAIRS_SQL,
+    )
+    register(
         "embedding_neardup", dedup.q_embedding_neardup, osql.EMBEDDING_NEARDUP_SQL
     )
     register("knn_bruteforce", similarity.q_knn_bruteforce, osql.KNN_BRUTEFORCE_SQL)

@@ -279,6 +279,91 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("doc_id", simhash.alias("simhash16"))
 
 
+SIMHASH_BAND_BITS = 8
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_MAX_HAMMING = SIMHASH_N_BANDS - 1  # pigeonhole: <= k-1 flips
+# over k bands leave at least one band untouched, so banding is
+# recall-lossless at this threshold
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SHINGLE-SimHash hamming distance <= 1, via
+    byte-band blocking — the pair-generation half of the SimHash
+    family (q_dedup_simhash publishes the per-doc token signature).
+
+    The signature here hashes 3-word shingles, not unigram tokens:
+    token-majority bits correlate across vocabulary-similar documents
+    (measured: a token-based signature passed ~6% of ALL pairs at
+    hamming<=1; shingle-based passes ~0.04% — the same lesson as the
+    MinHash shingle fix). 2 bands of 8 bits: any pair within the
+    threshold shares an exact band (pigeonhole), so candidates come
+    from an equi-join on (band, val), and the exact bit_count(xor)
+    verify touches only candidates. A 16-bit space saturates at
+    billion-doc scale — widen SIMHASH_BITS for production; the
+    pipeline shape is bit-width-independent."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    t = docs.select(
+        "doc_id",
+        F.transform(
+            _shingles(tk), lambda s: _hex4_to_int(F.md5(s))
+        ).alias("hv"),
+        F.size(_shingles(tk)).cast("long").alias("n"),
+    )
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        mask = 1 << bit
+        count_set = F.size(
+            F.filter(F.col("hv"), lambda h: (h.bitwiseAND(F.lit(mask))) != 0)
+        ).cast("long")
+        bit_terms.append(
+            F.when(count_set * 2 > F.col("n"), F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    s16 = bit_terms[0]
+    for term in bit_terms[1:]:
+        s16 = s16 + term
+    sig = t.select("doc_id", s16.alias("s16"))
+    bands = sig.select(
+        "doc_id",
+        "s16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("band"),
+                        (
+                            F.shiftright(F.col("s16"), SIMHASH_BAND_BITS * i)
+                            % F.lit(1 << SIMHASH_BAND_BITS)
+                        ).alias("val"),
+                    )
+                    for i in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "s16", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s16").alias("sh_a"),
+            F.col("b.s16").alias("sh_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30).
 

@@ -470,3 +470,53 @@ walk(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id
 FROM walk GROUP BY node
 """
+
+# SimHash hamming pairs over SHINGLE signatures: byte-band blocking +
+# exact bit_count verify (twin of functions/dedup.py
+# q_dedup_simhash_pairs; shares _SHINGLE/_HEX4/_SIMHASH-term forms)
+from .functions.dedup import (  # noqa: E402
+    SIMHASH_BAND_BITS,
+    SIMHASH_MAX_HAMMING,
+    SIMHASH_N_BANDS,
+)
+
+_SIMHASH_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, s16, CAST({i} AS BIGINT) AS band, "
+    f"(s16 // {1 << (SIMHASH_BAND_BITS * i)}) % {1 << SIMHASH_BAND_BITS} AS val "
+    f"FROM sig"
+    for i in range(SIMHASH_N_BANDS)
+)
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+shing AS (
+  SELECT doc_id, {_SHINGLE} AS sh FROM toks
+),
+t AS (
+  SELECT doc_id, list_transform(sh, t -> {_HEX4}) AS hv,
+         CAST(len(sh) AS BIGINT) AS n
+  FROM shing
+),
+sig AS (
+  SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS s16 FROM t
+),
+bands AS (
+  {_SIMHASH_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.s16 AS sh_a, b.s16 AS sh_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS BIGINT)
+           AS hamming
+  FROM cand
+) v
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""

@@ -122,3 +122,26 @@ def test_knn_bruteforce_broadcasts_query_side(spark):
         # every broadcast subtree must carry the query filter, and the
         # unfiltered corpus scan must not appear under a broadcast
         assert "vec_id" in sub and "< 10" in sub, sub
+
+
+def test_simhash_pairs_banded_equijoin(spark):
+    """SimHash pair generation must plan as an equi-join on the band
+    key — never an all-pairs product over signatures."""
+    df = QUERIES["dedup_simhash_pairs"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nested_outputs_reuse_flat_partitioning(spark):
+    """The nested-struct queries add only name-keyed joins on top of
+    the flat pipeline — no cartesian products, bounded exchanges."""
+    for name in (
+        "effective_alarms_nested",
+        "intermediate_monolog_nested",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert not has_cartesian(df), name
+        # flat pipeline is <=6 exchanges; payload joins may add a few
+        # keyed exchanges but must not blow up
+        assert shuffle_count(df) <= 12, (name, shuffle_count(df))
