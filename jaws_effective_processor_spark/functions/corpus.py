@@ -185,3 +185,73 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+PACK_BUDGET_TOKENS = 256
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (training-prep: context
+    windows of CHUNK_TOKENS with CHUNK_STRIDE overlap stride).
+
+    posexplode over a computed chunk count — the fan-out stays inside
+    codegen (no UDF), keeps the doc's partition, and at 100 TB is a
+    scan-shaped map with ~n_tokens/stride amplification."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk).cast("long")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"((size(split(text, ' ')) - {CHUNK_TOKENS}) + {CHUNK_STRIDE - 1})"
+            f" DIV {CHUNK_STRIDE} + 1"
+        )
+    )
+    base = docs.select("doc_id", tk.alias("tk"), n_chunks.alias("n_chunks"))
+    return base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+        "tk",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(
+                F.col("tk"),
+                F.col("chunk_idx") * CHUNK_STRIDE + 1,
+                F.lit(CHUNK_TOKENS),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per language, docs in doc_id
+    order are assigned to packs of ~PACK_BUDGET_TOKENS by cumulative
+    token count (pack = floor(prefix_sum_before_doc / budget)) — the
+    deterministic, shuffle-light variant of sample packing (one window
+    exchange on lang; no bin-packing state)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id", "lang", F.size(tk).cast("long").alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) DIV {PACK_BUDGET_TOKENS}").alias(
+            "pack_id"
+        ),
+    )

@@ -520,3 +520,40 @@ SELECT doc_a, doc_b, hamming FROM (
 ) v
 WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
+
+# ------------------------------------------- chunking & packing twins
+from .functions.corpus import (  # noqa: E402
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    PACK_BUDGET_TOKENS,
+)
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= {CHUNK_TOKENS} THEN 1
+              ELSE (len(tk) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                   // {CHUNK_STRIDE} + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+       array_to_string(
+         list_slice(tk, (i - 1) * {CHUNK_STRIDE} + 1,
+                    (i - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM c, UNNEST(range(1, n_chunks + 1)) AS u(i)
+"""
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, lang, n_tokens,
+       (cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS pack_id
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+           OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents
+) t
+"""
