@@ -144,12 +144,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses to the driver. DuckDB twin: WITH RECURSIVE reachability
     with the same min-label semantics.
     """
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # cache + force the pair set ONCE: both edge directions and every
+    # iteration read it, and the upstream MinHash pipeline is the
+    # expensive part — without this the union materializes it twice
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs.count()
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).cache()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -162,6 +166,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("lab").alias("nmin"))
         )
+        # the changed flag rides along so ONE action both materializes
+        # the new labels and returns the convergence signal
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -169,22 +175,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
                 ).alias("lab"),
+                (F.coalesce(F.col("nmin") < F.col("lab"), F.lit(False))).alias(
+                    "chg"
+                ),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("chg")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
+    pairs.unpersist()
+    return out
 
 
 CHUNK_TOKENS = 32
