@@ -167,6 +167,12 @@ def _register_relational() -> None:
     )
     register("event_type_pivot", r.q_event_type_pivot, osql.EVENT_TYPE_PIVOT_SQL)
     register(
+        "event_type_unpivot", r.q_event_type_unpivot, osql.EVENT_TYPE_UNPIVOT_SQL
+    )
+    register(
+        "order_percentiles", r.q_order_percentiles, osql.ORDER_PERCENTILES_SQL
+    )
+    register(
         "asof_last_purchase", r.q_asof_last_purchase, osql.ASOF_LAST_PURCHASE_SQL
     )
     register(

@@ -238,3 +238,30 @@ FROM b
 GROUP BY GROUPING SETS ((hour_bucket, event_type),
                         (day_bucket, event_type))
 """
+
+
+EVENT_TYPE_UNPIVOT_SQL = """
+WITH piv AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click')    AS click,
+         count(*) FILTER (WHERE event_type = 'error')    AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+         count(*) FILTER (WHERE event_type = 'view')     AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click' AS event_type, click AS n FROM piv
+UNION ALL SELECT user_id, 'error', error FROM piv
+UNION ALL SELECT user_id, 'purchase', purchase FROM piv
+UNION ALL SELECT user_id, 'signup', signup FROM piv
+UNION ALL SELECT user_id, 'view', view FROM piv
+"""
+
+ORDER_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5)  AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderpriority
+"""

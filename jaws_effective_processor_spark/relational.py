@@ -418,3 +418,33 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (day_bucket, event_type))
         """
     )
+
+
+def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-user event-type count matrix back to
+    long form — wide->long is the inverse surface of q_event_type_pivot
+    and stays a single aggregation + local expand (no extra shuffle)."""
+    types = ("click", "error", "purchase", "signup", "view")
+    wide = q_event_type_pivot(spark, sf_dir).select(
+        "user_id", *[F.col(f"n_{t}").alias(t) for t in types]
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(types),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority —
+    the continuous-quantile aggregate family (p25/p50/p75 + count).
+    Single agg shuffle on a 5-value key; percentile is an exact
+    sort-based aggregate (vs approx_distinct's sketch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    )
