@@ -115,6 +115,11 @@ def _register_nested() -> None:
         nested.q_intermediate_monolog_nested,
         osql.INTERMEDIATE_MONOLOG_NESTED_SQL,
     )
+    register(
+        "effective_state_history_nested",
+        nested.q_effective_state_history_nested,
+        osql.EFFECTIVE_STATE_HISTORY_NESTED_SQL,
+    )
 
 
 def _register_relational() -> None:

@@ -227,6 +227,90 @@ def q_effective_alarms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_effective_state_history_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's TRUE published stream: one full EffectiveAlarm
+    value per surviving upstream event (EffectiveStateRule.java:83-98
+    emits on every record), with as-of payloads — activation union,
+    per-type override payloads, instance + class registration — all
+    recovered from the same merged-changelog window pass the flat
+    history query uses (pipeline.effective_state_history(payloads=
+    True)): zero additional shuffles over the flat plan."""
+    from .pipeline import effective_state_history
+
+    pin_session_conf(spark)
+    hist = effective_state_history(spark, sf_dir, payloads=True)
+
+    action_struct = F.when(
+        F.col("priority").isNotNull(),
+        F.struct(
+            "latchable",
+            "system",
+            "filterable",
+            "correctiveaction",
+            "priority",
+            "rationale",
+            "ondelayseconds",
+            "offdelayseconds",
+        ),
+    )
+    registration = F.when(
+        F.col("action_eff").isNotNull(),
+        F.struct(
+            action_struct.alias("action"),
+            F.struct(
+                F.col("action_eff").alias("action"),
+                F.struct(F.col("pv_eff").alias("pv")).alias("source"),
+                F.col("location_eff").alias("location"),
+            ).alias("alarm"),
+        ),
+    )
+    activation = F.when(
+        F.col("union_eff").isNotNull(),
+        F.struct(F.col("union_eff").alias("type")),
+    )
+    overrides = F.struct(
+        F.when(
+            F.col("ov_disabled"),
+            F.struct(F.col("d_pay.comments").alias("comments")),
+        ).alias("disabled"),
+        F.when(F.col("ov_filtered"), F.create_map()).alias("filtered"),
+        F.when(F.col("ov_latched"), F.create_map()).alias("latched"),
+        F.when(F.col("ov_masked"), F.create_map()).alias("masked"),
+        F.when(F.col("ov_offdelayed"), F.create_map()).alias("offdelayed"),
+        F.when(
+            F.col("ov_ondelayed"),
+            F.struct(F.col("od_pay.expiration").alias("expiration")),
+        ).alias("ondelayed"),
+        F.when(
+            F.col("ov_shelved"),
+            F.struct(
+                F.col("sh_pay.oneshot").alias("oneshot"),
+                F.col("sh_pay.expiration").alias("expiration"),
+                F.col("sh_pay.reason").alias("reason"),
+                F.col("sh_pay.comments").alias("comments"),
+            ),
+        ).alias("shelved"),
+    )
+    notification = F.struct(
+        activation.alias("activation"),
+        overrides.alias("overrides"),
+        F.col("state"),
+    )
+    return hist.select(
+        "seq",
+        "name",
+        F.to_json(
+            F.struct(
+                registration.alias("registration"),
+                notification.alias("notification"),
+            ),
+            _JSON_OPTS,
+        ).alias("effective_alarm"),
+    )
+
+
 def q_intermediate_monolog_nested(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

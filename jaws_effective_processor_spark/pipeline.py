@@ -108,7 +108,9 @@ def effective_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_effective_state(settled).select(*OUTPUT_COLS)
 
 
-def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def effective_state_history(
+    spark: SparkSession, sf_dir: str, payloads: bool = False
+) -> DataFrame:
     """Per-event effective-state stream — the reference's actual output
     shape (EffectiveStateRule emits on EVERY upstream record, not just
     a final snapshot; re-emission on override/registration updates is
@@ -127,6 +129,12 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges, both on the alarm key (the activation lag window and
     the merged-changelog window); everything else is codegen'd column
     work + a broadcast dim join (asserted in tests/test_plans.py).
+
+    `payloads=True` (the nested-output path) carries the full as-of
+    payloads alongside — activation union type, per-type override
+    payload structs, instance pv/location — as EXTRA window
+    expressions over the same window spec: no additional shuffle,
+    and the default output is untouched.
     """
     pin_session_conf(spark)
     from pyspark.sql import Window
@@ -146,6 +154,11 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("ovr_live"),
         F.lit(None).cast("boolean").alias("ovr_oneshot"),
         F.lit(None).cast("string").alias("action_sentinel"),
+        *(
+            [F.coalesce(F.col("union_type"), F.lit("__none__")).alias("union_sentinel")]
+            if payloads
+            else []
+        ),
     ).withColumn(
         "prev_active",
         F.coalesce(F.lag("cur_active").over(w_act), F.lit(False)),
@@ -164,6 +177,16 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ovr_oneshot"),
         F.lit(None).cast("string").alias("action_sentinel"),
         F.lit(None).cast("boolean").alias("prev_active"),
+        *(
+            [
+                F.lit(None).cast("string").alias("union_sentinel"),
+                "expiration",
+                "comments",
+                "reason",
+            ]
+            if payloads
+            else []
+        ),
     )
 
     inst = adapters.instances_log(events)
@@ -179,9 +202,20 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "action_sentinel"
         ),
         F.lit(None).cast("boolean").alias("prev_active"),
+        *(
+            [
+                F.lit(None).cast("string").alias("union_sentinel"),
+                "pv",
+                "location",
+            ]
+            if payloads
+            else []
+        ),
     )
 
-    merged = act_rows.unionByName(ovr_rows).unionByName(inst_rows)
+    merged = act_rows.unionByName(ovr_rows, allowMissingColumns=True).unionByName(
+        inst_rows, allowMissingColumns=True
+    )
     w = (
         Window.partitionBy("name")
         .orderBy("seq")
@@ -199,6 +233,40 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
             F.lit(False),
         )
+
+    def ov_pay(t: str, *cols: F.Column) -> F.Column:
+        """As-of payload struct for override type `t`: non-null on
+        every record of that type (incl. tombstones, so a delete
+        resets the payload), carried forward by last(ignorenulls)."""
+        return F.last(
+            F.when(
+                (F.col("tag") == "O") & (F.col("ovr_type") == t),
+                F.struct(F.col("ovr_live").alias("live"), *cols),
+            ),
+            ignorenulls=True,
+        ).over(w)
+
+    payload_cols = (
+        [
+            F.nullif(
+                F.last("union_sentinel", ignorenulls=True).over(w),
+                F.lit("__none__"),
+            ).alias("union_eff"),
+            ov_pay("Disabled", F.col("comments")).alias("d_pay"),
+            ov_pay("OnDelayed", F.col("expiration")).alias("od_pay"),
+            ov_pay(
+                "Shelved",
+                F.col("ovr_oneshot").alias("oneshot"),
+                F.col("expiration"),
+                F.col("reason"),
+                F.col("comments"),
+            ).alias("sh_pay"),
+            F.last("pv", ignorenulls=True).over(w).alias("pv_eff"),
+            F.last("location", ignorenulls=True).over(w).alias("location_eff"),
+        ]
+        if payloads
+        else []
+    )
 
     state_cols = merged.select(
         "seq",
@@ -232,10 +300,25 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("action_sentinel", ignorenulls=True).over(w),
             F.lit("__deleted__"),
         ).alias("action_eff"),
+        *payload_cols,
     )
 
+    dim_cols = (
+        [
+            "latchable",
+            "ondelayseconds",
+            "system",
+            "filterable",
+            "correctiveaction",
+            "priority",
+            "rationale",
+            "offdelayseconds",
+        ]
+        if payloads
+        else ["latchable", "ondelayseconds"]
+    )
     dim = adapters.actions_dim(spark).select(
-        F.col("name").alias("dim_name"), "latchable", "ondelayseconds"
+        F.col("name").alias("dim_name"), *dim_cols
     )
     joined = state_cols.join(
         F.broadcast(dim), state_cols["action_eff"] == dim["dim_name"], "left"
@@ -260,19 +343,17 @@ def effective_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.effective_state import state_cascade
 
     kept = joined.filter(~(latching | ondelaying | unshelving))  # E1
-    return kept.select(
-        "seq",
-        "name",
-        "active",
-        state_cascade(
-            active=F.col("active"),
-            disabled=F.col("ov_disabled"),
-            filtered=F.col("ov_filtered"),
-            masked=F.col("ov_masked"),
-            shelved=F.col("ov_shelved"),
-            shelved_oneshot=F.col("shelved_oneshot"),
-            ondelayed=F.col("ov_ondelayed"),
-            latched=F.col("ov_latched"),
-            offdelayed=F.col("ov_offdelayed"),
-        ).alias("state"),
-    )
+    state = state_cascade(
+        active=F.col("active"),
+        disabled=F.col("ov_disabled"),
+        filtered=F.col("ov_filtered"),
+        masked=F.col("ov_masked"),
+        shelved=F.col("ov_shelved"),
+        shelved_oneshot=F.col("shelved_oneshot"),
+        ondelayed=F.col("ov_ondelayed"),
+        latched=F.col("ov_latched"),
+        offdelayed=F.col("ov_offdelayed"),
+    ).alias("state")
+    if payloads:
+        return kept.select("*", state)
+    return kept.select("seq", "name", "active", state)

@@ -145,3 +145,19 @@ def test_nested_outputs_reuse_flat_partitioning(spark):
         # flat pipeline is <=6 exchanges; payload joins may add a few
         # keyed exchanges but must not blow up
         assert shuffle_count(df) <= 12, (name, shuffle_count(df))
+
+
+def test_nested_history_no_extra_shuffles(spark):
+    """The per-event nested history recovers all payloads from the
+    SAME merged-changelog window pass as the flat history — payload
+    windows must not add exchanges."""
+    from jaws_effective_processor_spark.pipeline import (
+        effective_state_history,
+    )
+
+    flat = effective_state_history(spark, SF_SMOKE)
+    nested = QUERIES["effective_state_history_nested"](spark, SF_SMOKE)
+    assert shuffle_count(nested) == shuffle_count(flat), (
+        shuffle_count(nested),
+        shuffle_count(flat),
+    )
