@@ -91,7 +91,10 @@ def oneshot_scan(guard: np.ndarray, trigger: np.ndarray, init: bool):
     n = len(guard)
     if n == 0:
         return np.zeros(0, dtype=bool), init
-    t_eff = trigger.copy()
+    # a guard=False row clears the state AND ignores its own trigger,
+    # but shares a run_id with the guard run that follows it — mask
+    # triggers by guard so a non-guard trigger can't leak into that run
+    t_eff = trigger & guard
     if guard[0] and init:
         t_eff[0] = True
     run_id = np.cumsum(~guard)  # constant within each guard=True run

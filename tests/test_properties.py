@@ -163,3 +163,74 @@ def test_approx_distinct_bounds(spark):
         F.percentile("l_extendedprice", F.lit(0.6)),
     ).collect()[0]
     assert p40 <= approx["approx_median_price"] <= p60
+
+
+# ---- vectorized state machines vs naive reference loops (no Spark) --
+
+
+def _naive_latch(guard, reset, set_, init):
+    state, flags = init, []
+    for g, r, s in zip(guard, reset, set_):
+        flag = False
+        if g:
+            if r:
+                state = False
+            elif s:
+                state = True
+            flag = state
+        flags.append(flag)
+    return flags, state
+
+
+def _naive_oneshot(guard, trigger, init):
+    state, flags = init, []
+    for g, t in zip(guard, trigger):
+        out = False
+        if g:
+            out = state or t
+        state = out
+        flags.append(out)
+    return flags, state
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()), max_size=60
+    ),
+    st.booleans(),
+)
+def test_guarded_latch_matches_naive_loop(rows, init):
+    import numpy as np
+
+    from jaws_effective_processor_spark.streaming.processors import (
+        guarded_latch,
+    )
+
+    guard = np.array([r[0] for r in rows], dtype=bool)
+    reset = np.array([r[1] for r in rows], dtype=bool)
+    set_ = np.array([r[2] for r in rows], dtype=bool)
+    flags, final = guarded_latch(guard, reset, set_, init)
+    nflags, nfinal = _naive_latch(guard, reset, set_, init)
+    assert list(flags) == nflags
+    assert final == nfinal
+
+
+@settings(deadline=None)
+@given(
+    st.lists(st.tuples(st.booleans(), st.booleans()), max_size=60),
+    st.booleans(),
+)
+def test_oneshot_scan_matches_naive_loop(rows, init):
+    import numpy as np
+
+    from jaws_effective_processor_spark.streaming.processors import (
+        oneshot_scan,
+    )
+
+    guard = np.array([r[0] for r in rows], dtype=bool)
+    trig = np.array([r[1] for r in rows], dtype=bool)
+    flags, final = oneshot_scan(guard, trig, init)
+    nflags, nfinal = _naive_oneshot(guard, trig, init)
+    assert list(flags) == nflags
+    assert final == nfinal
