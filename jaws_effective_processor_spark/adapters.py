@@ -113,8 +113,18 @@ _ACTIONS_ROWS = [
 ]
 
 
+_ACTIONS_CACHE: dict[SparkSession, DataFrame] = {}
+
+
 def actions_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_ACTIONS_ROWS, schema=_ACTIONS_SCHEMA)
+    """Static dimension, memoized per session — createDataFrame costs
+    a local-relation build + Py4J transfer on every call otherwise,
+    and several query builders call this."""
+    df = _ACTIONS_CACHE.get(spark)
+    if df is None:
+        df = spark.createDataFrame(_ACTIONS_ROWS, schema=_ACTIONS_SCHEMA)
+        _ACTIONS_CACHE[spark] = df
+    return df
 
 
 def activations_log(events: DataFrame) -> DataFrame:

@@ -193,6 +193,112 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+CONTAM_K = 8  # n-gram width for the train/test overlap check
+HOLDOUT_MOD = 50  # doc_id % 50 == 0 -> held-out "test set"
+VOCAB_TOP_K = 100
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: per TRAIN doc, how many of its
+    distinct CONTAM_K-grams appear anywhere in the held-out set
+    (doc_id % HOLDOUT_MOD == 0 plays the benchmark suite).
+
+    The decontamination pass every serious LLM pipeline runs before
+    training. Scale shape: the test-side gram set is tiny by nature
+    (benchmarks are small), so it is explicitly broadcast and the
+    train side never shuffles — the whole check is a scan + broadcast
+    semi-ish join + one aggregation on doc_id, which arrives already
+    scan-partitioned. Only contaminated docs are emitted.
+    """
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (CONTAM_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + o) for o in range(CONTAM_K)]
+        ),
+    )
+    grams = F.when(F.size(tk) >= CONTAM_K, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    is_test = F.col("doc_id") % HOLDOUT_MOD == 0
+    test_grams = (
+        g.filter(is_test).select(F.explode("grams").alias("gram")).distinct()
+    )
+    train = g.filter(~is_test).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count_distinct("gram").alias("n_contam"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contam",
+            F.expr("(1000 * n_contam) DIV n_grams").alias("contam_permille"),
+        )
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top VOCAB_TOP_K tokens by occurrence
+    (ties broken by token) with a dense 1-based rank — the first step
+    of tokenizer/vocab construction.
+
+    Scale shape: one groupBy(token) with map-side partials, then
+    orderBy+limit plans as TakeOrderedAndProject (per-partition top-K
+    merged on the driver — no global sort shuffle); the row_number
+    window runs AFTER the limit, over only K rows."""
+    from pyspark.sql import Window
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n_occurrences",
+    )
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture report: per language, doc count, token mass, and
+    each language's share of total tokens in permille — the numbers a
+    mixture-weighting (resampling) step consumes.
+
+    One aggregation shuffle on lang; the share window runs over the
+    handful of per-language rows (bounded by #languages, not data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "(1000 * n_tokens) DIV (sum(n_tokens) OVER ())"
+        ).alias("token_share_permille"),
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 16
 PACK_BUDGET_TOKENS = 256

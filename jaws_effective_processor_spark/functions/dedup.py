@@ -364,57 +364,113 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_CHUNK = 4096  # target rows per block in the block self-join
+NEARDUP_CUT = 0.3  # cosine threshold (permyriad 3000)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30).
+    """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30),
+    as a BLOCK-MATRIX self-join.
 
-    Float discipline: the oracle computes a sequential left-fold dot
-    on doubles. Per-pair dots go through an Arrow-vectorized pandas
-    UDF using row-wise cumsum — cumsum is strictly sequential, so the
-    rounding matches the fold exactly while the arithmetic runs in
-    numpy instead of Spark's interpreted array-HOF path (~5x on the
-    pair-scoring stage). Norms are folded once per ROW before the
-    self-join (n, not n^2, evaluations).
+    The naive shape (explode candidate pairs, ship both vectors per
+    pair through Arrow) moves O(pairs * dim) data — ~200k pairs x 128
+    doubles at sf0.1 made the pair-UDF version ~100x the oracle. Here
+    each vector moves O(#blocks) times instead: rows are hashed into
+    ~NEARDUP_CHUNK-sized chunks, every chunk pair (ci <= cj) forms an
+    `applyInPandas` group, and one numpy matmul scores the whole
+    block — BLAS throughput, and group memory is bounded by two
+    chunks regardless of corpus size (the standard distributed
+    all-pairs layout).
+
+    Float discipline: the oracle's list_dot_product is a sequential
+    left fold. The matmul is only a PRE-FILTER with a 1e-4 margin
+    (summation-order drift is ~1e-13 relative); surviving candidates
+    are re-scored with np.cumsum — exactly the fold order — and the
+    emitted permyriad comes from that exact value, so banding cannot
+    flip a floor boundary.
     """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # parquet row count is metadata-only; with the plan cache this
+    # runs once per session
+    n_chunks = max(1, math.ceil(emb.count() / NEARDUP_CHUNK))
 
-    def dot(x: F.Column, y: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    @F.pandas_udf("double")
-    def pair_dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.vstack(xs.to_numpy())
-        b = np.vstack(ys.to_numpy())
-        # elementwise products then sequential per-row cumsum == left fold
-        return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
-
-    v = F.col("embedding").cast("array<double>")
-    e = emb.select(
+    base = emb.select(
         "vec_id",
         "label",
-        v.alias("v"),
-        F.sqrt(dot(v, v)).alias("norm"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks))
+        .cast("int")
+        .alias("cid"),
     )
+    # each row belongs to every block pair touching its chunk:
+    # (min(cid,k), max(cid,k)) for all k — exactly n_chunks groups
+    memb = base.select(
+        "vec_id",
+        "label",
+        "v",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("cid"), F.lit(k)).alias("ci"),
+                        F.greatest(F.col("cid"), F.lit(k)).alias("cj"),
+                    )
+                    for k in range(n_chunks)
+                ]
+            )
+        ).alias("g"),
+    ).select("vec_id", "label", "v", "cid", "g.ci", "g.cj")
 
-    a, b = e.alias("a"), e.alias("b")
-    cos = pair_dot(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cut = NEARDUP_CUT
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_permyriad": pd.Series(dtype="int64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.floor(cos * 10000).cast("long").alias("cos_permyriad"),
+        if pdf.empty:
+            return empty
+        A = np.vstack(pdf["v"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        # norms via cumsum == the oracle's sequential fold
+        norms = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        ci, cj = int(pdf["ci"].iloc[0]), int(pdf["cj"].iloc[0])
+        if ci == cj:
+            # one BLAS matmul for the whole block; triu keeps each
+            # unordered pair once (cut > 0, so zeroed cells drop out)
+            cm = np.triu((A @ A.T) / np.outer(norms, norms), k=1)
+            ci_, cj_ = np.nonzero(cm >= cut - 1e-4)
+        else:
+            left = np.flatnonzero((pdf["cid"] == ci).to_numpy())
+            right = np.flatnonzero((pdf["cid"] == cj).to_numpy())
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            cm = (A[left] @ A[right].T) / np.outer(
+                norms[left], norms[right]
+            )
+            i0, j0 = np.nonzero(cm >= cut - 1e-4)
+            ci_, cj_ = left[i0], right[j0]
+        if len(ci_) == 0:
+            return empty
+        dots = np.cumsum(A[ci_] * A[cj_], axis=1)[:, -1]
+        cos = dots / (norms[ci_] * norms[cj_])
+        val = np.floor(cos * 10000).astype("int64")
+        keep = val >= int(cut * 10000)
+        a_ids, b_ids = ids[ci_[keep]], ids[cj_[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a_ids, b_ids),
+                "vec_b": np.maximum(a_ids, b_ids),
+                "cos_permyriad": val[keep],
+            }
         )
-        .filter(F.col("cos_permyriad") >= 3000)
+
+    return memb.groupBy("label", "ci", "cj").applyInPandas(
+        score_block, "vec_a long, vec_b long, cos_permyriad long"
     )

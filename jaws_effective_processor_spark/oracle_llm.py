@@ -557,3 +557,68 @@ FROM (
   FROM documents
 ) t
 """
+
+# -------------------------------- contamination / vocab / mixture twins
+from .functions.corpus import (  # noqa: E402
+    CONTAM_K,
+    HOLDOUT_MOD,
+    VOCAB_TOP_K,
+)
+
+_CONTAM_GRAM = (
+    f"list_transform(range(1, len(tk) - {CONTAM_K - 2}), i -> "
+    + " || ' ' || ".join(f"tk[i + {o}]" for o in range(CONTAM_K))
+    + ")"
+)
+
+CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {CONTAM_K}
+              THEN list_distinct({_CONTAM_GRAM})
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+),
+test_g AS (
+  SELECT DISTINCT unnest(grams) AS gram
+  FROM g WHERE doc_id % {HOLDOUT_MOD} = 0
+),
+train AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         unnest(grams) AS gram
+  FROM g WHERE doc_id % {HOLDOUT_MOD} <> 0
+)
+SELECT train.doc_id,
+       max(train.n_grams) AS n_grams,
+       count(DISTINCT train.gram) AS n_contam,
+       (1000 * count(DISTINCT train.gram)) // max(train.n_grams)
+         AS contam_permille
+FROM train JOIN test_g USING (gram)
+GROUP BY train.doc_id
+"""
+
+VOCAB_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+top AS (
+  SELECT token, n_occurrences FROM c
+  ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
+)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+       token, n_occurrences
+FROM top
+"""
+
+CORPUS_MIXTURE_SQL = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       (1000 * n_tokens) // (sum(n_tokens) OVER ()) AS token_share_permille
+FROM per_lang
+"""

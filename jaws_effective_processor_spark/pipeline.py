@@ -94,12 +94,19 @@ def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name", F.coalesce("j2_name", "ovr_name")
     )
 
-    monolog = j3.withColumn("registered", F.col("reg_name").isNotNull()).drop(
-        "reg_name", "act_name", "ovr_name", "j2_name"
+    # one select instead of a withColumn chain: each withColumn is a
+    # fresh plan + Py4J roundtrip, and this runs inside every alarm
+    # query's build path
+    aux = {"reg_name", "act_name", "ovr_name", "j2_name"}
+    bools = set(BOOL_FALSE_COLS)
+    cols = [
+        F.coalesce(F.col(c), F.lit(False)).alias(c) if c in bools else F.col(c)
+        for c in j3.columns
+        if c not in aux
+    ]
+    return j3.select(
+        *cols, F.col("reg_name").isNotNull().alias("registered")
     )
-    for c in BOOL_FALSE_COLS:
-        monolog = monolog.withColumn(c, F.coalesce(F.col(c), F.lit(False)))
-    return monolog
 
 
 def effective_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -153,6 +154,72 @@ def avro_encode(col):
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError("spark-avro not on classpath") from exc
     return to_avro(col)
+
+
+def avro_decode_py(col, avsc_json: str, spark_schema, confluent: bool = True):
+    """S4 fallback — Avro value decode with NO spark-avro jar.
+
+    The pure-Python codec (`sources/avro_codec.py`, Avro spec binary
+    encoding + Confluent registry frame) decodes each value to JSON in
+    an Arrow-batched pandas UDF, then ``from_json`` lifts it to a
+    typed struct so every downstream expression runs JVM-side. On a
+    cluster with spark-avro deployed prefer `avro_decode` (zero
+    Python); this path keeps jar-less environments (like this
+    container) runnable and tested.
+    """
+    import json as _json
+
+    from . import avro_codec
+
+    schema = avro_codec.parse_schema(avsc_json)
+
+    @F.pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            body = (
+                avro_codec.strip_confluent_frame(bytes(b))[1]
+                if confluent
+                else bytes(b)
+            )
+            return _json.dumps(
+                avro_codec.decode(schema, body),
+                default=lambda x: x.decode("latin1"),
+            )
+
+        return s.map(one)
+
+    return F.from_json(_dec(col), spark_schema)
+
+
+def avro_encode_py(
+    struct_col, avsc_json: str, schema_id: int = 1, confluent: bool = True
+):
+    """S4 fallback — Avro encode without the jar: the struct is
+    serialized JVM-side by ``to_json`` (null handling, nesting), then
+    a pandas UDF runs the binary writer per record."""
+    import json as _json
+
+    from . import avro_codec
+
+    schema = avro_codec.parse_schema(avsc_json)
+
+    @F.pandas_udf("binary")
+    def _enc(s: pd.Series) -> pd.Series:
+        def one(j):
+            if j is None:
+                return None
+            body = avro_codec.encode(schema, _json.loads(j))
+            return (
+                avro_codec.confluent_frame(body, schema_id)
+                if confluent
+                else body
+            )
+
+        return s.map(one)
+
+    return _enc(F.to_json(struct_col))
 
 
 # ----------------------------------------------------------- headers

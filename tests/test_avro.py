@@ -1,0 +1,291 @@
+"""S4 Avro serde — executed coverage for the jar-less fallback.
+
+The reference's wire format is Confluent SpecificAvroSerde
+(RegistrationRule.java:72-79): registry frame + Avro binary body.
+These tests round-trip a reference-shaped schema (union-of-records
+override payload, enum reason, array location, nullable fields —
+the shapes of AlarmOverrideUnion / Registration per SURVEY §1.3)
+through the pure-Python codec, and through the DataFrame-level
+decode/encode built on it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jaws_effective_processor_spark.sources import avro_codec as ac
+
+AVSC = json.dumps(
+    {
+        "type": "record",
+        "name": "OverrideMsg",
+        "fields": [
+            {"name": "alarm", "type": "string"},
+            {
+                "name": "priority",
+                "type": [
+                    "null",
+                    {
+                        "type": "enum",
+                        "name": "Priority",
+                        "symbols": ["P1", "P2", "P3", "P4"],
+                    },
+                ],
+            },
+            {"name": "location", "type": {"type": "array", "items": "string"}},
+            {
+                "name": "override",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "Shelved",
+                        "fields": [
+                            {
+                                "name": "reason",
+                                "type": {
+                                    "type": "enum",
+                                    "name": "ShelvedReason",
+                                    "symbols": [
+                                        "Stale_Alarm",
+                                        "Chattering_Fleeting_Alarm",
+                                        "Other",
+                                    ],
+                                },
+                            },
+                            {"name": "expiration", "type": "long"},
+                            {
+                                "name": "comments",
+                                "type": ["null", "string"],
+                            },
+                        ],
+                    },
+                    {
+                        "type": "record",
+                        "name": "Latched",
+                        "fields": [
+                            {"name": "latched_at", "type": "long"}
+                        ],
+                    },
+                ],
+            },
+            {"name": "counts", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+)
+
+MSG_SHELVED = {
+    "alarm": "alarm-7",
+    "priority": "P2",
+    "location": ["HallA", "HallC"],
+    "override": {
+        "reason": "Chattering_Fleeting_Alarm",
+        "expiration": 1700000123456,
+        "comments": "noisy sensor",
+    },
+    "counts": {"activations": 12, "clears": 11},
+}
+
+MSG_LATCHED = {
+    "alarm": "alarm-9",
+    "priority": None,
+    "location": [],
+    "override": {"latched_at": -5},
+    "counts": {},
+}
+
+
+def test_roundtrip_union_of_records():
+    schema = ac.parse_schema(AVSC)
+    for msg in (MSG_SHELVED, MSG_LATCHED):
+        assert ac.decode(schema, ac.encode(schema, msg)) == msg
+
+
+def test_null_branch_and_missing_fields():
+    schema = ac.parse_schema(AVSC)
+    # to_json drops null fields — encode must route them to the
+    # union's null branch and decode restores explicit nulls
+    sparse = {"alarm": "a", "location": ["x"], "counts": {}}
+    out = ac.decode(schema, ac.encode(schema, sparse))
+    assert out == {
+        "alarm": "a",
+        "priority": None,
+        "location": ["x"],
+        "override": None,
+        "counts": {},
+    }
+
+
+def test_confluent_frame():
+    body = b"\x02\x04abc"
+    framed = ac.confluent_frame(body, schema_id=42)
+    assert framed[:5] == b"\x00\x00\x00\x00\x2a"
+    assert ac.strip_confluent_frame(framed) == (42, body)
+    with pytest.raises(ValueError):
+        ac.strip_confluent_frame(b"\x01xxxx")
+
+
+def test_varint_known_encodings():
+    # spec examples: zigzag(0)=0, (-1)=1, (1)=2, (-2)=3, (2)=4
+    sch = ac.parse_schema('"long"')
+    assert ac.encode(sch, 0) == b"\x00"
+    assert ac.encode(sch, -1) == b"\x01"
+    assert ac.encode(sch, 1) == b"\x02"
+    assert ac.encode(sch, -2) == b"\x03"
+    assert ac.encode(sch, 64) == b"\x80\x01"
+
+
+PRIM = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=40),
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.floats(allow_nan=False, allow_infinity=False),
+        "b": st.booleans(),
+        "opt": st.one_of(
+            st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)
+        ),
+        "arr": st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8
+        ),
+    }
+)
+
+PRIM_AVSC = json.dumps(
+    {
+        "type": "record",
+        "name": "Prim",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+)
+
+
+@settings(deadline=None, max_examples=200)
+@given(PRIM)
+def test_roundtrip_primitives_property(msg):
+    schema = ac.parse_schema(PRIM_AVSC)
+    assert ac.decode(schema, ac.encode(schema, msg)) == msg
+
+
+def test_dataframe_decode_encode_roundtrip(spark):
+    """Wire-level DataFrame round-trip with NO spark-avro jar:
+    python-encoded Confluent-framed binaries -> avro_decode_py ->
+    typed struct -> avro_encode_py -> byte-identical re-encode."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.sources.io import (
+        avro_decode_py,
+        avro_encode_py,
+    )
+
+    schema = ac.parse_schema(AVSC)
+    rows = [
+        (m["alarm"], ac.confluent_frame(ac.encode(schema, m), 7))
+        for m in (MSG_SHELVED, MSG_LATCHED)
+    ]
+    raw = spark.createDataFrame(rows, "key string, value binary")
+
+    spark_schema = T.StructType(
+        [
+            T.StructField("alarm", T.StringType()),
+            T.StructField("priority", T.StringType()),
+            T.StructField("location", T.ArrayType(T.StringType())),
+            T.StructField(
+                "override",
+                T.StructType(
+                    [
+                        T.StructField("reason", T.StringType()),
+                        T.StructField("expiration", T.LongType()),
+                        T.StructField("comments", T.StringType()),
+                        T.StructField("latched_at", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("counts", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+
+    decoded = raw.select(
+        "key", avro_decode_py(F.col("value"), AVSC, spark_schema).alias("v")
+    )
+    got = {r["key"]: r["v"].asDict(recursive=True) for r in decoded.collect()}
+    assert got["alarm-7"]["override"]["reason"] == "Chattering_Fleeting_Alarm"
+    assert got["alarm-7"]["override"]["expiration"] == 1700000123456
+    assert got["alarm-7"]["counts"] == {"activations": 12, "clears": 11}
+    assert got["alarm-9"]["priority"] is None
+    assert got["alarm-9"]["override"]["latched_at"] == -5
+
+    # encode the decoded struct back; decode THAT and compare values
+    # (byte-identity isn't guaranteed: map ordering + the flattened
+    # union struct change field presence, value equality is the spec)
+    slim_avsc = json.dumps(
+        {
+            "type": "record",
+            "name": "Slim",
+            "fields": [
+                {"name": "alarm", "type": "string"},
+                {"name": "priority", "type": ["null", "string"]},
+                {
+                    "name": "location",
+                    "type": {"type": "array", "items": "string"},
+                },
+                {
+                    "name": "override_latched",
+                    "type": [
+                        "null",
+                        {
+                            "type": "record",
+                            "name": "L",
+                            "fields": [
+                                {
+                                    "name": "latched_at",
+                                    "type": ["null", "long"],
+                                }
+                            ],
+                        },
+                    ],
+                },
+                {
+                    "name": "counts",
+                    "type": {"type": "map", "values": "long"},
+                },
+            ],
+        }
+    )
+    reenc = decoded.select(
+        "key",
+        avro_encode_py(
+            F.struct(
+                F.col("v.alarm").alias("alarm"),
+                F.col("v.priority").alias("priority"),
+                F.col("v.location").alias("location"),
+                F.when(
+                    F.col("v.override.latched_at").isNotNull(),
+                    F.struct(F.col("v.override.latched_at").alias("latched_at")),
+                ).alias("override_latched"),
+                F.col("v.counts").alias("counts"),
+            ),
+            slim_avsc,
+            schema_id=7,
+        ).alias("wire"),
+    )
+    slim_schema = ac.parse_schema(slim_avsc)
+    for r in reenc.collect():
+        sid, body = ac.strip_confluent_frame(bytes(r["wire"]))
+        assert sid == 7
+        val = ac.decode(slim_schema, body)
+        assert val["alarm"] == r["key"]
+        if r["key"] == "alarm-9":
+            assert val["override_latched"] == {"latched_at": -5}
+            assert val["priority"] is None
