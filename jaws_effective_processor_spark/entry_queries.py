@@ -106,6 +106,20 @@ def _register_rules() -> None:
         rules.q_effective_notifications,
         oracle.EFFECTIVE_NOTIFICATIONS_SQL,
     )
+    register(
+        "registration_scd2",
+        rules.q_registration_scd2,
+        oracle.REGISTRATION_SCD2_SQL,
+    )
+    from .operators.incremental import incremental_effective_alarms
+
+    # incremental == full recompute IS the correctness claim, so the
+    # oracle is the plain full-snapshot SQL
+    register(
+        "incremental_effective_alarms",
+        incremental_effective_alarms,
+        oracle.EFFECTIVE_ALARMS_SQL,
+    )
 
 
 def _register_nested() -> None:

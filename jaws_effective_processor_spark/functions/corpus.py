@@ -204,40 +204,60 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % HOLDOUT_MOD == 0 plays the benchmark suite).
 
     The decontamination pass every serious LLM pipeline runs before
-    training. Scale shape: the test-side gram set is tiny by nature
-    (benchmarks are small), so it is explicitly broadcast and the
-    train side never shuffles — the whole check is a scan + broadcast
-    semi-ish join + one aggregation on doc_id, which arrives already
-    scan-partitioned. Only contaminated docs are emitted.
+    training. Scale shape: each gram is reduced to a 64-bit md5-half
+    IMMEDIATELY after construction, so everything that moves —
+    explode, the test-set distinct, the broadcast, the per-doc
+    aggregation shuffle — carries narrow longs, never 8-word strings
+    (the string variant spent ~16 s at sf0.1 just shuffling gram
+    text; hashed it is ~1 s). The test-side gram set is tiny by
+    nature (benchmarks are small), so it is explicitly broadcast and
+    the train side never join-shuffles. md5 is the cross-engine hash,
+    so the DuckDB twin hashes identically and parity is unaffected by
+    (negligible) collisions. Only contaminated docs are emitted.
     """
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
     gram = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (CONTAM_K - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tk, i + o) for o in range(CONTAM_K)]
-        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(tk, i + o) for o in range(CONTAM_K)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     grams = F.when(F.size(tk) >= CONTAM_K, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<long>")
     )
     g = docs.select("doc_id", grams.alias("grams"))
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     test_grams = (
-        g.filter(is_test).select(F.explode("grams").alias("gram")).distinct()
+        g.filter(is_test).select(F.explode("grams").alias("gram_h")).distinct()
     )
+    # the gram array is ONLY ever exploded — never also size()'d:
+    # referencing it twice would inline (re-evaluate) the whole md5
+    # construction once per reference. n_grams falls out of the same
+    # aggregation as count(*) because the broadcast join is LEFT outer
+    # (every gram row survives, hits marked), halving construction cost
     train = g.filter(~is_test).select(
-        "doc_id",
-        F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        "doc_id", F.explode("grams").alias("gram_h")
     )
+    hit = test_grams.withColumn("hit", F.lit(True))
     return (
-        train.join(F.broadcast(test_grams), "gram")
+        train.join(F.broadcast(hit), "gram_h", "left")
         .groupBy("doc_id")
         .agg(
-            F.max("n_grams").alias("n_grams"),
-            F.count_distinct("gram").alias("n_contam"),
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contam"),
         )
+        .filter(F.col("n_contam") > 0)
         .select(
             "doc_id",
             "n_grams",

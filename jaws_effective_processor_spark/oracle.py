@@ -321,3 +321,16 @@ WHERE NOT (
    OR (ov_shelved AND shelved_oneshot AND t_to_normal)
 )
 """
+
+REGISTRATION_SCD2_SQL = f"""
+WITH {ALARM_CTES},
+v AS (
+  SELECT name, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY name ORDER BY seq) AS valid_to_seq,
+         action, pv
+  FROM instances_log
+)
+SELECT name, valid_from_seq, valid_to_seq, action, pv,
+       (valid_to_seq IS NULL) AS is_current
+FROM v WHERE action IS NOT NULL
+"""

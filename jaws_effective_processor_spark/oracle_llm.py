@@ -565,10 +565,14 @@ from .functions.corpus import (  # noqa: E402
     VOCAB_TOP_K,
 )
 
+# gram -> 60-bit md5 half (same cross-engine hex->int idiom as the
+# MinHash family); both engines hash identically so join/count parity
+# is unaffected by (negligible) collisions
 _CONTAM_GRAM = (
     f"list_transform(range(1, len(tk) - {CONTAM_K - 2}), i -> "
+    "CAST(('0x' || substr(md5("
     + " || ' ' || ".join(f"tk[i + {o}]" for o in range(CONTAM_K))
-    + ")"
+    + "), 1, 15)) AS BIGINT))"
 )
 
 CONTAMINATION_SQL = f"""
@@ -577,24 +581,24 @@ g AS (
   SELECT doc_id,
          CASE WHEN len(tk) >= {CONTAM_K}
               THEN list_distinct({_CONTAM_GRAM})
-              ELSE CAST([] AS VARCHAR[]) END AS grams
+              ELSE CAST([] AS BIGINT[]) END AS grams
   FROM t
 ),
 test_g AS (
-  SELECT DISTINCT unnest(grams) AS gram
+  SELECT DISTINCT unnest(grams) AS gram_h
   FROM g WHERE doc_id % {HOLDOUT_MOD} = 0
 ),
 train AS (
   SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
-         unnest(grams) AS gram
+         unnest(grams) AS gram_h
   FROM g WHERE doc_id % {HOLDOUT_MOD} <> 0
 )
 SELECT train.doc_id,
        max(train.n_grams) AS n_grams,
-       count(DISTINCT train.gram) AS n_contam,
-       (1000 * count(DISTINCT train.gram)) // max(train.n_grams)
+       count(DISTINCT train.gram_h) AS n_contam,
+       (1000 * count(DISTINCT train.gram_h)) // max(train.n_grams)
          AS contam_permille
-FROM train JOIN test_g USING (gram)
+FROM train JOIN test_g USING (gram_h)
 GROUP BY train.doc_id
 """
 

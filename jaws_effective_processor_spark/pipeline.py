@@ -72,8 +72,24 @@ OUTPUT_COLS = (
 def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reg ⟗ act ⟗ overrides, flags coalesced — the IntermediateMonolog."""
     pin_session_conf(spark)
-    events = load_table(spark, sf_dir, "events")
+    return alarm_monolog_from_events(
+        spark, load_table(spark, sf_dir, "events")
+    )
 
+
+def alarm_monolog_from_events(
+    spark: SparkSession,
+    events: DataFrame,
+    clock_events: DataFrame | None = None,
+) -> DataFrame:
+    """Same pipeline over a caller-supplied event log — the seam the
+    incremental-maintenance operator (operators/incremental.py) uses
+    to re-run the pipeline on a key-restricted or seq-bounded slice.
+
+    `clock_events`: frame whose max event time is the snapshot clock
+    (W1/W2 expiration cutoff). A key-restricted re-run must keep the
+    GLOBAL clock, or expirations would be evaluated at the subset's
+    (earlier) max and diverge from the full recompute."""
     reg = effective_registrations(
         adapters.instances_log(events), adapters.actions_dim(spark)
     ).withColumnRenamed("name", "reg_name")
@@ -81,7 +97,12 @@ def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name", "act_name"
     )
     ovr = override_set(
-        live_overrides(adapters.overrides_log(events), adapters.snapshot_ms(events))
+        live_overrides(
+            adapters.overrides_log(events),
+            adapters.snapshot_ms(
+                events if clock_events is None else clock_events
+            ),
+        )
     ).withColumnRenamed("name", "ovr_name")
 
     # J2: full outer (registered, activations) on alarm name
@@ -112,6 +133,21 @@ def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def effective_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The settled effective-state snapshot, one row per known alarm."""
     settled = with_settled_overrides(with_rule_flags(alarm_monolog(spark, sf_dir)))
+    return with_effective_state(settled).select(*OUTPUT_COLS)
+
+
+def effective_alarms_from_events(
+    spark: SparkSession,
+    events: DataFrame,
+    clock_events: DataFrame | None = None,
+) -> DataFrame:
+    """Snapshot pipeline over a caller-supplied event log (see
+    alarm_monolog_from_events)."""
+    settled = with_settled_overrides(
+        with_rule_flags(
+            alarm_monolog_from_events(spark, events, clock_events)
+        )
+    )
     return with_effective_state(settled).select(*OUTPUT_COLS)
 
 

@@ -147,3 +147,36 @@ def q_effective_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ov_shelved",
         "state",
     )
+
+
+def q_registration_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable-as-versioned-table: SCD2 history of the registration
+    changelog. Each upsert opens a version valid over
+    [valid_from_seq, valid_to_seq); the next event on the key (update
+    OR tombstone) closes it; tombstones emit no version of their own.
+    The compacted KTable the reference materializes
+    (RegistrationRule.java:81-89) is exactly the `is_current` slice.
+
+    Scale shape: one window exchange on the alarm key (lead) — the
+    same partitioning compaction uses, so in a pipeline the exchange
+    is reused."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    log = adapters.instances_log(events)
+    w = Window.partitionBy("name").orderBy("seq")
+    versions = log.select(
+        "name",
+        F.col("seq").alias("valid_from_seq"),
+        F.lead("seq").over(w).alias("valid_to_seq"),
+        "action",
+        "pv",
+    )
+    return versions.filter(F.col("action").isNotNull()).select(
+        "name",
+        "valid_from_seq",
+        "valid_to_seq",
+        "action",
+        "pv",
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )

@@ -13,6 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# below every explode(). For exploded arrays that are COMPUTED (shingle
+# hashes, n-grams, band keys — our whole text family), the synthesized
+# filter inlines the full array-construction expression into an
+# interpreted Filter that runs BEFORE the projection computes the array
+# — i.e. the expensive expression is evaluated 2-3x per row, with
+# shared subexpressions (split(text)) re-expanded at every reference.
+# Measured on the contamination query at sf0.1: 16.5 s with the rule,
+# 0.3 s without. explode() already skips empty/null arrays, so the
+# rule only re-derives what Generate does natively.
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -28,6 +43,7 @@ def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -47,6 +63,7 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
     # The testdata parquet uses TIMESTAMP(NANOS) which Spark's reader
     # rejects by default; read as epoch-nanos BIGINT instead. All
     # event-time math goes through adapters.event_ms()/event_ts() so
