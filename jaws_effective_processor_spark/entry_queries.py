@@ -120,6 +120,13 @@ def _register_rules() -> None:
         incremental_effective_alarms,
         oracle.EFFECTIVE_ALARMS_SQL,
     )
+    from .operators.incremental import alarm_snapshot_cdc
+
+    register(
+        "alarm_snapshot_cdc",
+        alarm_snapshot_cdc,
+        oracle.ALARM_SNAPSHOT_CDC_SQL,
+    )
 
 
 def _register_nested() -> None:

@@ -110,3 +110,46 @@ def incremental_effective_alarms(
         spark, touched_events, clock_events=events
     )
     return carried.unionByName(recomputed).select(*OUTPUT_COLS)
+
+
+def alarm_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot versions: what changed between the
+    base (seq <= split) and current effective-alarm snapshots —
+    `added` / `removed` / `changed` rows with before/after state,
+    rows with unchanged state suppressed. This is the changelog a
+    downstream consumer would ingest instead of re-reading the whole
+    snapshot — the batch analog of the topic the reference publishes
+    (every KTable update IS a CDC record).
+
+    Scale shape: both snapshot plans share the event scan; the diff is
+    one full-outer join on the alarm key followed by a row-local
+    compare — no extra shuffles beyond the two pipelines.
+    """
+    from ..pipeline import effective_alarms_from_events
+
+    events = load_table(spark, sf_dir, "events")
+    split = snapshot_split_seq(events)
+    ev = events.join(F.broadcast(split))
+    base_events = ev.filter(F.col("event_id") <= F.col("split_seq")).drop(
+        "split_seq"
+    )
+    base = effective_alarms_from_events(spark, base_events).select(
+        "name", F.col("state").alias("state_before")
+    )
+    cur = effective_alarms_from_events(spark, events).select(
+        "name", F.col("state").alias("state_after")
+    )
+    j = base.join(cur, "name", "full_outer")
+    return j.select(
+        "name",
+        F.when(F.col("state_before").isNull(), F.lit("added"))
+        .when(F.col("state_after").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        "state_before",
+        "state_after",
+    ).filter(
+        F.col("state_before").isNull()
+        | F.col("state_after").isNull()
+        | (F.col("state_before") != F.col("state_after"))
+    )

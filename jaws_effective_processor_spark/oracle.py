@@ -334,3 +334,36 @@ SELECT name, valid_from_seq, valid_to_seq, action, pv,
        (valid_to_seq IS NULL) AS is_current
 FROM v WHERE action IS NOT NULL
 """
+
+# CDC between the seq<=max/2 base snapshot and the current snapshot.
+# The base side reuses ALARM_CTES verbatim with its event scans
+# textually rebound to the bounded CTE (nested WITH keeps the two
+# pipelines' CTE names from colliding).
+_BASE_CTES = ALARM_CTES.replace("FROM events", "FROM events_half")
+
+ALARM_SNAPSHOT_CDC_SQL = f"""
+WITH events_half AS (
+  SELECT * FROM events
+  WHERE event_id <= (SELECT max(event_id) // 2 FROM events)
+),
+base AS (
+  SELECT name, {STATE_CASE} AS state FROM (
+    WITH {_BASE_CTES}
+    SELECT * FROM settled
+  ) s
+),
+cur AS (
+  SELECT name, {STATE_CASE} AS state FROM (
+    WITH {ALARM_CTES}
+    SELECT * FROM settled
+  ) s
+)
+SELECT coalesce(cur.name, base.name) AS name,
+       CASE WHEN base.name IS NULL THEN 'added'
+            WHEN cur.name  IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       base.state AS state_before,
+       cur.state AS state_after
+FROM base FULL JOIN cur ON base.name = cur.name
+WHERE base.name IS NULL OR cur.name IS NULL OR base.state <> cur.state
+"""
