@@ -253,6 +253,11 @@ def _register_llm() -> None:
     register("knn_bruteforce", similarity.q_knn_bruteforce, osql.KNN_BRUTEFORCE_SQL)
     register("knn_lsh", similarity.q_knn_lsh, osql.KNN_LSH_SQL)
     register("knn_ivf", similarity.q_knn_ivf, osql.KNN_IVF_SQL)
+    register(
+        "knn_ivf_multiprobe",
+        similarity.q_knn_ivf_multiprobe,
+        osql.KNN_IVF_MULTIPROBE_SQL,
+    )
     register("multimodal_meta", multimodal.q_multimodal_meta, osql.MULTIMODAL_META_SQL)
     register(
         "multimodal_features",

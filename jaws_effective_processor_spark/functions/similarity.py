@@ -145,10 +145,11 @@ N_CELLS = 8  # IVF coarse-quantizer cells; centroids are the vectors
 # identical in the oracle SQL
 
 
-def _cell_assignment(e: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine (argmax;
-    ties break on centroid id). Centroids are K rows — broadcast
-    cross join + per-vector window argmax, all built-in ops."""
+def _cell_ranked(e: DataFrame) -> DataFrame:
+    """Rank every (vector, centroid) pair by cosine (ties on centroid
+    id): rn=1 is the home cell, rn<=p the p nearest cells (multiprobe
+    order). Centroids are K rows — broadcast cross join + per-vector
+    window, all built-in ops."""
     cent = e.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
     ).select(
@@ -169,10 +170,13 @@ def _cell_assignment(e: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "norm", F.col("cent_id").alias("cell"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _cell_assignment(e: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine)."""
+    return _cell_ranked(e).filter(F.col("rn") == 1).select(
+        "vec_id", "label", "v", "norm", F.col("cent_id").alias("cell")
     )
 
 
@@ -189,6 +193,55 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), F.col("neighbor_id")
     )
     scored = q.join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("q.v"), F.col("c.v"))
+            / (F.col("q.norm") * F.col("c.norm"))
+        ).alias("cos"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
+        )
+    )
+
+
+IVF_NPROBE = 2  # cells probed per query in the multiprobe variant
+
+
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with multiprobe (nprobe=IVF_NPROBE): each query
+    searches its IVF_NPROBE nearest cells instead of only its home
+    cell — the standard recall/latency knob of inverted-file ANN
+    (recall lost to quantization-boundary neighbors comes back at the
+    cost of probing p/N_CELLS of the corpus). Corpus vectors stay
+    assigned to exactly one cell, so probe result sets are disjoint
+    and need no dedup. Same physical shape as nprobe=1: broadcast
+    centroid pass, cell equi-join, per-query top-k window."""
+    e = _vectors(spark, sf_dir)
+    ranked = _cell_ranked(e)
+    c = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "norm", F.col("cent_id").alias("cell")
+    ).alias("c")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        "vec_id", "v", "norm", F.col("cent_id").alias("cell")
+    ).alias("q")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = probes.join(
         c,
         (F.col("q.cell") == F.col("c.cell"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),

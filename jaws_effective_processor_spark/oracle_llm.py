@@ -626,3 +626,49 @@ SELECT lang, n_docs, n_tokens,
        (1000 * n_tokens) // (sum(n_tokens) OVER ()) AS token_share_permille
 FROM per_lang
 """
+
+from .functions.similarity import IVF_NPROBE  # noqa: E402
+
+KNN_IVF_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cent_id
+         ) AS rn
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM assigned WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM probes q JOIN cells c
+    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM ranked WHERE rank <= {TOP_K}
+"""
