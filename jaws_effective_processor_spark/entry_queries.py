@@ -191,6 +191,7 @@ def _register_relational() -> None:
         r.q_events_sessionization,
         osql.EVENTS_SESSIONIZATION_SQL,
     )
+    register("event_funnel", r.q_event_funnel, osql.EVENT_FUNNEL_SQL)
     register("events_daily", r.q_events_daily, osql.EVENTS_DAILY_SQL)
     register(
         "events_rollup_multires",

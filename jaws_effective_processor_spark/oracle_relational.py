@@ -265,3 +265,29 @@ SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.75) AS p75
 FROM orders GROUP BY o_orderpriority
 """
+
+EVENT_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+v AS (
+  SELECT user_id, min(ms) AS view_ms FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ms) AS click_ms
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ms > v.view_ms
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ms) AS purchase_ms
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ms > c.click_ms
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+       CAST(1 + (c.click_ms IS NOT NULL)::INT
+              + (p.purchase_ms IS NOT NULL)::INT AS BIGINT) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""

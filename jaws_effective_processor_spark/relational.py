@@ -448,3 +448,57 @@ def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
     )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: per user, the first view, the first
+    click AFTER that view, and the first purchase AFTER that click —
+    with the stage reached (1-3). The MATCH_RECOGNIZE-style pattern
+    query of product analytics, expressed as staged conditional
+    aggregations.
+
+    Scale shape: three aggregations and two joins, ALL keyed on
+    user_id — one hash partitioning carried through the whole plan
+    (AQE reuses the exchange), no window over the raw event stream,
+    no self-join amplification.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", ms_of(events, "ts").alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("view_ms"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("view_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("click_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("click_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("purchase_ms"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ms",
+            "click_ms",
+            "purchase_ms",
+            (
+                F.lit(1)
+                + F.col("click_ms").isNotNull().cast("int")
+                + F.col("purchase_ms").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
