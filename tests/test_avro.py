@@ -289,3 +289,53 @@ def test_dataframe_decode_encode_roundtrip(spark):
         if r["key"] == "alarm-9":
             assert val["override_latched"] == {"latched_at": -5}
             assert val["priority"] is None
+
+
+def test_kafka_avro_payload_roundtrip(spark):
+    """S3+S4: rows -> Confluent-framed Avro wire (tombstone -> null
+    value) -> decode -> original values. The Avro twin of
+    test_sources.py's JSON wire round-trip."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources.io import kafka_avro_payload
+
+    avsc = _json.dumps(
+        {
+            "type": "record",
+            "name": "Ovr",
+            "fields": [
+                {"name": "type", "type": ["null", "string"]},
+                {"name": "expiration", "type": ["null", "long"]},
+                {"name": "oneshot", "type": ["null", "boolean"]},
+            ],
+        }
+    )
+    rows = [
+        ("alarm_1", "Shelved", 1700000000123, True, False),
+        ("alarm_2", "OnDelayed", -1, False, False),
+        ("alarm_3", None, None, None, True),  # tombstone
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, type string, expiration long, oneshot boolean,"
+        " __tombstone boolean",
+    )
+    wire = kafka_avro_payload(df, avsc, schema_id=9).orderBy("key").collect()
+    schema = ac.parse_schema(avsc)
+    assert [r["key"] for r in wire] == ["alarm_1", "alarm_2", "alarm_3"]
+    assert wire[2]["value"] is None  # tombstone ships a null value
+    sid, body = ac.strip_confluent_frame(bytes(wire[0]["value"]))
+    assert sid == 9
+    assert ac.decode(schema, body) == {
+        "type": "Shelved",
+        "expiration": 1700000000123,
+        "oneshot": True,
+    }
+    sid, body = ac.strip_confluent_frame(bytes(wire[1]["value"]))
+    assert ac.decode(schema, body) == {
+        "type": "OnDelayed",
+        "expiration": -1,
+        "oneshot": False,
+    }
