@@ -283,6 +283,7 @@ def _register_llm() -> None:
     register("dedup_clusters", corpus.q_dedup_clusters, osql.DEDUP_CLUSTERS_SQL)
     register("contamination", corpus.q_contamination, osql.CONTAMINATION_SQL)
     register("vocab_topk", corpus.q_vocab_topk, osql.VOCAB_TOPK_SQL)
+    register("token_rarity", corpus.q_token_rarity, osql.TOKEN_RARITY_SQL)
     register("corpus_mixture", corpus.q_corpus_mixture, osql.CORPUS_MIXTURE_SQL)
 
 

@@ -387,3 +387,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id"
         ),
     )
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical rarity vs the corpus unigram table: the
+    corpus-wide count of the doc's rarest token and the mean corpus
+    count of its tokens — the unigram-LM quality signal (documents of
+    frequent tokens score high; hapax-heavy docs flag for review).
+
+    Two-pass shape: pass 1 builds the corpus token-frequency table
+    (one groupBy with map-side partials); pass 2 explodes each doc and
+    joins on token. The join key is high-cardinality and uniform, so
+    at 100 TB it is a plain shuffle equi-join (the frequency table of
+    a web corpus outgrows broadcast range); the final aggregation
+    returns to the doc key. Integer outputs keep oracle parity exact.
+    """
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("tok_count"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min("tok_count").alias("min_tok_count"),
+            F.sum("tok_count").alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "min_tok_count",
+            F.expr("_sum DIV n_tokens").alias("avg_tok_count"),
+        )
+    )

@@ -672,3 +672,16 @@ SELECT query_id, neighbor_id, rank,
        CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+TOKEN_RARITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS tok_count FROM tok GROUP BY token)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       min(freq.tok_count) AS min_tok_count,
+       sum(freq.tok_count) // count(*) AS avg_tok_count
+FROM tok JOIN freq USING (token)
+GROUP BY tok.doc_id
+"""

@@ -1,0 +1,82 @@
+"""Edge-case oracle parity for the document operators.
+
+The driver's fixtures are well-formed; these synthesize the degenerate
+shapes a real crawl contains — empty text, one-token docs, docs below
+the shingle width, exact duplicates, heavy intra-doc repetition — and
+assert the SAME Spark-vs-DuckDB parity the main gate checks. Engines
+disagree most at the edges (split('') semantics, empty-array folds),
+so this is where silent divergence would hide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from jaws_effective_processor_spark.entry_queries import QUERIES, ORACLE_SQL
+from tests.oracle_harness import compare
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "", "en", "edge", 0),
+    (2, "one", "en", "edge", 3),
+    (3, "two words", "en", "edge", 9),
+    (4, "three word doc", "en", "edge", 14),
+    (5, "the the the the the the", "en", "edge", 23),
+    (6, "exact duplicate body here", "en", "edge", 25),
+    (7, "exact duplicate body here", "en", "edge", 25),
+    (8, "a b c d e f g h i j k l m n o p", "es", "edge", 31),
+    (9, "unico documento espanol con varias palabras distintas", "es", "edge", 53),
+    (50, "held out doc with some overlapping words here", "de", "edge", 45),
+    (51, "train doc with some overlapping words here too", "de", "edge", 46),
+]
+
+EDGE_QUERIES = (
+    "text_stats",
+    "token_counts",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_normalized",
+    "doc_repetition",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "pack_sequences",
+    "vocab_topk",
+    "token_rarity",
+    "corpus_mixture",
+    "contamination",
+    "quality_score",
+    "language_id",
+    "pii_scan",
+    "stratified_sample",
+)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_sf")
+    cols = list(zip(*EDGE_DOCS))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    # one plain parquet FILE — both Spark and the DuckDB view read it
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_docs_oracle_parity(spark, edge_dir, name):
+    df = QUERIES[name](spark, edge_dir)
+    compare(df, ORACLE_SQL[name], edge_dir)
