@@ -33,14 +33,21 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+SF_WARM = os.environ.get("SPARK_GRAFT_SF_WARM", "/root/testdata/sf0.001")
+
+
 def main() -> None:
     spark = get_spark("jaws-spark-bench")
     queries = entry_queries.QUERIES
 
-    # warm-up: JVM, codegen, parquet footer caches — and the Python/
-    # Arrow UDF workers, so the first pandas-UDF query isn't billed
-    # for interpreter startup
-    force(queries["effective_alarms"](spark, SF_DIR))
+    # Warm-up. Timed medians only stabilize once the JVM has JIT-
+    # compiled the Spark internals every plan exercises (shuffle
+    # writers, broadcast build, codegen harness, digest/regex paths) —
+    # round 1 and round 2 both measured 5-10x erratic spikes on
+    # identical plans early in the alphabetical sweep before the JIT
+    # settles. So: run the ENTIRE suite once, untimed, at the smallest
+    # SF (sub-second per query) before timing at SF_DIR, plus one
+    # pandas-UDF no-op so Python worker startup isn't billed either.
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType
 
@@ -48,6 +55,11 @@ def main() -> None:
     spark.range(0, 1000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    for name in sorted(queries):
+        try:
+            force(queries[name](spark, SF_WARM))
+        except Exception:
+            pass  # a warm-up miss only costs warm-up coverage
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

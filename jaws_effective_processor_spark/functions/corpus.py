@@ -195,6 +195,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_K = 8  # n-gram width for the train/test overlap check
 HOLDOUT_MOD = 50  # doc_id % 50 == 0 -> held-out "test set"
+# rolling-hash constants for the gram combine: 28-bit token hashes,
+# acc*MULT + h stays < 2^31*131 + 2^28 < 2^39 — no BIGINT overflow in
+# either engine (DuckDB errors on overflow; Spark would wrap silently)
+CONTAM_MULT = 131
+CONTAM_P = 2147483647
 VOCAB_TOP_K = 100
 
 
@@ -217,26 +222,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
+    # ONE md5 per TOKEN (28-bit half), then each 8-gram is an integer
+    # rolling combine of its 8 token hashes mod P. The earlier form —
+    # an 8-wide string concat + md5 PER GRAM — generated codegen so
+    # large the JVM intermittently stalled every task thread for
+    # seconds re-JITting it (the round-1 MinHash lesson again); this
+    # form is 8x fewer digests and a small generated method. Both
+    # engines run the identical integer fold, so parity is exact.
+    tkh = F.transform(
+        tk,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+
+    def combine(i: F.Column) -> F.Column:
+        acc = F.element_at(F.col("tkh"), i)
+        for o in range(1, CONTAM_K):
+            acc = (acc * CONTAM_MULT + F.element_at(F.col("tkh"), i + o)) % CONTAM_P
+        return acc
+
+    t = docs.select("doc_id", F.size(tk).alias("n_tok"), tkh.alias("tkh"))
     gram = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - (CONTAM_K - 1)),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(tk, i + o) for o in range(CONTAM_K)]
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        F.sequence(F.lit(1), F.col("n_tok") - (CONTAM_K - 1)), combine
     )
-    grams = F.when(F.size(tk) >= CONTAM_K, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<long>")
-    )
-    g = docs.select("doc_id", grams.alias("grams"))
+    grams = F.when(
+        F.col("n_tok") >= CONTAM_K, F.array_distinct(gram)
+    ).otherwise(F.array().cast("array<long>"))
+    g = t.select("doc_id", grams.alias("grams"))
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     test_grams = (
         g.filter(is_test).select(F.explode("grams").alias("gram_h")).distinct()
@@ -250,8 +261,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("grams").alias("gram_h")
     )
     hit = test_grams.withColumn("hit", F.lit(True))
+    # No explicit broadcast hint: the hit side is tiny but DERIVED
+    # (explode + md5 + distinct), and forcing an eager broadcast
+    # exchange of a computed subplan intermittently stalled 5-20 s on
+    # a busy driver (measured; the unhinted plan never did). AQE
+    # still picks a broadcast join from the runtime row count — same
+    # physical join, built from materialized shuffle stats instead.
     return (
-        train.join(F.broadcast(hit), "gram_h", "left")
+        train.join(hit, "gram_h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

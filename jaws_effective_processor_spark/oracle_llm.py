@@ -561,25 +561,34 @@ FROM (
 # -------------------------------- contamination / vocab / mixture twins
 from .functions.corpus import (  # noqa: E402
     CONTAM_K,
+    CONTAM_MULT,
+    CONTAM_P,
     HOLDOUT_MOD,
     VOCAB_TOP_K,
 )
 
-# gram -> 60-bit md5 half (same cross-engine hex->int idiom as the
-# MinHash family); both engines hash identically so join/count parity
-# is unaffected by (negligible) collisions
+# one md5 per token (28-bit half) + integer rolling combine per gram —
+# the same fold functions/corpus.py builds, written out by the same
+# python loop so the dialects cannot drift
+_contam_acc = "th[i]"
+for _o in range(1, CONTAM_K):
+    _contam_acc = (
+        f"(({_contam_acc}) * {CONTAM_MULT} + th[i + {_o}]) % {CONTAM_P}"
+    )
 _CONTAM_GRAM = (
-    f"list_transform(range(1, len(tk) - {CONTAM_K - 2}), i -> "
-    "CAST(('0x' || substr(md5("
-    + " || ' ' || ".join(f"tk[i + {o}]" for o in range(CONTAM_K))
-    + "), 1, 15)) AS BIGINT))"
+    f"list_transform(range(1, len(th) - {CONTAM_K - 2}), i -> {_contam_acc})"
 )
 
 CONTAMINATION_SQL = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS th
+  FROM documents
+),
 g AS (
   SELECT doc_id,
-         CASE WHEN len(tk) >= {CONTAM_K}
+         CASE WHEN len(th) >= {CONTAM_K}
               THEN list_distinct({_CONTAM_GRAM})
               ELSE CAST([] AS BIGINT[]) END AS grams
   FROM t
