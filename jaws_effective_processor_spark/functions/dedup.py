@@ -436,10 +436,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if pdf.empty:
             return empty
-        A = np.vstack(pdf["v"].to_numpy())
+        # zero-norm vectors carry no cosine (undefined; oracle drops
+        # them with the same norm>0 guard)
+        A0 = np.vstack(pdf["v"].to_numpy())
+        n0 = np.sqrt(np.cumsum(A0 * A0, axis=1)[:, -1])
+        keep0 = n0 > 0
+        pdf = pdf[keep0]
+        if pdf.empty:
+            return empty
+        A = A0[keep0]
         ids = pdf["vec_id"].to_numpy()
         # norms via cumsum == the oracle's sequential fold
-        norms = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        norms = n0[keep0]
         ci, cj = int(pdf["ci"].iloc[0]), int(pdf["cj"].iloc[0])
         if ci == cj:
             # one BLAS matmul for the whole block; triu keeps each

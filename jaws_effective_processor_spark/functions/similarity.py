@@ -48,10 +48,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     # norm folded once per row, not per candidate pair — same float
-    # value as the oracle's per-pair sqrt(list_dot_product(x,x))
+    # value as the oracle's per-pair sqrt(list_dot_product(x,x)).
+    # Zero-norm vectors are DROPPED: cosine is undefined for them, and
+    # under Spark's default ANSI mode the division would throw
+    # DIVIDE_BY_ZERO at runtime (edge-tested in test_edge_docs.py);
+    # the oracles carry the same norm>0 guard.
     return emb.select(
         "vec_id", "label", v.alias("v"), F.sqrt(dot(v, v)).alias("norm")
-    )
+    ).filter(F.col("norm") > 0)
 
 
 def _cos(a: str, b: str) -> Column:

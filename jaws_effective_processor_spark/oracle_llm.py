@@ -193,6 +193,8 @@ _COS = (
 EMBEDDING_NEARDUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 )
 SELECT vec_a, vec_b, cos_permyriad FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -210,6 +212,8 @@ _QCOS = (
 KNN_BRUTEFORCE_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_QCOS} AS cos
@@ -244,6 +248,8 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          CAST({_BUCKET} AS BIGINT) AS bucket
   FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_QCOS} AS cos
@@ -342,6 +348,8 @@ WITH e AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS norm
   FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 cent AS (
   SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
@@ -644,6 +652,8 @@ WITH e AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS norm
   FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 cent AS (
   SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e

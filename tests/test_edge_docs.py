@@ -80,3 +80,48 @@ def edge_dir(tmp_path_factory):
 def test_edge_docs_oracle_parity(spark, edge_dir, name):
     df = QUERIES[name](spark, edge_dir)
     compare(df, ORACLE_SQL[name], edge_dir)
+
+
+# ---- embeddings edge cases: zero vectors, duplicates, tiny labels --
+
+EDGE_VECS = 40
+EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
+               "knn_ivf_multiprobe")
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    dim = 64
+    vecs, labels = [], []
+    for i in range(EDGE_VECS):
+        if i == 20:
+            v = [0.0] * dim  # zero vector: norm 0 -> cos is NaN/NULL
+        elif i == 21:
+            v = [1.0] + [0.0] * (dim - 1)
+        elif i == 22:
+            v = [1.0] + [0.0] * (dim - 1)  # exact duplicate of 21
+        elif i == 23:
+            v = [-1.0] + [0.0] * (dim - 1)  # antipode of 21
+        else:
+            v = [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)]
+        vecs.append(v)
+        labels.append(i % 3)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(EDGE_VECS), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
+    df = QUERIES[name](spark, edge_emb_dir)
+    compare(df, ORACLE_SQL[name], edge_emb_dir)
