@@ -61,14 +61,23 @@ def main() -> None:
         except Exception:
             pass  # a warm-up miss only costs warm-up coverage
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        runs = []
-        for _ in range(BENCH_N):
+    # Interleaved sweeps, not back-to-back repeats: co-tenant load and
+    # JVM housekeeping stalls come in multi-second WINDOWS, and three
+    # consecutive runs of one query can all land inside one window
+    # (measured: a 1 s query's median inflating 13x). Running the full
+    # sweep BENCH_N times and taking per-query medians across sweeps
+    # decorrelates each query's samples in time, so a bad window costs
+    # one sample of many queries instead of every sample of one.
+    runs: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(BENCH_N):
+        for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(rs), 3)
+        for name, rs in sorted(runs.items())
+    }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
