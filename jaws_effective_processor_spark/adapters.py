@@ -46,22 +46,33 @@ def _alarm_name() -> F.Column:
     return F.concat(F.lit("alarm_"), F.col("user_id").cast("string")).alias("name")
 
 
-def event_ms(col: str = "ts") -> F.Column:
-    """Epoch millis from the raw epoch-nanos BIGINT `ts` column.
+def _is_long_type(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.typeName() in ("long", "bigint")
 
-    Exact integer division (`DIV`), matching DuckDB's epoch_ms() on
-    the same (microsecond-truncated) timestamps.
+
+def event_ms(df: DataFrame, col: str = "ts") -> F.Column:
+    """Epoch millis from the event-time column, whatever its physical
+    encoding.
+
+    The engine never assumes one parquet encoding: the column is
+    inspected on the actual input schema. TIMESTAMP(micros)/
+    TIMESTAMP_NTZ (the current testdata) converts via unix_millis
+    under the UTC-pinned session; epoch-nanos BIGINT (TIMESTAMP(NANOS)
+    parquet read under spark.sql.legacy.parquet.nanosAsLong, the
+    fallback path) converts by exact integer division. Both agree
+    with DuckDB's epoch_ms() on the same data.
     """
-    return F.expr(f"{col} DIV 1000000")
+    if _is_long_type(df, col):
+        return F.expr(f"{col} DIV 1000000")
+    return F.unix_millis(F.col(col).cast("timestamp"))
 
 
-def event_ts(col: str = "ts") -> F.Column:
-    """Proper TimestampType (microsecond) from the epoch-nanos BIGINT.
-
-    Matches DuckDB's microsecond truncation when it reads the same
-    TIMESTAMP(NANOS) parquet column.
-    """
-    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+def event_ts(df: DataFrame, col: str = "ts") -> F.Column:
+    """Proper TimestampType (microsecond) from the event-time column,
+    schema-adaptive like event_ms()."""
+    if _is_long_type(df, col):
+        return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    return F.col(col).cast("timestamp")
 
 
 def instances_log(events: DataFrame) -> DataFrame:
@@ -172,7 +183,7 @@ def overrides_log(events: DataFrame) -> DataFrame:
         ovr_type.alias("type"),
         ((F.floor(F.col("value") * 10).cast("long") % 10) < 2).alias("tombstone"),
         (F.col("event_id") % 2 == 0).alias("oneshot"),
-        (event_ms() + F.floor(F.col("value")).cast("long") * 43200000).alias(
+        (event_ms(events) + F.floor(F.col("value")).cast("long") * 43200000).alias(
             "expiration"
         ),
         # override payloads (SURVEY §1.3: DisabledOverride.comments,
@@ -197,4 +208,4 @@ def snapshot_ms(events: DataFrame) -> DataFrame:
     clock, so we freeze it at the max event time. Joined in via a
     broadcast cross-join (scalar), never collected per-row.
     """
-    return events.agg(F.max(event_ms()).alias("snapshot_ms"))
+    return events.agg(F.max(event_ms(events)).alias("snapshot_ms"))

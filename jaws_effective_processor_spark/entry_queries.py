@@ -185,7 +185,10 @@ def _register_relational() -> None:
         osql.SEGMENT_CUSTKEYS_SETOPS_SQL,
     )
     register("distinct_counts", r.q_distinct_counts, osql.DISTINCT_COUNTS_SQL)
-    register("approx_distinct", r.q_approx_distinct)  # rows-only: sketch output
+    # sketch estimates can't hash-match across engines, so the query
+    # emits exact values + Spark-side bound-check booleans; the oracle
+    # emits the exact values + literal TRUE (see q_approx_distinct).
+    register("approx_distinct", r.q_approx_distinct, osql.APPROX_DISTINCT_SQL)
     register(
         "events_sessionization",
         r.q_events_sessionization,
@@ -291,3 +294,92 @@ _register_rules()
 _register_nested()
 _register_relational()
 _register_llm()
+
+
+# --------------------------------------------------------- check order
+# The round driver verifies the first 50 registered queries against
+# their DuckDB oracles. Registration order is therefore a coverage
+# decision: the first 50 entries below are chosen so every operator
+# family (alarm pipeline, nested projection, relational/SQL surface,
+# text analysis, dedup, ANN, multimodal, corpus curation) has at
+# least one driver-checked representative. Everything past 50 is a
+# same-family sibling variant whose operator is already represented
+# (e.g. knn_ivf ⊂ knn_ivf_multiprobe, dedup_normalized ~ dedup_exact)
+# — still registered, still pytest/oracle-covered locally via
+# tests/test_entry_contract.py, just not burning a driver slot.
+_CHECK_FIRST = [
+    # alarm pipeline (S/P/J/A/T/E/W operator rows of SURVEY §2)
+    "effective_alarms",
+    "effective_state_history",
+    "effective_registrations",
+    "activation_transitions",
+    "override_set",
+    "latch_overrides",
+    "ondelay_overrides",
+    "oneshot_tombstones",
+    "shelve_expirations",
+    "ondelay_expirations",
+    "effective_notifications",
+    "registration_scd2",
+    "incremental_effective_alarms",
+    "alarm_snapshot_cdc",
+    # nested-output family representative
+    "effective_registrations_nested",
+    # relational/SQL surface (§2.9)
+    "pricing_summary",
+    "revenue_by_nation",
+    "parts_without_orders",
+    "lineitem_rollup",
+    "customer_order_windows",
+    "segment_custkeys_setops",
+    "approx_distinct",
+    "events_sessionization",
+    "event_funnel",
+    "events_daily",
+    "parts_above_brand_avg",
+    "scalar_functions",
+    "event_type_pivot",
+    "order_percentiles",
+    "asof_last_purchase",
+    "range_copurchase",
+    # text analysis
+    "token_counts",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    # dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_neardup",
+    # ANN / similarity
+    "knn_bruteforce",
+    "knn_ivf_multiprobe",
+    # multimodal
+    "multimodal_meta",
+    "multimodal_features",
+    # corpus curation
+    "stratified_sample",
+    "doc_chunks",
+    "dedup_clusters",
+    "contamination",
+    "vocab_topk",
+    "pii_scan",
+]
+
+
+def _apply_check_order() -> None:
+    assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
+    missing = [n for n in _CHECK_FIRST if n not in QUERIES]
+    assert not missing, f"unregistered priority queries: {missing}"
+    ordered = {n: QUERIES[n] for n in _CHECK_FIRST}
+    ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    osql = {n: ORACLE_SQL[n] for n in ordered if n in ORACLE_SQL}
+    ORACLE_SQL.clear()
+    ORACLE_SQL.update(osql)
+
+
+_apply_check_order()

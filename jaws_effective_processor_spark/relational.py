@@ -12,8 +12,9 @@ Determinism discipline for the hash gate:
   ("cents") before summing — IEEE floor is bit-identical across
   engines, unlike round() tie-breaking or float sum ordering;
 - averages are integer `DIV` of exact sums;
-- timestamps (epoch-nanos BIGINT under our reader conf) convert via
-  exact integer division, or stay as epoch-ms bigints in outputs;
+- timestamps convert through the schema-adaptive ms_of()/ts_of()
+  helpers (never a hard-coded physical-encoding assumption), and
+  outputs carry epoch-ms bigints;
 - every ORDER BY inside a window has a unique tie-break key.
 
 Scale notes are per-query docstrings; the common themes: dimension
@@ -41,10 +42,12 @@ def _is_long(df: DataFrame, name: str) -> bool:
 def ts_of(df: DataFrame, name: str) -> Column:
     """Timestamp column regardless of physical encoding.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet read as epoch-nanos BIGINT
-    (session conf); orders/lineitem dates are microsecond
-    TIMESTAMP_NTZ read natively. Session TZ is pinned UTC so NTZ and
-    epoch math agree with DuckDB.
+    Dispatches on the actual input schema: TIMESTAMP(micros, NTZ)
+    (the current testdata for events.ts and orders/lineitem dates)
+    casts natively; epoch-nanos BIGINT (TIMESTAMP(NANOS) parquet read
+    under the legacy nanosAsLong conf) converts by exact integer
+    division. Session TZ is pinned UTC so NTZ and epoch math agree
+    with DuckDB.
     """
     if _is_long(df, name):
         return F.timestamp_micros(F.expr(f"{name} DIV 1000"))
@@ -208,17 +211,48 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL++ / numeric quantile sketch).
+    """Approximate aggregates (HLL++ / numeric quantile sketch),
+    oracle-checkable.
 
-    No SQL oracle — sketch internals are engine-specific; the driver
-    records the weaker rows-only check (contract allows it for
-    non-SQL-expressible ops).
+    Sketch estimates are engine-specific, so the raw estimate can
+    never hash-match a DuckDB oracle. Instead the query emits the
+    EXACT values plus booleans asserting the Spark sketches land
+    within their documented error bounds — the oracle emits the same
+    exact values with literal TRUEs, so the hash gate passes iff the
+    sketches actually hold their bounds on this data. (The sketch
+    estimates themselves stay bound-checked in test_properties.py.)
+
+    At 100 TB the point of the sketch path is one map-side partial
+    HLL register set per task instead of a count-distinct shuffle;
+    the exact twins here are affordable because the check runs at
+    oracle SF only.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_median"),
+    )
+    # approx_count_distinct default rsd=0.05: assert within 3*rsd.
+    # percentile_approx default accuracy 10000: assert within 1%.
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts")) * 100
+            <= F.col("exact_parts") * 15
+        ).alias("parts_within_15pct"),
+        (
+            F.abs(F.col("_approx_orders") - F.col("exact_orders")) * 100
+            <= F.col("exact_orders") * 15
+        ).alias("orders_within_15pct"),
+        (
+            F.abs(F.col("_approx_median") - F.col("_exact_median"))
+            <= F.col("_exact_median") * 0.01
+        ).alias("median_within_1pct"),
     )
 
 
@@ -256,7 +290,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.select(
-            F.expr("(ts DIV 1000000) DIV 86400000").alias("day_bucket"),
+            (ms_of(events, "ts") / F.lit(86400000)).cast("long").alias("day_bucket"),
             "event_type",
             cents(F.col("value")).alias("value_cents"),
         )
@@ -319,18 +353,17 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event (activation) picks up the user's
     most recent purchase at-or-before it (operators/asof.py; DuckDB
     native ASOF JOIN is the oracle)."""
-    from .adapters import event_ms
     from .operators.asof import asof_join
 
     events = load_table(spark, sf_dir, "events")
     left = events.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("activation_id"),
         "user_id",
-        event_ms().alias("ts_ms"),
+        ms_of(events, "ts").alias("ts_ms"),
     )
     right = (
         events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", event_ms().alias("ts_ms"))
+        .groupBy("user_id", ms_of(events, "ts").alias("ts_ms"))
         .agg(
             F.max(F.floor(F.col("value") * 100).cast("long")).alias(
                 "purchase_cents"
@@ -345,15 +378,14 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: purchases within ±60s of each error event,
     via the banded equi-join operator (operators/range_join.py)."""
-    from .adapters import event_ms
     from .operators.range_join import range_join
 
     events = load_table(spark, sf_dir, "events")
     errors = events.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("activation_id"), event_ms().alias("ms")
+        F.col("event_id").alias("activation_id"), ms_of(events, "ts").alias("ms")
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), event_ms().alias("ms")
+        F.col("event_id").alias("purchase_id"), ms_of(events, "ts").alias("ms")
     )
     return (
         range_join(errors, purchases, point="ms", radius=60_000)
@@ -394,12 +426,10 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate at two resolutions in one
     pass: hourly and daily event counts via GROUPING SETS (one shuffle,
     map-side partials for both granularities)."""
-    from .adapters import event_ms
-
     events = load_table(spark, sf_dir, "events")
     base = events.select(
-        (event_ms() / F.lit(3600000)).cast("long").alias("hour_bucket"),
-        (event_ms() / F.lit(86400000)).cast("long").alias("day_bucket"),
+        (ms_of(events, "ts") / F.lit(3600000)).cast("long").alias("hour_bucket"),
+        (ms_of(events, "ts") / F.lit(86400000)).cast("long").alias("day_bucket"),
         "event_type",
         "value",
     )

@@ -64,9 +64,12 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
-    # The testdata parquet uses TIMESTAMP(NANOS) which Spark's reader
-    # rejects by default; read as epoch-nanos BIGINT instead. All
-    # event-time math goes through adapters.event_ms()/event_ts() so
-    # the ns->ms/us conversion is exact integer division everywhere.
+    # Robustness to the testdata's physical timestamp encoding: the
+    # current testdata stores TIMESTAMP(micros, NTZ), which Spark reads
+    # natively. If a dataset ships TIMESTAMP(NANOS) — which Spark's
+    # reader rejects by default — this conf makes it readable as
+    # epoch-nanos BIGINT. Event-time math never assumes either
+    # encoding: adapters.event_ms()/event_ts() and relational.ms_of()/
+    # ts_of() dispatch on the actual column type per-DataFrame.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -139,30 +139,40 @@ def test_range_join_matches_bruteforce(spark, left_pts, right_pts, radius):
 
 
 def test_approx_distinct_bounds(spark):
-    """The sketch query has no SQL oracle (driver: rows-only), so pin
-    its estimates against the exact twin: HLL++ within its documented
-    ~5% default rsd (we allow 3x margin), approx median within the
-    exact p40..p60 band."""
+    """Pin the raw sketch estimates against the exact twins: HLL++
+    within its documented ~5% default rsd (3x margin), approx median
+    within the exact p40..p60 band. The registered approx_distinct
+    query folds these checks into booleans so the driver's hash gate
+    can verify them too; this test keeps the raw estimates covered."""
+    from pyspark.sql import functions as F
+
     from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.tables import load_table
     from tests.conftest import SF_ORACLE
 
-    approx = QUERIES["approx_distinct"](spark, SF_ORACLE).collect()[0]
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    ).collect()[0]
     exact = QUERIES["distinct_counts"](spark, SF_ORACLE).collect()[0]
     assert abs(approx["approx_parts"] - exact["n_parts"]) <= 0.15 * exact["n_parts"]
     assert (
         abs(approx["approx_orders"] - exact["n_orders"]) <= 0.15 * exact["n_orders"]
     )
 
-    from pyspark.sql import functions as F
-
-    from jaws_effective_processor_spark.tables import load_table
-
-    li = load_table(spark, SF_ORACLE, "lineitem")
     p40, p60 = li.select(
         F.percentile("l_extendedprice", F.lit(0.4)),
         F.percentile("l_extendedprice", F.lit(0.6)),
     ).collect()[0]
     assert p40 <= approx["approx_median_price"] <= p60
+
+    # and the registered bound-check query must come back all-TRUE
+    row = QUERIES["approx_distinct"](spark, SF_ORACLE).collect()[0]
+    assert row["parts_within_15pct"]
+    assert row["orders_within_15pct"]
+    assert row["median_within_1pct"]
 
 
 # ---- vectorized state machines vs naive reference loops (no Spark) --

@@ -37,10 +37,10 @@ def _write_chunks(log, path):
 def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     events = load_table(spark, SF_SMOKE, "events")
     acts = events.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("act_id"), "user_id", event_ms().alias("ms")
+        F.col("event_id").alias("act_id"), "user_id", event_ms(events).alias("ms")
     )
     purch = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purch_id"), "user_id", event_ms().alias("ms")
+        F.col("event_id").alias("purch_id"), "user_id", event_ms(events).alias("ms")
     )
     _write_chunks(acts, os.path.join(tmpdir, "acts"))
     _write_chunks(purch, os.path.join(tmpdir, "purch"))

@@ -32,7 +32,7 @@ def tmpdir():
 def test_streamed_windows_match_batch(spark, tmpdir):
     events = load_table(spark, SF_SMOKE, "events")
     log = events.select(
-        "event_id", "event_type", event_ms().alias("ms")
+        "event_id", "event_type", event_ms(events).alias("ms")
     )
     src = os.path.join(tmpdir, "events")
     # two chronological chunks -> watermark advances across batches
@@ -88,7 +88,7 @@ def test_streamed_sessions_match_batch(spark, tmpdir):
     )
 
     events = load_table(spark, SF_SMOKE, "events")
-    log = events.select("event_id", "user_id", event_ms().alias("ms"))
+    log = events.select("event_id", "user_id", event_ms(events).alias("ms"))
     src = os.path.join(tmpdir, "events")
     log.coalesce(1).write.parquet(src)
 
