@@ -29,8 +29,8 @@ DuckDB) so every stage is oracle-checkable.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -364,121 +364,140 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEARDUP_CHUNK = 4096  # target rows per block in the block self-join
 NEARDUP_CUT = 0.3  # cosine threshold (permyriad 3000)
+NEARDUP_DIM = 64
+NEARDUP_BANDS = 6  # LSH bands: a pair is a candidate iff it agrees on
+NEARDUP_BAND_BITS = 6  # >=1 band of 6 hyperplane sign bits
+_nd_rng = random.Random(20250813)
+# deterministic +/-1 random hyperplanes, shared VERBATIM with the
+# oracle SQL (same pattern as similarity.HYPERPLANES / knn_lsh)
+NEARDUP_PLANES: list[list[float]] = [
+    [float(_nd_rng.choice((-1, 1))) for _ in range(NEARDUP_DIM)]
+    for _ in range(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+]
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30),
-    as a BLOCK-MATRIX self-join.
+    """Embedding-cosine near-dup pairs (label-blocked, cos >= 0.30):
+    hyperplane-LSH banded candidates + exact fold-order re-score.
 
-    The naive shape (explode candidate pairs, ship both vectors per
-    pair through Arrow) moves O(pairs * dim) data — ~200k pairs x 128
-    doubles at sf0.1 made the pair-UDF version ~100x the oracle. Here
-    each vector moves O(#blocks) times instead: rows are hashed into
-    ~NEARDUP_CHUNK-sized chunks, every chunk pair (ci <= cj) forms an
-    `applyInPandas` group, and one numpy matmul scores the whole
-    block — BLAS throughput, and group memory is bounded by two
-    chunks regardless of corpus size (the standard distributed
-    all-pairs layout).
+    Candidate generation is an EQUI-JOIN on (label, band, band_value),
+    where band_value packs the sign bits of NEARDUP_BAND_BITS
+    deterministic random-hyperplane projections — the random-
+    hyperplane (SimHash) LSH family for cosine. Each vector is
+    replicated NEARDUP_BANDS times (a constant), never
+    O(corpus/blocksize) as a block-matrix all-pairs layout would be:
+    coverage is candidate-driven, which is the only shape that
+    survives 100 TB. The collision probability per plane is
+    1 - theta/pi, so true near-dups (cos >= 0.9) collide on >= 1 of
+    6 six-bit bands with p ~= 0.95 while the isotropic bulk is
+    pruned ~band_space-fold; recall at the 0.30 tail is the standard
+    documented LSH trade (tune NEARDUP_BANDS/NEARDUP_BAND_BITS).
+    The oracle SQL implements the SAME planes/banding (generated from
+    NEARDUP_PLANES), so the driver hash gate checks the full
+    candidate+re-score semantics, exactly like dedup_minhash_lsh.
 
-    Float discipline: the oracle's list_dot_product is a sequential
-    left fold. The matmul is only a PRE-FILTER with a 1e-4 margin
-    (summation-order drift is ~1e-13 relative); surviving candidates
-    are re-scored with np.cumsum — exactly the fold order — and the
-    emitted permyriad comes from that exact value, so banding cannot
-    flip a floor boundary.
+    Float discipline: scores come from the sequential-fold dot
+    product (F.aggregate over zip_with) — bit-identical to DuckDB's
+    list_dot_product — divided by per-side folded norms in the same
+    order, so the floor(cos*10000) boundary cannot flip between
+    engines. Zero-norm vectors are dropped (cos undefined; both
+    sides carry the norm>0 guard).
     """
-    import math
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # parquet row count is metadata-only; with the plan cache this
-    # runs once per session
-    n_chunks = max(1, math.ceil(emb.count() / NEARDUP_CHUNK))
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        v.alias("v"),
+        F.sqrt(dot(v, v)).alias("norm"),
+    ).filter(F.col("norm") > 0)
 
-    base = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks))
-        .cast("int")
-        .alias("cid"),
-    )
-    # each row belongs to every block pair touching its chunk:
-    # (min(cid,k), max(cid,k)) for all k — exactly n_chunks groups
-    memb = base.select(
-        "vec_id",
-        "label",
-        "v",
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.least(F.col("cid"), F.lit(k)).alias("ci"),
-                        F.greatest(F.col("cid"), F.lit(k)).alias("cj"),
+    planes = NEARDUP_PLANES  # capture for the closure (no self ref)
+
+    def sig_bands(batches):
+        """Arrow-batched signature stage: 36 hyperplane projections per
+        vector via per-plane cumsum — np.cumsum's last element IS the
+        sequential left fold, bit-identical in float64 to DuckDB's
+        list_dot_product, so the sign bits (and hence candidate sets)
+        match the oracle exactly. Emits NEARDUP_BANDS rows per vector."""
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())  # n x dim, float64
+            n = len(pdf)
+            vals = np.zeros((n, NEARDUP_BANDS), dtype="int64")
+            for b in range(NEARDUP_BANDS):
+                for j in range(NEARDUP_BAND_BITS):
+                    plane = np.asarray(
+                        planes[b * NEARDUP_BAND_BITS + j], dtype="float64"
                     )
-                    for k in range(n_chunks)
-                ]
+                    proj = np.cumsum(A * plane, axis=1)[:, -1]
+                    vals[:, b] += (proj >= 0).astype("int64") << j
+            out = pdf.loc[pdf.index.repeat(NEARDUP_BANDS)].reset_index(
+                drop=True
             )
-        ).alias("g"),
-    ).select("vec_id", "label", "v", "cid", "g.ci", "g.cj")
-
-    cut = NEARDUP_CUT
-
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "vec_a": pd.Series(dtype="int64"),
-                "vec_b": pd.Series(dtype="int64"),
-                "cos_permyriad": pd.Series(dtype="int64"),
-            }
-        )
-        if pdf.empty:
-            return empty
-        # zero-norm vectors carry no cosine (undefined; oracle drops
-        # them with the same norm>0 guard)
-        A0 = np.vstack(pdf["v"].to_numpy())
-        n0 = np.sqrt(np.cumsum(A0 * A0, axis=1)[:, -1])
-        keep0 = n0 > 0
-        pdf = pdf[keep0]
-        if pdf.empty:
-            return empty
-        A = A0[keep0]
-        ids = pdf["vec_id"].to_numpy()
-        # norms via cumsum == the oracle's sequential fold
-        norms = n0[keep0]
-        ci, cj = int(pdf["ci"].iloc[0]), int(pdf["cj"].iloc[0])
-        if ci == cj:
-            # one BLAS matmul for the whole block; triu keeps each
-            # unordered pair once (cut > 0, so zeroed cells drop out)
-            cm = np.triu((A @ A.T) / np.outer(norms, norms), k=1)
-            ci_, cj_ = np.nonzero(cm >= cut - 1e-4)
-        else:
-            left = np.flatnonzero((pdf["cid"] == ci).to_numpy())
-            right = np.flatnonzero((pdf["cid"] == cj).to_numpy())
-            if len(left) == 0 or len(right) == 0:
-                return empty
-            cm = (A[left] @ A[right].T) / np.outer(
-                norms[left], norms[right]
+            out["band"] = np.tile(
+                np.arange(NEARDUP_BANDS, dtype="int64"), n
             )
-            i0, j0 = np.nonzero(cm >= cut - 1e-4)
-            ci_, cj_ = left[i0], right[j0]
-        if len(ci_) == 0:
-            return empty
-        dots = np.cumsum(A[ci_] * A[cj_], axis=1)[:, -1]
-        cos = dots / (norms[ci_] * norms[cj_])
-        val = np.floor(cos * 10000).astype("int64")
-        keep = val >= int(cut * 10000)
-        a_ids, b_ids = ids[ci_[keep]], ids[cj_[keep]]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(a_ids, b_ids),
-                "vec_b": np.maximum(a_ids, b_ids),
-                "cos_permyriad": val[keep],
-            }
-        )
+            out["val"] = vals.reshape(-1)
+            yield out
 
-    return memb.groupBy("label", "ci", "cj").applyInPandas(
-        score_block, "vec_a long, vec_b long, cos_permyriad long"
+    bands = e.mapInPandas(
+        sig_bands,
+        "vec_id long, label long, v array<double>, norm double, "
+        "band long, val long",
     )
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+        F.col("a.norm").alias("na"),
+        F.col("b.norm").alias("nb"),
+    )
+
+    cut = int(NEARDUP_CUT * 10000)
+
+    def score(batches):
+        """Exact re-score of the candidates, cumsum == fold order.
+        Arrow traffic is O(candidates * dim) — candidate-driven, the
+        point of the LSH stage (the exhaustive all-pairs layout this
+        replaced shipped O(n^2/B * dim))."""
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.vstack(pdf["va"].to_numpy())
+            vb = np.vstack(pdf["vb"].to_numpy())
+            dots = np.cumsum(va * vb, axis=1)[:, -1]
+            cos = dots / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            val = np.floor(cos * 10000).astype("int64")
+            keep = val >= cut
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_permyriad": val[keep],
+                }
+            )
+
+    # score on the (possibly band-duplicated) candidates, then
+    # distinct on the final ints: the score per pair is deterministic,
+    # so dedup before or after scoring yields the same set and
+    # distinct-after avoids re-joining vectors onto deduped pairs
+    return pairs.mapInPandas(
+        score, "vec_a long, vec_b long, cos_permyriad long"
+    ).distinct()

@@ -44,6 +44,31 @@ def snapshot_split_seq(events: DataFrame) -> DataFrame:
     )
 
 
+_BASE_SNAPSHOT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'yesterday snapshot' (pipeline over events with seq <=
+    split), cached per (session, sf_dir): in a real deployment this is
+    a PERSISTED artifact the incremental run reads, not something it
+    recomputes — and both the incremental and CDC operators consume
+    the same one. Cache() is the session-scoped stand-in for that
+    persisted snapshot."""
+    key = (spark, sf_dir)
+    df = _BASE_SNAPSHOT_CACHE.get(key)
+    if df is None:
+        from ..pipeline import effective_alarms_from_events
+
+        events = load_table(spark, sf_dir, "events")
+        ev = events.join(F.broadcast(snapshot_split_seq(events)))
+        base_events = ev.filter(
+            F.col("event_id") <= F.col("split_seq")
+        ).drop("split_seq")
+        df = effective_alarms_from_events(spark, base_events).cache()
+        _BASE_SNAPSHOT_CACHE[key] = df
+    return df
+
+
 def incremental_effective_alarms(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -61,7 +86,7 @@ def incremental_effective_alarms(
         "split_seq"
     )
 
-    base = effective_alarms_from_events(spark, base_events)
+    base = _base_snapshot(spark, sf_dir)
 
     # Keys the delta touches directly — PLUS keys whose override
     # expiration crosses between the base and full snapshot clocks:
@@ -125,18 +150,14 @@ def alarm_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full-outer join on the alarm key followed by a row-local
     compare — no extra shuffles beyond the two pipelines.
     """
-    from ..pipeline import effective_alarms_from_events
+    from ..pipeline import effective_alarms
 
-    events = load_table(spark, sf_dir, "events")
-    split = snapshot_split_seq(events)
-    ev = events.join(F.broadcast(split))
-    base_events = ev.filter(F.col("event_id") <= F.col("split_seq")).drop(
-        "split_seq"
-    )
-    base = effective_alarms_from_events(spark, base_events).select(
+    base = _base_snapshot(spark, sf_dir).select(
         "name", F.col("state").alias("state_before")
     )
-    cur = effective_alarms_from_events(spark, events).select(
+    # the "after" side IS the flagship snapshot — reuse its cached
+    # monolog instead of re-deriving the full pipeline
+    cur = effective_alarms(spark, sf_dir).select(
         "name", F.col("state").alias("state_after")
     )
     j = base.join(cur, "name", "full_outer")

@@ -190,16 +190,61 @@ _COS = (
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+# hyperplane-LSH banding shared VERBATIM with the Spark side: the
+# plane lists come from dedup.NEARDUP_PLANES, so both engines compute
+# the same band values, the same candidate pairs, and the same
+# fold-order cosine re-score.
+from .functions.dedup import (  # noqa: E402
+    NEARDUP_BAND_BITS,
+    NEARDUP_BANDS,
+    NEARDUP_PLANES,
+)
+
+
+def _nd_plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+
+
+def _nd_band_val(b: int) -> str:
+    bits = []
+    for j in range(NEARDUP_BAND_BITS):
+        plane = NEARDUP_PLANES[b * NEARDUP_BAND_BITS + j]
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {_nd_plane_lit(plane)}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+_ND_BAND_SELECTS = "\n  UNION ALL\n  ".join(
+    f"SELECT vec_id, label, v, {b} AS band, "
+    f"CAST({_nd_band_val(b)} AS BIGINT) AS val FROM e"
+    for b in range(NEARDUP_BANDS)
+)
+
 EMBEDDING_NEARDUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
+),
+bands AS (
+  {_ND_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.val = b.val AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_permyriad FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(floor(({_COS}) * 10000) AS BIGINT) AS cos_permyriad
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  SELECT vec_a, vec_b,
+         CAST(floor((list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) *
+                sqrt(list_dot_product(y.v, y.v)))) * 10000) AS BIGINT)
+           AS cos_permyriad
+  FROM cand JOIN e x ON cand.vec_a = x.vec_id
+            JOIN e y ON cand.vec_b = y.vec_id
 ) p
 WHERE cos_permyriad >= 3000
 """

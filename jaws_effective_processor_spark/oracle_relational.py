@@ -110,7 +110,7 @@ SELECT count(DISTINCT l_partkey)  AS exact_parts,
        count(DISTINCT l_orderkey) AS exact_orders,
        TRUE AS parts_within_15pct,
        TRUE AS orders_within_15pct,
-       TRUE AS median_within_1pct
+       TRUE AS median_rank_within_halfpct
 FROM lineitem
 """
 

@@ -14,13 +14,38 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop everything under InMemoryRelation nodes: a cached frame's
+    build plan executes ONCE per session (the state-store
+    materialization), so its exchanges are not per-query cost. Without
+    this, the same query counts different shuffle totals depending on
+    whether the cache was materialized before or after `.explain`."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in lines:
+        depth = len(line) - len(line.lstrip(" :+-"))
+        if skip_deeper_than is not None:
+            if line.strip() and depth <= skip_deeper_than:
+                skip_deeper_than = None
+            else:
+                continue
+        if "InMemoryRelation" in line:
+            skip_deeper_than = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan.
+    """Number of exchange (shuffle) operators in the physical plan,
+    excluding the one-time build plans of cached (InMemoryRelation)
+    subtrees.
 
     AQE may later coalesce partitions but never removes a shuffle
     boundary — this is the plan-time worst case.
     """
-    plan = explain_str(df, "simple")
+    plan = _strip_cached_subtrees(explain_str(df, "simple"))
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
 
 

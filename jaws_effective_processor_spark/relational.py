@@ -200,13 +200,24 @@ def q_segment_custkeys_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column DISTINCT aggregation (expand + two-phase agg)."""
+    """Exact multi-column DISTINCT aggregation.
+
+    Decomposed into independent distinct->count passes joined on a
+    1-row broadcast: N countDistinct columns in one agg triggers an
+    Expand (N+1x row multiplication into a single-group reduce),
+    while each distinct->count is a partial-agg shuffle that stays
+    parallel at any scale.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.count("*").alias("n_rows"),
+
+    def dcount(col: str, alias: str) -> DataFrame:
+        return li.groupBy(col).agg(F.lit(1)).agg(F.count("*").alias(alias))
+
+    return (
+        dcount("l_partkey", "n_parts")
+        .crossJoin(F.broadcast(dcount("l_suppkey", "n_supps")))
+        .crossJoin(F.broadcast(dcount("l_orderkey", "n_orders")))
+        .crossJoin(F.broadcast(li.agg(F.count("*").alias("n_rows"))))
     )
 
 
@@ -228,31 +239,65 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SF only.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    # One sketch pass (map-side partial HLL/KLL registers, no Expand).
+    sketches = li.agg(
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_median"),
+    )
+    # Exact distinct counts as separate distinct->count passes: mixing
+    # several DISTINCT aggregates in one agg triggers an Expand (row
+    # multiplication) into a single-group reduce — measured 5x slower
+    # at sf0.1 and worse with scale. distinct->count is a partial-agg
+    # shuffle each, fully parallel.
+    exact_parts = (
+        li.groupBy("l_partkey").agg(F.lit(1)).agg(F.count("*").alias("exact_parts"))
+    )
+    exact_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.lit(1))
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    # Median check by RANK, not by value: percentile_approx's contract
+    # is rank error <= 1/accuracy (1e-4 at the default 10000), so the
+    # scalable assertion is "the fraction of rows at or below the
+    # estimate is 0.5 +/- 0.005". An exact percentile twin would drag
+    # every value into one reducer — the non-scalable shape.
+    median_rank = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(sketches.select("_approx_median")))
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("_approx_median")).cast(
+                        "long"
+                    )
+                )
+                / F.count("*")
+            ).alias("_median_rank")
+        )
     )
     # approx_count_distinct default rsd=0.05: assert within 3*rsd.
-    # percentile_approx default accuracy 10000: assert within 1%.
-    return agg.select(
-        "exact_parts",
-        "exact_orders",
-        (
-            F.abs(F.col("_approx_parts") - F.col("exact_parts")) * 100
-            <= F.col("exact_parts") * 15
-        ).alias("parts_within_15pct"),
-        (
-            F.abs(F.col("_approx_orders") - F.col("exact_orders")) * 100
-            <= F.col("exact_orders") * 15
-        ).alias("orders_within_15pct"),
-        (
-            F.abs(F.col("_approx_median") - F.col("_exact_median"))
-            <= F.col("_exact_median") * 0.01
-        ).alias("median_within_1pct"),
+    return (
+        sketches.crossJoin(F.broadcast(exact_parts))
+        .crossJoin(F.broadcast(exact_orders))
+        .crossJoin(F.broadcast(median_rank))
+        .select(
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts")) * 100
+                <= F.col("exact_parts") * 15
+            ).alias("parts_within_15pct"),
+            (
+                F.abs(F.col("_approx_orders") - F.col("exact_orders")) * 100
+                <= F.col("exact_orders") * 15
+            ).alias("orders_within_15pct"),
+            (
+                (F.col("_median_rank") >= 0.495)
+                & (F.col("_median_rank") <= 0.505)
+            ).alias("median_rank_within_halfpct"),
+        )
     )
 
 
@@ -472,11 +517,25 @@ def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single agg shuffle on a 5-value key; percentile is an exact
     sort-based aggregate (vs approx_distinct's sketch)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    # one percentile(..., array(...)) evaluation instead of three:
+    # each percentile() call buffers+sorts the group separately, so
+    # folding them into one array-quantile aggregate is a 3x cut in
+    # sort work (and one pass at scale)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_p"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
+        )
     )
 
 

@@ -172,7 +172,7 @@ def test_approx_distinct_bounds(spark):
     row = QUERIES["approx_distinct"](spark, SF_ORACLE).collect()[0]
     assert row["parts_within_15pct"]
     assert row["orders_within_15pct"]
-    assert row["median_within_1pct"]
+    assert row["median_rank_within_halfpct"]
 
 
 # ---- vectorized state machines vs naive reference loops (no Spark) --
