@@ -339,3 +339,83 @@ def test_kafka_avro_payload_roundtrip(spark):
         "expiration": -1,
         "oneshot": False,
     }
+
+
+# ------------------------------------------------ schema registry stub
+
+
+def test_registry_register_lookup_idempotent():
+    from jaws_effective_processor_spark.sources.registry import (
+        MockSchemaRegistry,
+    )
+
+    reg = MockSchemaRegistry()
+    sid1 = reg.register("alarm-overrides-value", AVSC)
+    # same content (different whitespace/key order) -> same global id
+    reshuffled = json.dumps(json.loads(AVSC), indent=2, sort_keys=True)
+    assert reg.register("alarm-overrides-value", reshuffled) == sid1
+    # same schema under another subject reuses the id, adds a version
+    assert reg.register("alarm-overrides-dlq-value", AVSC) == sid1
+    assert reg.subjects() == [
+        "alarm-overrides-dlq-value",
+        "alarm-overrides-value",
+    ]
+    sid, version, schema = reg.latest("alarm-overrides-value")
+    assert (sid, version) == (sid1, 1)
+    assert json.loads(reg.get_by_id(sid1)) == json.loads(AVSC)
+
+
+def test_registry_subject_versions_advance():
+    from jaws_effective_processor_spark.sources.registry import (
+        MockSchemaRegistry,
+        SchemaNotFound,
+    )
+
+    reg = MockSchemaRegistry()
+    v1 = '{"type": "record", "name": "M", "fields": [{"name": "a", "type": "long"}]}'
+    v2 = (
+        '{"type": "record", "name": "M", "fields": ['
+        '{"name": "a", "type": "long"}, '
+        '{"name": "b", "type": ["null", "string"]}]}'
+    )
+    id1 = reg.register("m-value", v1)
+    id2 = reg.register("m-value", v2)
+    assert id1 != id2
+    assert reg.version_of("m-value", id1) == 1
+    assert reg.version_of("m-value", id2) == 2
+    assert reg.latest("m-value")[0] == id2
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaNotFound):
+        reg.get_by_id(999)
+    with _pytest.raises(SchemaNotFound):
+        reg.latest("nope-value")
+
+
+def test_serde_roundtrip_resolves_writer_schema_by_frame_id():
+    """The deserializer must decode with the schema named by the
+    record's OWN frame id (the writer's), not the serde's pinned one —
+    the property the reference relies on for rolling schema upgrades
+    (SpecificAvroSerde + registry, ProcessingRule.java:41-52)."""
+    from jaws_effective_processor_spark.sources.registry import (
+        MockAvroSerde,
+        MockSchemaRegistry,
+    )
+
+    reg = MockSchemaRegistry()
+    serde = MockAvroSerde(reg, "override-msg-value", AVSC)
+    for msg in (MSG_SHELVED, MSG_LATCHED):
+        wire = serde.serialize(msg)
+        assert wire[0] == 0  # Confluent magic byte
+        assert serde.deserialize(wire) == msg
+
+    # a record written by an OLDER serde version still decodes through
+    # a serde pinned to the newer version
+    slim = (
+        '{"type": "record", "name": "OverrideMsg", "fields": '
+        '[{"name": "alarm", "type": "string"}]}'
+    )
+    old = MockAvroSerde(reg, "override-msg-value", slim)
+    new = MockAvroSerde(reg, "override-msg-value", AVSC)
+    assert old.schema_id != new.schema_id
+    assert new.deserialize(old.serialize({"alarm": "a1"})) == {"alarm": "a1"}
