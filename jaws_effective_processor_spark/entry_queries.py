@@ -94,6 +94,9 @@ def _register_rules() -> None:
         "oneshot_tombstones", rules.q_oneshot_tombstones, oracle.ONESHOT_TOMBSTONES_SQL
     )
     register(
+        "mask_overrides", rules.q_mask_overrides, oracle.MASK_OVERRIDES_SQL
+    )
+    register(
         "shelve_expirations", rules.q_shelve_expirations, oracle.SHELVE_EXPIRATIONS_SQL
     )
     register(
@@ -317,6 +320,7 @@ _CHECK_FIRST = [
     "latch_overrides",
     "ondelay_overrides",
     "oneshot_tombstones",
+    "mask_overrides",
     "shelve_expirations",
     "ondelay_expirations",
     "effective_notifications",
@@ -365,7 +369,6 @@ _CHECK_FIRST = [
     "dedup_clusters",
     "contamination",
     "vocab_topk",
-    "pii_scan",
 ]
 
 

@@ -226,6 +226,25 @@ WHERE ov_shelved AND coalesce(shelved_oneshot, false)
   AND transition_to_normal
 """
 
+# corrected MaskRule (P5+T5): reconcile each child's Masked override
+# with its parent's CURRENT activity; parent fixture algebra matches
+# rules.q_mask_overrides
+MASK_OVERRIDES_SQL = f"""
+WITH {ALARM_CTES}
+SELECT name, 'Masked' AS type, NOT p_active AS tombstone
+FROM (
+  SELECT c.name, c.ov_masked,
+         coalesce(p.active, false) AS p_active
+  FROM (SELECT name, ov_masked,
+               CAST(substr(name, 7) AS BIGINT) AS uid
+        FROM monolog
+        WHERE CAST(substr(name, 7) AS BIGINT) % 7 != 0) c
+  LEFT JOIN monolog p
+    ON p.name = 'alarm_' || CAST(c.uid - c.uid % 7 AS VARCHAR)
+) t
+WHERE p_active != ov_masked
+"""
+
 SHELVE_EXPIRATIONS_SQL = f"""
 WITH {ALARM_CTES}
 SELECT o.name, o.type, o.expiration

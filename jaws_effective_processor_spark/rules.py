@@ -100,6 +100,54 @@ def q_oneshot_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaskRule P5+T5, CORRECTED (beyond-reference, optional operator).
+
+    The reference ships MaskRule as dead code — never registered in
+    EffectiveProcessor.java:22-48 — with two defects: the unmask
+    branch maps the MASK stream instead of the unmask stream
+    (MaskRule.java:124-125, so every mask is immediately tombstoned),
+    and the parent lookup is an unimplemented TODO
+    (MaskRule.java:82-84). This operator implements the documented
+    intent (MaskRule.java:27-29: "Adds a Masked override to an alarm
+    with an active parent alarm and removes the Masked override when
+    the parent alarm is no longer active") with the foreign-key join
+    the TODO asks for, using actual parent activity per the TODO's
+    own suggestion.
+
+    Parent derivation (fixture algebra, mirrored in the oracle): alarm
+    `alarm_<u>` with u % 7 != 0 is masked by parent
+    `alarm_<u - u % 7>`; u % 7 == 0 alarms are parents (no maskedby).
+    Emission reconciles the child's Masked override with the parent's
+    CURRENT active state: add (tombstone=false) when the parent is
+    active and no Masked override exists; remove (tombstone=true)
+    when the parent is inactive/absent and one does.
+
+    Scale shape: a self equi-join of the (cached) monolog on the alarm
+    key — both sides already carry the name partitioning; no
+    broadcast of the corpus, no cartesian.
+    """
+    m = alarm_monolog(spark, sf_dir)
+    uid = F.expr("CAST(substring(name, 7) AS BIGINT)")
+    child = m.select("name", "ov_masked", uid.alias("uid")).filter(
+        uid % 7 != 0
+    )
+    parent = m.select(
+        F.col("name").alias("p_name"), F.col("active").alias("p_active")
+    )
+    parent_key = F.concat(
+        F.lit("alarm_"),
+        (F.col("uid") - F.col("uid") % 7).cast("string"),
+    )
+    j = child.join(parent, parent_key == F.col("p_name"), "left")
+    p_active = F.coalesce(F.col("p_active"), F.lit(False))
+    return j.filter(p_active != F.col("ov_masked")).select(
+        "name",
+        F.lit("Masked").alias("type"),
+        (~p_active).alias("tombstone"),
+    )
+
+
 def _expirations(spark: SparkSession, sf_dir: str, ovr_type: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (

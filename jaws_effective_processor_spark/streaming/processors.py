@@ -33,6 +33,7 @@ BOOL_STATE = "flag boolean"
 LATCH_OUT = "name string, seq long, latching boolean"
 ONDELAY_OUT = "name string, seq long, ondelaying boolean"
 ONESHOT_OUT = "name string, seq long, unshelving boolean"
+MASK_OUT = "name string, seq long, masking boolean, unmasking boolean"
 
 LATEST_OUT = "name string, seq long, payload string, deleted boolean"
 LATEST_STATE = "seq long, payload string"
@@ -193,6 +194,49 @@ def oneshot_fn(key, rows, state) -> Iterator[pd.DataFrame]:
             "name": key[0],
             "seq": pdf["seq"].astype("int64").to_numpy(),
             "unshelving": flags,
+        }
+    )
+
+
+def mask_fn(key, rows, state) -> Iterator[pd.DataFrame]:
+    """T5 (CORRECTED, beyond-reference) — per-child masked-override
+    reconciliation against PARENT activity.
+
+    The reference's MaskRule processor is unfinished dead code
+    (MaskRule.java:192-226: the store tracks `masking` but the
+    transition update is commented out, and the unmask stream maps
+    the wrong source at MaskRule.java:124-125). The corrected machine
+    implements the documented intent (MaskRule.java:27-29): a Masked
+    override is ADDED when the child's parent becomes active and
+    REMOVED when the parent stops being active. Once a mismatch emits
+    an override, the override is taken as applied (the feedback topic
+    loops it back, exactly like LatchRule's emissions), so the masked
+    state simply tracks parent activity — the machine is the T1
+    transition core over the parent_active signal, seeded from the
+    stored/observed masked state. Emits only reconciliation rows
+    (masking = add override, unmasking = tombstone)."""
+    pdf = _ordered(rows)
+    if state.exists:
+        masked = bool(state.get[0])
+    elif not pdf.empty and pdf["ov_masked"].notna().any():
+        masked = bool(pdf["ov_masked"].dropna().iloc[0])
+    else:
+        masked = False
+    if pdf.empty:
+        state.update((masked,))
+        return
+    pa = _bools(pdf, "parent_active")
+    masking, unmasking, final = transition_flags(pa, masked)
+    state.update((final,))
+    emit = masking | unmasking
+    if not emit.any():
+        return
+    yield pd.DataFrame(
+        {
+            "name": key[0],
+            "seq": pdf["seq"].astype("int64").to_numpy()[emit],
+            "masking": masking[emit],
+            "unmasking": unmasking[emit],
         }
     )
 

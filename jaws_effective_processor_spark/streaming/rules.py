@@ -42,6 +42,17 @@ MONOLOG_SCHEMA = T.StructType(
     ]
 )
 
+# child-keyed mask-rule input: parent activity as-of each event plus
+# the child's observed Masked-override state (corrected T5)
+MASK_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("parent_active", T.BooleanType(), True),
+        T.StructField("ov_masked", T.BooleanType(), True),
+    ]
+)
+
 OVERRIDE_LOG_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType()),
@@ -127,6 +138,14 @@ def ondelay_stream(monolog: DataFrame) -> DataFrame:
 def oneshot_stream(monolog: DataFrame) -> DataFrame:
     return monolog.groupBy("name").applyInPandasWithState(
         P.oneshot_fn, P.ONESHOT_OUT, P.BOOL_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def mask_stream(mask_log: DataFrame) -> DataFrame:
+    """Corrected T5 as a streaming transform (see processors.mask_fn)."""
+    return mask_log.groupBy("name").applyInPandasWithState(
+        P.mask_fn, P.MASK_OUT, P.BOOL_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
 

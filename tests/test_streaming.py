@@ -189,3 +189,41 @@ def test_expiration_timer(spark, tmpdir):
     finally:
         q.stop()
     assert [(r["name"], r["tombstone"]) for r in fired] == [("alarm1", True)]
+
+
+def test_mask_scenario(spark, tmpdir):
+    """Corrected T5 (MaskRule intent, MaskRule.java:27-29): a Masked
+    override is added when the parent becomes active and tombstoned
+    when it stops; no emission while nothing changes. The upstream
+    bug this corrects: the unmask branch mapped the mask stream
+    (MaskRule.java:124-125), so every add was instantly deleted."""
+    import uuid as _uuid
+
+    src = os.path.join(tmpdir, "masklog")
+    rows = [
+        (1, "alarm1", False, False),  # parent normal: nothing
+        (2, "alarm1", True, None),    # parent activates -> mask add
+        (3, "alarm1", True, True),    # still active: no re-emit
+        (4, "alarm1", False, True),   # parent normal -> tombstone
+        (5, "alarm2", False, True),   # already masked, parent normal
+                                      # at first sight -> unmask
+    ]
+    spark.createDataFrame(rows, schema=rules.MASK_LOG_SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+    stream = rules.dir_stream(spark, src, rules.MASK_LOG_SCHEMA)
+    name = f"mask_{_uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        rules.mask_stream(stream), name, os.path.join(tmpdir, "ckpt")
+    )
+    got = {
+        tuple(r)
+        for r in _memory_table(spark, name)
+        .select("name", "seq", "masking", "unmasking")
+        .collect()
+    }
+    assert got == {
+        ("alarm1", 2, True, False),
+        ("alarm1", 4, False, True),
+        ("alarm2", 5, False, True),
+    }
