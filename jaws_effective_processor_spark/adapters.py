@@ -16,7 +16,7 @@ Mapping (event_type -> topic):
 - purchase -> alarm-overrides:  override type from floor(value) % 7,
               tombstone from the first fractional digit, Shelved
               oneshot from event_id parity, expiration = event-time
-              + floor(value) seconds.
+              + floor(value) * 12h.
 
 Everything is expressed with built-in `pyspark.sql.functions` so the
 whole derivation stays inside whole-stage codegen; there is no Python

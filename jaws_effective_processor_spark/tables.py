@@ -10,6 +10,8 @@ declares its own projection so only needed columns are read.
 from __future__ import annotations
 
 import os
+import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,10 +43,25 @@ def spread_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
     parquet lands as ONE input split and the whole scan serializes on
     one core. At real scale the scan has thousands of splits and this
     branch (and its exchange) disappears — the condition is evaluated
-    at plan-build time from the actual split count.
+    at plan-build time from file-listing metadata only (inputFiles +
+    on-disk sizes vs maxPartitionBytes), never via `df.rdd`, which
+    would force a full RDD conversion per query build.
     """
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    files = df.inputFiles()
+    if not files:
+        return df
+    total = 0
+    for uri in files:
+        path = urllib.parse.urlparse(uri).path
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df  # non-local FS: trust the scan's own splitting
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = int(re.sub(r"[^0-9]", "", raw) or "134217728")
+    est_splits = max(len(files), -(-total // max_bytes))
+    if est_splits < par:
         return df.repartition(par)
     return df
 
