@@ -181,17 +181,28 @@ def _notification_struct() -> F.Column:
     )
 
 
+_ASSEMBLED_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat settled snapshot joined with every payload table — the
-    wide row all four nested queries project from."""
-    pin_session_conf(spark)
-    events = load_table(spark, sf_dir, "events")
-    flat = effective_alarms(spark, sf_dir)
-    return (
-        flat.join(registration_structs(spark, events), "name", "left")
-        .join(activation_unions(events), "name", "left")
-        .join(override_payloads(events), "name", "left")
-    )
+    wide row all the snapshot-shaped nested queries project from.
+    Cached per (session, sf_dir) like the monolog: three registered
+    queries (notifications/alarms/monolog nested) project different
+    structs from this same one-row-per-alarm frame."""
+    key = (spark, sf_dir)
+    df = _ASSEMBLED_CACHE.get(key)
+    if df is None:
+        pin_session_conf(spark)
+        events = load_table(spark, sf_dir, "events")
+        flat = effective_alarms(spark, sf_dir)
+        df = (
+            flat.join(registration_structs(spark, events), "name", "left")
+            .join(activation_unions(events), "name", "left")
+            .join(override_payloads(events), "name", "left")
+        ).cache()
+        _ASSEMBLED_CACHE[key] = df
+    return df
 
 
 def q_effective_registrations_nested(

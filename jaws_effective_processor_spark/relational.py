@@ -453,10 +453,13 @@ def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
     words = F.split("o_orderpriority", "-")
+    # one from_json parse serves both extractions; get_json_object
+    # per field would re-parse the document per call
+    parsed = F.from_json(js, "k BIGINT, p STRING")
     return orders.select(
         "o_orderkey",
-        F.get_json_object(js, "$.k").cast("long").alias("json_key"),
-        F.get_json_object(js, "$.p").alias("json_prio"),
+        parsed.getField("k").alias("json_key"),
+        parsed.getField("p").alias("json_prio"),
         F.size(arr).cast("long").alias("arr_len"),
         F.aggregate(
             arr, F.lit(0).cast("long"), lambda acc, x: acc + x
