@@ -361,6 +361,55 @@ class AlarmTopology:
         # second time, and appending an empty batch is a no-op
         self._append(out, "overrides")
 
+    # ------------------------------------- optional corrected mask rule
+
+    def run_mask(self, masked_by: DataFrame) -> None:
+        """Corrected MaskRule sweep (P5+T5) — OPTIONAL, off the default
+        chain because the reference never registers its MaskRule
+        (dead code; see rules.q_mask_overrides for the defects this
+        corrects). `masked_by` is the (name, parent) mapping the
+        reference would read from the registration payload's maskedby
+        field.
+
+        Reconciles each mapped child's Masked override with its
+        parent's CURRENT activity from the compacted monolog state:
+        parent active and child unmasked -> Masked add; parent
+        inactive/unknown and child masked -> Masked tombstone. Emits
+        onto the overrides feedback topic, so the next settle round
+        folds the mask into the effective-state cascade exactly like
+        latch/ondelay/oneshot feedback. Idempotent once reconciled.
+        """
+        offset = ROUND_OFFSET * (self.round + 1)
+        mono = self.spark.read.schema(MONOLOG_FULL_SCHEMA).parquet(
+            self.topics["monolog"]
+        )
+        state = latest_per_key(
+            mono.select("name", "seq", "active", "ov_masked"), ["name"]
+        )
+        child = state.join(masked_by, "name").select(
+            "name", "seq", "ov_masked", "parent"
+        )
+        parent_state = state.select(
+            F.col("name").alias("p_name"), F.col("active").alias("p_active")
+        )
+        j = child.join(
+            parent_state, child["parent"] == parent_state["p_name"], "left"
+        )
+        p_active = F.coalesce(F.col("p_active"), F.lit(False))
+        out = j.filter(
+            p_active != F.coalesce(F.col("ov_masked"), F.lit(False))
+        ).select(
+            (F.col("seq") + F.lit(offset)).alias("seq"),
+            "name",
+            F.lit("Masked").alias("type"),
+            (~p_active).alias("tombstone"),
+            F.lit(None).cast("long").alias("expiration"),
+            F.lit(None).cast("boolean").alias("oneshot"),
+        )
+        # write unconditionally: isEmpty() would execute the emit plan a
+        # second time, and appending an empty batch is a no-op
+        self._append(out, "overrides")
+
     # ------------------------------------------------------- driver
 
     def run_round(self) -> None:

@@ -194,3 +194,70 @@ def test_topology_fixpoint_on_derived_logs(spark, tmpdir):
     }
     states = {r["state"] for r in topo.effective_states().collect()}
     assert states and states <= valid
+
+
+def test_topology_mask_extension(spark, tmpdir):
+    """Optional corrected MaskRule wired through the feedback topic:
+    run_mask() reconciles children against parent activity, the next
+    settle round folds the Masked override into the cascade. Covers
+    both branches — add (active parent, unmasked child) and tombstone
+    (inactive parent, masked child) — which the reference's dead-code
+    MaskRule could never do (its unmask stream mapped the mask
+    stream, MaskRule.java:124-125)."""
+    topo = AlarmTopology(
+        spark,
+        os.path.join(tmpdir, "topics"),
+        actions=spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA),
+    )
+    overrides = _OVERRIDES + [
+        # a stale Masked override whose parent is NOT active: the
+        # sweep must tombstone it
+        (24, "al_dis", "Masked", False, None, None),
+    ]
+    topo.seed(
+        spark.createDataFrame(_INSTANCES, "seq long, name string, action string"),
+        spark.createDataFrame(_ACTIVATIONS, "seq long, name string, union_type string"),
+        spark.createDataFrame(
+            overrides,
+            "seq long, name string, type string, tombstone boolean, "
+            "expiration long, oneshot boolean",
+        ),
+    )
+    topo.settle(rounds=3)
+
+    mapping = spark.createDataFrame(
+        [("al_plain", "al_latch"), ("al_dis", "al_norm")],
+        "name string, parent string",
+    )
+    topo.run_mask(mapping)
+    ovr = spark.read.schema(OVERRIDE_TOPIC_SCHEMA).parquet(
+        topo.topics["overrides"]
+    )
+    masked_rows = {
+        (r["name"], r["tombstone"])
+        for r in ovr.filter(
+            (F.col("type") == "Masked") & (F.col("seq") >= 10**9)
+        ).collect()
+    }
+    assert masked_rows == {("al_plain", False), ("al_dis", True)}
+
+    topo.settle(rounds=1)
+    got = {
+        r["name"]: (r["active"], r["state"])
+        for r in topo.effective_states().collect()
+    }
+    # the mask lands in the cascade; Disabled still outranks everything
+    assert got["al_plain"] == (True, "NormalMasked")
+    assert got["al_dis"] == (True, "NormalDisabled")
+    assert got["al_latch"] == (True, "ActiveLatched")
+
+    # idempotent once reconciled: a second sweep emits nothing new
+    n_before = ovr.filter(F.col("type") == "Masked").count()
+    topo.run_mask(mapping)
+    n_after = (
+        spark.read.schema(OVERRIDE_TOPIC_SCHEMA)
+        .parquet(topo.topics["overrides"])
+        .filter(F.col("type") == "Masked")
+        .count()
+    )
+    assert n_after == n_before
