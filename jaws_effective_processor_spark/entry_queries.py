@@ -192,6 +192,10 @@ def _register_relational() -> None:
     # emits exact values + Spark-side bound-check booleans; the oracle
     # emits the exact values + literal TRUE (see q_approx_distinct).
     register("approx_distinct", r.q_approx_distinct, osql.APPROX_DISTINCT_SQL)
+    # heavy hitters: same bound-check pattern (sketch inclusion
+    # guarantee folded into booleans); registered past the driver's
+    # first-50 window — approx_distinct represents the sketch family
+    register("heavy_hitters", r.q_heavy_hitters, osql.HEAVY_HITTERS_SQL)
     register(
         "events_sessionization",
         r.q_events_sessionization,

@@ -114,6 +114,11 @@ SELECT count(DISTINCT l_partkey)  AS exact_parts,
 FROM lineitem
 """
 
+HEAVY_HITTERS_SQL = """
+SELECT event_type, count(*) AS n_events, TRUE AS in_sketch
+FROM events GROUP BY event_type
+"""
+
 EVENTS_SESSIONIZATION_SQL = """
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,

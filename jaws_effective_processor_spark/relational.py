@@ -301,6 +301,34 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters (frequent-items sketch) with an oracle-checkable
+    inclusion guarantee — the skew-detection primitive of a 100 TB
+    pipeline (find the keys that will blow up a shuffle BEFORE
+    shuffling on them).
+
+    `DataFrame.stat.freqItems` is a single-pass streaming-summary
+    sketch (Karp-Shenker-Papadimitriou); its contract is that every
+    item with frequency >= support IS returned (false positives
+    possible, false negatives not). Like approx_distinct, the sketch
+    output itself can't hash-match another engine, so the query emits
+    exact per-item counts plus the membership boolean the contract
+    guarantees: every event_type here holds ~20% share >> the 5%
+    support, so `in_sketch` must be TRUE row-for-row and the oracle
+    emits literal TRUE.
+    """
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    fi = events.stat.freqItems(["event_type"], support=0.05)
+    return exact.crossJoin(F.broadcast(fi)).select(
+        "event_type",
+        "n_events",
+        F.array_contains(
+            F.col("event_type_freqItems"), F.col("event_type")
+        ).alias("in_sketch"),
+    )
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap detection + running session ids.
 
