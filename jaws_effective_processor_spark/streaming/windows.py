@@ -110,3 +110,41 @@ def batch_session_counts(
             "n_events",
         )
     )
+
+
+def deduped_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+    ts_ms_col: str = "ms",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the ingestion-side
+    twin of the batch dedup family (functions/dedup.py).
+
+    `dropDuplicatesWithinWatermark` keeps one row per key and evicts a
+    key's dedup state once the watermark passes its event time, so
+    state is bounded by (watermark span x key arrival rate), not by
+    stream length — the ONLY shape that survives an unbounded 100 TB
+    ingest (plain dropDuplicates on a stream retains every key ever
+    seen). Duplicates arriving within the watermark of the first
+    sighting are suppressed; the batch analog over any replayable log
+    is first-sighting-per-key (min event time wins).
+    """
+    key_cols = key_cols or ["event_id"]
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_ms_col))
+    )
+    return with_ts.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+
+
+def batch_first_sighting(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_ms_col: str = "ms",
+) -> DataFrame:
+    """Batch oracle for `deduped_stream`: one row per key (duplicates
+    within any window collapse to a single sighting)."""
+    key_cols = key_cols or ["event_id"]
+    return df.dropDuplicates(key_cols)

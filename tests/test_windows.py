@@ -153,3 +153,54 @@ def test_streaming_exact_dedup(spark, tmpdir):
     )
     batch = sorted(tuple(r) for r in log.dropDuplicates(["event_id"]).collect())
     assert streamed == batch and streamed
+
+
+def test_streamed_dedup_matches_batch(spark, tmpdir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over a log
+    with injected duplicates equals batch first-sighting dedup: one
+    surviving row per event_id, duplicates arriving in a later
+    micro-batch (within the watermark) suppressed."""
+    from jaws_effective_processor_spark.streaming.windows import (
+        batch_first_sighting,
+        deduped_stream,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    log = events.select("event_id", "event_type", event_ms(events).alias("ms"))
+    # duplicate a slice of the log with a small (in-watermark) delay
+    dupes = log.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ms", F.col("ms") + 1000
+    )
+    src = os.path.join(tmpdir, "events")
+    log.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    dupes.coalesce(1).write.parquet(os.path.join(src, "c1"))
+
+    stream = rules.dir_stream(
+        spark, f"{src}/*", "event_id long, event_type string, ms long",
+        max_files=1,
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_id"]
+        for r in spark.sql(f"SELECT event_id FROM {name}").collect()
+    }
+    n_streamed = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+    want_ids = {
+        r["event_id"]
+        for r in batch_first_sighting(
+            log.unionByName(dupes)
+        ).select("event_id").collect()
+    }
+    assert got == want_ids          # every key survives exactly...
+    assert n_streamed == len(want_ids)  # ...once: duplicates suppressed
