@@ -275,6 +275,11 @@ def _register_llm() -> None:
         multimodal.q_multimodal_features,
         osql.MULTIMODAL_FEATURES_SQL,  # stub decode is deterministic
     )
+    register(
+        "multimodal_frames",
+        multimodal.q_multimodal_frames,
+        osql.MULTIMODAL_FRAMES_SQL,
+    )
 
     from .functions import corpus
 

@@ -119,3 +119,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("resized_w", T.LongType()),
+        T.StructField("resized_h", T.LongType()),
+    ]
+)
+
+FRAME_STRIDE = 2  # sample every 2nd frame
+RESIZE_MAX = 224  # cap the longer edge (stub arithmetic)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling + resize plumbing: one media row fans out to its
+    sampled frames via mapInPandas — the row-expanding UDF shape a
+    real video pipeline uses (decode -> sample every k-th frame ->
+    resize -> emit per-frame rows).
+
+    The decode/resize math is the deterministic stub (codecs absent in
+    this container; a real deployment swaps cv2/PIL into the loop
+    body), but the distribution-critical parts are real: Arrow-batched
+    input, explicit per-frame output schema, bounded memory (the
+    fan-out is per input batch), and doc_id partitioning preserved so
+    a downstream per-doc aggregation needs no extra shuffle. Stub
+    arithmetic is integer-only, so the whole fan-out is
+    DuckDB-oracle-checked row-for-row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _FRAME_SCHEMA.fields}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                n = len(payload)
+                n_frames = 1 if mt == "image" else (n % 7) + 1
+                per_frame = n // n_frames if n_frames else 0
+                orig_w, orig_h = 64 + n % 64, 48 + n % 48
+                scale_w = min(orig_w, RESIZE_MAX)
+                scale_h = min(orig_h, RESIZE_MAX)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    rows["doc_id"].append(doc_id)
+                    rows["media_type"].append(mt)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(idx * per_frame)
+                    rows["frame_bytes"].append(per_frame)
+                    rows["resized_w"].append(scale_w)
+                    rows["resized_h"].append(scale_h)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames, schema=_FRAME_SCHEMA)

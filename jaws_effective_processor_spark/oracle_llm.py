@@ -324,6 +324,31 @@ SELECT doc_id,
 FROM documents
 """
 
+# Twin of q_multimodal_frames: the same integer stub arithmetic, with
+# DuckDB range() unnest playing the frame fan-out
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, media_type, n,
+         CASE WHEN media_type = 'image' THEN 1 ELSE (n % 7) + 1 END
+           AS n_frames
+  FROM m
+)
+SELECT doc_id, media_type,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * (n // n_frames) AS BIGINT) AS frame_offset,
+       CAST(n // n_frames AS BIGINT) AS frame_bytes,
+       CAST(least(64 + n % 64, 224) AS BIGINT) AS resized_w,
+       CAST(least(48 + n % 48, 224) AS BIGINT) AS resized_h
+FROM (SELECT *, unnest(range(0, n_frames, 2)) AS frame_idx FROM f) t
+"""
+
 # Twin of functions/multimodal.py decode_stub: payload is the UTF-8
 # text bytes; first/last byte come from the hex dump of the blob (the
 # payload may hold non-ASCII, so byte != codepoint)
