@@ -296,6 +296,11 @@ def _register_llm() -> None:
     register("doc_chunks", corpus.q_doc_chunks, osql.DOC_CHUNKS_SQL)
     register("pack_sequences", corpus.q_pack_sequences, osql.PACK_SEQUENCES_SQL)
     register("dedup_clusters", corpus.q_dedup_clusters, osql.DEDUP_CLUSTERS_SQL)
+    register(
+        "dedup_cluster_sizes",
+        corpus.q_dedup_cluster_sizes,
+        osql.DEDUP_CLUSTER_SIZES_SQL,
+    )
     register("contamination", corpus.q_contamination, osql.CONTAMINATION_SQL)
     register("vocab_topk", corpus.q_vocab_topk, osql.VOCAB_TOPK_SQL)
     register("token_rarity", corpus.q_token_rarity, osql.TOKEN_RARITY_SQL)

@@ -203,6 +203,32 @@ CONTAM_P = 2147483647
 VOCAB_TOP_K = 100
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the QA
+    gate a dedup pass runs before dropping documents at 100 TB: how
+    many docs keep-one-per-cluster will remove, and whether a
+    pathological mega-cluster exists (a boilerplate template chaining
+    thousands of docs into one component is the classic way a dedup
+    pass silently deletes a corpus slice). Covers only docs that
+    appear in at least one verified pair (singletons have no cluster
+    row by construction). Integer-only output on top of the cached
+    component labels — one extra aggregation, no new scan.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check: per TRAIN doc, how many of its
     distinct CONTAM_K-grams appear anywhere in the held-out set

@@ -549,6 +549,19 @@ SELECT node AS doc_id, min(lab) AS cluster_id
 FROM walk GROUP BY node
 """
 
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH clusters AS (
+  {DEDUP_CLUSTERS_SQL}
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+) s
+GROUP BY cluster_size
+"""
+
 # SimHash hamming pairs over SHINGLE signatures: byte-band blocking +
 # exact bit_count verify (twin of functions/dedup.py
 # q_dedup_simhash_pairs; shares _SHINGLE/_HEX4/_SIMHASH-term forms)
