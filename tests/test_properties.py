@@ -203,6 +203,34 @@ def _naive_oneshot(guard, trigger, init):
     return flags, state
 
 
+def _naive_transitions(cur, init):
+    prev, to_a, to_n = init, [], []
+    for c in cur:
+        to_a.append(c and not prev)
+        to_n.append((not c) and prev)
+        prev = c
+    return to_a, to_n, prev
+
+
+@settings(deadline=None)
+@given(st.lists(st.booleans(), max_size=60), st.booleans())
+def test_transition_flags_matches_naive_loop(cur_list, init):
+    """T1 core (also the corrected mask machine's engine: mask_fn
+    runs transition_flags over the parent_active signal)."""
+    import numpy as np
+
+    from jaws_effective_processor_spark.streaming.processors import (
+        transition_flags,
+    )
+
+    cur = np.array(cur_list, dtype=bool)
+    to_a, to_n, final = transition_flags(cur, init)
+    na, nn, nfinal = _naive_transitions(cur_list, init)
+    assert list(to_a) == na
+    assert list(to_n) == nn
+    assert final == nfinal
+
+
 @settings(deadline=None)
 @given(
     st.lists(
