@@ -31,6 +31,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # median reading 6 s); the median of 5 survives a window spanning two
 # full sweeps
 BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
+# stop starting new sweeps (after the 3rd) once this much wall time
+# has gone into timed sweeps
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
 
 
 def force(df) -> None:
@@ -73,11 +76,22 @@ def main() -> None:
     # decorrelates each query's samples in time, so a bad window costs
     # one sample of many queries instead of every sample of one.
     runs: dict[str, list[float]] = {name: [] for name in queries}
-    for _ in range(BENCH_N):
+    sweeps_t0 = time.perf_counter()
+    sweeps_done = 0
+    for sweep in range(BENCH_N):
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
+        sweeps_done = sweep + 1
+        # soft wall-clock budget: under heavy co-tenant load the extra
+        # robustness sweeps must not run the whole bench into a driver
+        # timeout — medians of >=3 completed sweeps are still sound
+        if (
+            sweep + 1 >= 3
+            and time.perf_counter() - sweeps_t0 > BENCH_BUDGET_S
+        ):
+            break
     timings = {
         name: round(statistics.median(rs), 3)
         for name, rs in sorted(runs.items())
@@ -93,7 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
-                "n": BENCH_N,
+                "n": sweeps_done,
             }
         )
     )
