@@ -321,9 +321,16 @@ _register_llm()
 # text analysis, dedup, ANN, multimodal, corpus curation) has at
 # least one driver-checked representative. Everything past 50 is a
 # same-family sibling variant whose operator is already represented
-# (e.g. knn_ivf ⊂ knn_ivf_multiprobe, dedup_normalized ~ dedup_exact)
 # — still registered, still pytest/oracle-covered locally via
 # tests/test_entry_contract.py, just not burning a driver slot.
+#
+# Round 4 rotation: siblings never driver-checked before
+# (heavy_hitters, event_type_unpivot, pii_scan, dedup_simhash_pairs,
+# knn_ivf) swapped into the window in place of 2-round-green family
+# twins (events_daily, event_type_pivot — transitively exercised by
+# the unpivot, which builds on it —, doc_fingerprint, dedup_simhash,
+# knn_ivf_multiprobe), so the driver oracle eventually visits every
+# registered query, not a fixed favored subset.
 _CHECK_FIRST = [
     # alarm pipeline (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -353,10 +360,10 @@ _CHECK_FIRST = [
     "approx_distinct",
     "events_sessionization",
     "event_funnel",
-    "events_daily",
+    "heavy_hitters",
     "parts_above_brand_avg",
     "scalar_functions",
-    "event_type_pivot",
+    "event_type_unpivot",
     "order_percentiles",
     "asof_last_purchase",
     "range_copurchase",
@@ -364,16 +371,16 @@ _CHECK_FIRST = [
     "token_counts",
     "quality_score",
     "language_id",
-    "doc_fingerprint",
+    "pii_scan",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "embedding_neardup",
     # ANN / similarity
     "knn_bruteforce",
-    "knn_ivf_multiprobe",
+    "knn_ivf",
     # multimodal
     "multimodal_meta",
     "multimodal_features",

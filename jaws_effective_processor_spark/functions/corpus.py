@@ -77,9 +77,12 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at(tk, i + o) for o in range(SHINGLE_K)]
         ),
     )
+    # n_grams is pure arithmetic (n_tok - K + 1): size(gram) would
+    # inline a SECOND full gram construction next to the
+    # array_distinct one — codegen does not CSE the transform()
     base = docs.select(
         "doc_id",
-        F.when(F.size(tk) >= SHINGLE_K, F.size(gram))
+        F.when(F.size(tk) >= SHINGLE_K, F.size(tk) - (SHINGLE_K - 1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_grams"),
@@ -131,23 +134,33 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH verified pair set:
-    (doc_id, cluster_id = min doc id in the component).
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair set (doc_a, doc_b)
+    -> (doc_id, cluster_id = min doc id in the component).
 
-    Iterative min-label propagation: each round joins labels to the
-    (undirected) edge set and takes the min over self + neighbors.
-    Rounds needed = component diameter (near-dup clusters are tiny);
-    the loop is bounded by MAX_CLUSTER_ITERS and stops when a round
-    changes nothing. Each round is one shuffle-join + one aggregate —
-    the standard distributed CC pattern; only the scalar changed-count
-    crosses to the driver. DuckDB twin: WITH RECURSIVE reachability
+    Iterative min-label propagation WITH pointer jumping: each round
+    (1) takes the min label over self + neighbors (one shuffle-join +
+    aggregate) and (2) compresses label -> label(label) (one more
+    join). Propagation alone needs DIAMETER rounds and would silently
+    stop WRONG at MAX_CLUSTER_ITERS on a deep component (a chained
+    boilerplate template is exactly that shape); with compression the
+    label chain halves each round, so convergence is O(log diameter)
+    and 20 rounds cover any practically possible component. The loop
+    stops when a round changes nothing; only the scalar changed-count
+    crosses to the driver. The label frame is localCheckpoint()ed
+    EVERY round: the compression self-join references the round's
+    frame twice, so an un-truncated logical plan DOUBLES per round
+    (2^rounds — measured driver-heap OOM just stringifying the plan
+    by round ~5); checkpointing resets labels to a leaf and keeps the
+    per-round plan constant-size. On a real cluster prefer reliable
+    checkpoint() (DFS-backed) so a lost executor cannot drop the only
+    copy of the label blocks. DuckDB twin: WITH RECURSIVE reachability
     with the same min-label semantics.
     """
     # cache + force the pair set ONCE: both edge directions and every
-    # iteration read it, and the upstream MinHash pipeline is the
+    # iteration read it, and the upstream pair pipeline is the
     # expensive part — without this the union materializes it twice
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = pairs.select("doc_a", "doc_b").cache()
     pairs.count()
     edges = pairs.unionByName(
         pairs.select(
@@ -166,23 +179,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("lab").alias("nmin"))
         )
-        # the changed flag rides along so ONE action both materializes
-        # the new labels and returns the convergence signal
-        new_labels = (
+        prop = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("lab").alias("old_lab"),
                 F.least(
                     F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
                 ).alias("lab"),
-                (F.coalesce(F.col("nmin") < F.col("lab"), F.lit(False))).alias(
-                    "chg"
-                ),
             )
-            .cache()
+            .cache()  # referenced twice below (self-join)
         )
+        # pointer jumping: label values are themselves node ids, so
+        # looking each label's own label up compresses two hops to one
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("lab").alias("p_lab")
+        )
+        # the changed flag rides along so ONE action both materializes
+        # the new labels and returns the convergence signal
+        new_labels = (
+            prop.join(parent, prop["lab"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("p_lab"), F.col("lab"))
+                ).alias("lab"),
+                "old_lab",
+            )
+            .select(
+                "node",
+                "lab",
+                (F.col("lab") < F.col("old_lab")).alias("chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # eager; plan -> leaf
         changed = new_labels.filter(F.col("chg")).count()
         labels.unpersist()
+        prop.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -191,6 +224,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs.unpersist()
     return out
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH verified pair set
+    (see connected_components for the algorithm and scale shape)."""
+    return connected_components(
+        q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
 
 
 CONTAM_K = 8  # n-gram width for the train/test overlap check
@@ -445,11 +486,27 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a web corpus outgrows broadcast range); the final aggregation
     returns to the doc key. Integer outputs keep oracle parity exact.
     """
+    from .dedup import _cached_frame
+
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    freq = tok.groupBy("token").agg(F.count("*").alias("tok_count"))
+    # The corpus unigram table is a PERSISTED pipeline artifact (every
+    # real corpus keeps one), cached per (session, sf_dir) like the
+    # dedup family's shingle frames — without it the pass-1 explode +
+    # groupBy re-runs inside every consumer of the table. The probe
+    # side stays raw occurrences: pair rows vs occurrence rows made no
+    # difference once the frequency side is a (tiny) broadcast build.
+    # At web scale the vocab outgrows broadcast range and this becomes
+    # a shuffle equi-join on token with AQE skew splitting — the join
+    # itself is the scale shape; only the build is cached here.
+    freq = _cached_frame(
+        spark,
+        sf_dir,
+        "token_freq",
+        lambda: tok.groupBy("token").agg(F.count("*").alias("tok_count")),
+    )
     return (
         tok.join(freq, "token")
         .groupBy("doc_id")

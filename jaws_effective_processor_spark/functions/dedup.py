@@ -34,6 +34,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import SessionFrameCache
 from ..tables import load_table, spread_if_undersplit
 
 N_MINHASH = 16
@@ -62,16 +63,11 @@ SIMHASH_BITS = 16
 # materialized. cache() is the session-scoped stand-in for the
 # signature table a 100 TB deployment would write to parquet once and
 # join from (the same state-store argument as pipeline.alarm_monolog).
-_FRAME_CACHE: dict[tuple, DataFrame] = {}
+_FRAME_CACHE = SessionFrameCache()
 
 
 def _cached_frame(spark, sf_dir, tag, build):
-    key = (spark, sf_dir, tag)
-    df = _FRAME_CACHE.get(key)
-    if df is None:
-        df = build().cache()
-        _FRAME_CACHE[key] = df
-    return df
+    return _FRAME_CACHE.get_or_build(spark, (sf_dir, tag), build)
 
 
 def _toks() -> F.Column:
@@ -159,36 +155,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk = F.split(F.col("text"), " ")
         return docs.select("doc_id", _shingles(tk).alias("sh"))
 
+    def _build_bands():
+        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        # hp in its own projection: it's referenced 16x by the minhash
+        # columns, and CollapseProject keeps non-cheap multi-referenced
+        # expressions materialized instead of inlining 16 md5 passes
+        hp = shing.select("doc_id", _hash_pairs(F.col("sh")).alias("hp"))
+        sig = hp.select("doc_id", *_minhash_cols(F.col("hp")))
+        # band bucket key: the band's 4 minhash values joined as text —
+        # decimal longs render identically in Spark and DuckDB, and the
+        # composite is already uniform; no need to re-digest it
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("long").alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{ROWS_PER_BAND * b + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+
+    bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
+    # the verify stage re-joins candidates to the shingle table (cache
+    # hit: _build_bands has already populated it)
     shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
-    # hp in its own projection: it's referenced 16x by the minhash
-    # columns, and CollapseProject keeps non-cheap multi-referenced
-    # expressions materialized instead of inlining 16 md5 passes
-    hp = shing.select("doc_id", _hash_pairs(F.col("sh")).alias("hp"))
-    sig = hp.select("doc_id", *_minhash_cols(F.col("hp")))
-    # band bucket key: the band's 4 minhash values joined as text —
-    # decimal longs render identically in Spark and DuckDB, and the
-    # composite is already uniform; no need to re-digest it
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"m{ROWS_PER_BAND * b + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    bands = _cached_frame(spark, sf_dir, "minhash_bands", lambda: bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -446,25 +447,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = NEARDUP_PLANES  # capture for the closure (no self ref)
 
+    P = np.asarray(planes, dtype="float64")  # (bands*bits) x dim
+    absP = np.abs(P)
+
     def sig_bands(batches):
-        """Arrow-batched signature stage: 36 hyperplane projections per
-        vector via per-plane cumsum — np.cumsum's last element IS the
-        sequential left fold, bit-identical in float64 to DuckDB's
-        list_dot_product, so the sign bits (and hence candidate sets)
-        match the oracle exactly. Emits NEARDUP_BANDS rows per vector."""
+        """Arrow-batched signature stage: all hyperplane projections in
+        ONE BLAS matmul per batch (A @ P.T), with an exact-fold recheck
+        only where it can matter for sign parity.
+
+        The oracle folds each dot product sequentially (DuckDB
+        list_dot_product); BLAS uses pairwise/blocked summation, which
+        can differ in the last ulps. A sign bit can only flip where
+        |matmul proj| is within the worst-case summation-error bound
+        dim * eps * (|A| @ |P|.T), so only those rare entries are
+        recomputed with np.cumsum (== sequential left fold, the
+        bit-exact path this replaces wholesale). Emits NEARDUP_BANDS
+        rows per vector."""
         for pdf in batches:
             if pdf.empty:
                 continue
             A = np.vstack(pdf["v"].to_numpy())  # n x dim, float64
             n = len(pdf)
-            vals = np.zeros((n, NEARDUP_BANDS), dtype="int64")
-            for b in range(NEARDUP_BANDS):
-                for j in range(NEARDUP_BAND_BITS):
-                    plane = np.asarray(
-                        planes[b * NEARDUP_BAND_BITS + j], dtype="float64"
-                    )
-                    proj = np.cumsum(A * plane, axis=1)[:, -1]
-                    vals[:, b] += (proj >= 0).astype("int64") << j
+            proj = A @ P.T  # n x (bands*bits)
+            tol = (
+                A.shape[1]
+                * np.finfo("float64").eps
+                * (np.abs(A) @ absP.T)
+            )
+            risky = np.argwhere(np.abs(proj) <= tol)
+            for i, p in risky:
+                proj[i, p] = np.cumsum(A[i] * P[p])[-1]
+            bits = (proj >= 0).reshape(n, NEARDUP_BANDS, NEARDUP_BAND_BITS)
+            weights = (1 << np.arange(NEARDUP_BAND_BITS)).astype("int64")
+            vals = (bits * weights).sum(axis=2, dtype="int64")
             out = pdf.loc[pdf.index.repeat(NEARDUP_BANDS)].reset_index(
                 drop=True
             )

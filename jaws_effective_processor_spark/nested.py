@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import adapters
+from .cache import SessionFrameCache
 from .operators.compaction import compact_table, latest_per_key
 from .operators.overrides import live_overrides
 from .pipeline import effective_alarms
@@ -181,7 +182,7 @@ def _notification_struct() -> F.Column:
     )
 
 
-_ASSEMBLED_CACHE: dict[tuple, DataFrame] = {}
+_ASSEMBLED_CACHE = SessionFrameCache()
 
 
 def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,19 +191,17 @@ def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cached per (session, sf_dir) like the monolog: three registered
     queries (notifications/alarms/monolog nested) project different
     structs from this same one-row-per-alarm frame."""
-    key = (spark, sf_dir)
-    df = _ASSEMBLED_CACHE.get(key)
-    if df is None:
+    def _build():
         pin_session_conf(spark)
         events = load_table(spark, sf_dir, "events")
         flat = effective_alarms(spark, sf_dir)
-        df = (
+        return (
             flat.join(registration_structs(spark, events), "name", "left")
             .join(activation_unions(events), "name", "left")
             .join(override_payloads(events), "name", "left")
-        ).cache()
-        _ASSEMBLED_CACHE[key] = df
-    return df
+        )
+
+    return _ASSEMBLED_CACHE.get_or_build(spark, (sf_dir,), _build)
 
 
 def q_effective_registrations_nested(

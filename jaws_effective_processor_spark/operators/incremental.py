@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import adapters
+from ..cache import SessionFrameCache
 from ..tables import load_table
 
 
@@ -44,7 +45,7 @@ def snapshot_split_seq(events: DataFrame) -> DataFrame:
     )
 
 
-_BASE_SNAPSHOT_CACHE: dict[tuple, DataFrame] = {}
+_BASE_SNAPSHOT_CACHE = SessionFrameCache()
 
 
 def _base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,9 +55,8 @@ def _base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes — and both the incremental and CDC operators consume
     the same one. Cache() is the session-scoped stand-in for that
     persisted snapshot."""
-    key = (spark, sf_dir)
-    df = _BASE_SNAPSHOT_CACHE.get(key)
-    if df is None:
+
+    def _build():
         from ..pipeline import effective_alarms_from_events
 
         events = load_table(spark, sf_dir, "events")
@@ -64,9 +64,9 @@ def _base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_events = ev.filter(
             F.col("event_id") <= F.col("split_seq")
         ).drop("split_seq")
-        df = effective_alarms_from_events(spark, base_events).cache()
-        _BASE_SNAPSHOT_CACHE[key] = df
-    return df
+        return effective_alarms_from_events(spark, base_events)
+
+    return _BASE_SNAPSHOT_CACHE.get_or_build(spark, (sf_dir,), _build)
 
 
 def incremental_effective_alarms(
@@ -82,9 +82,6 @@ def incremental_effective_alarms(
     base_events = ev.filter(F.col("event_id") <= F.col("split_seq")).drop(
         "split_seq"
     )
-    delta_events = ev.filter(F.col("event_id") > F.col("split_seq")).drop(
-        "split_seq"
-    )
 
     base = _base_snapshot(spark, sf_dir)
 
@@ -96,37 +93,56 @@ def incremental_effective_alarms(
     # superset (any override record whose expiration lies in the
     # window) is fine — recomputing an unchanged key is wasted work,
     # never a wrong answer.
-    base_clock = adapters.snapshot_ms(base_events).withColumnRenamed(
-        "snapshot_ms", "base_ms"
-    )
-    full_clock = adapters.snapshot_ms(events).withColumnRenamed(
-        "snapshot_ms", "full_ms"
+    #
+    # Scan discipline: every event type maps to exactly one of the
+    # three logs (signup -> instances; error/view/click -> activations;
+    # purchase -> overrides — adapters.py module doc), so "names the
+    # delta touches" is ONE scan of the delta with a type gate, not a
+    # 3-way union of per-log scans. Both snapshot clocks likewise fold
+    # into ONE 1-row aggregate (max event time overall / up to the
+    # split) instead of two separate scans. The touched plan is
+    # broadcast from two places (anti-join + semi-join) and its subtree
+    # executes per broadcast, so keeping it single-scan matters twice.
+    clocks = ev.select(
+        adapters.event_ms(ev).alias("ems"), "event_id", "split_seq"
+    ).agg(
+        F.max("ems").alias("full_ms"),
+        F.max(F.when(F.col("event_id") <= F.col("split_seq"), F.col("ems")))
+        .alias("base_ms"),
     )
     expired_in_window = (
         adapters.overrides_log(base_events)
-        .join(F.broadcast(base_clock))
-        .join(F.broadcast(full_clock))
+        .join(F.broadcast(clocks))
         .filter(
             (F.col("expiration") > F.col("base_ms"))
             & (F.col("expiration") <= F.col("full_ms"))
         )
         .select("name")
     )
-    touched = (
-        adapters.instances_log(delta_events)
-        .select("name")
-        .unionByName(adapters.activations_log(delta_events).select("name"))
-        .unionByName(adapters.overrides_log(delta_events).select("name"))
-        .unionByName(expired_in_window)
-        .distinct()
+    delta_touched = (
+        ev.filter(F.col("event_id") > F.col("split_seq"))
+        .filter(
+            F.col("event_type").isin(
+                "signup", "error", "view", "click", "purchase"
+            )
+        )
+        .select(
+            F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
+            .alias("name")
+        )
     )
+    touched = delta_touched.unionByName(expired_in_window).distinct()
 
-    carried = base.join(F.broadcast(touched), "name", "left_anti")
+    # no broadcast hint on purpose: touched is tiny after the distinct
+    # and AQE picks broadcast from the runtime size; a very wide delta
+    # (touched ~ all keys) can exceed the broadcast limit, and then the
+    # right plan is a shuffled join — let AQE make that call.
+    carried = base.join(touched, "name", "left_anti")
     # the re-run still reads the FULL log for touched keys (state is
     # key-complete, not delta-only), but only for those keys — with a
     # key-partitioned log this scan prunes to the touched partitions
     touched_events = ev.drop("split_seq").join(
-        F.broadcast(touched),
+        touched,
         F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
         == F.col("name"),
         "left_semi",

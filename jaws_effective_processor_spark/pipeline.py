@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import adapters
+from .cache import SessionFrameCache
 from .operators.effective_state import (
     with_effective_state,
     with_rule_flags,
@@ -69,7 +70,7 @@ OUTPUT_COLS = (
 )
 
 
-_MONOLOG_CACHE: dict[tuple, DataFrame] = {}
+_MONOLOG_CACHE = SessionFrameCache()
 
 
 def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,15 +85,13 @@ def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EffectiveProcessor.java wiring). The cached frame is one row per
     live alarm (small: output of three compactions), not the log.
     """
-    key = (spark, sf_dir)
-    df = _MONOLOG_CACHE.get(key)
-    if df is None:
+    def _build():
         pin_session_conf(spark)
-        df = alarm_monolog_from_events(
+        return alarm_monolog_from_events(
             spark, load_table(spark, sf_dir, "events")
-        ).cache()
-        _MONOLOG_CACHE[key] = df
-    return df
+        )
+
+    return _MONOLOG_CACHE.get_or_build(spark, (sf_dir,), _build)
 
 
 def alarm_monolog_from_events(
@@ -169,7 +168,7 @@ def effective_alarms_from_events(
     return with_effective_state(settled).select(*OUTPUT_COLS)
 
 
-_HISTORY_CACHE: dict[tuple, DataFrame] = {}
+_HISTORY_CACHE = SessionFrameCache()
 
 
 def effective_state_history(
@@ -182,11 +181,11 @@ def effective_state_history(
     The lean output projects the cached frame; column semantics are
     identical because the payload pass is a strict superset of window
     expressions over the same window spec."""
-    key = (spark, sf_dir)
-    full = _HISTORY_CACHE.get(key)
-    if full is None:
-        full = _effective_state_history(spark, sf_dir, payloads=True).cache()
-        _HISTORY_CACHE[key] = full
+    full = _HISTORY_CACHE.get_or_build(
+        spark,
+        (sf_dir,),
+        lambda: _effective_state_history(spark, sf_dir, payloads=True),
+    )
     if payloads:
         return full
     return full.select("seq", "name", "active", "state")

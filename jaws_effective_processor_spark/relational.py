@@ -211,7 +211,14 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def dcount(col: str, alias: str) -> DataFrame:
-        return li.groupBy(col).agg(F.lit(1)).agg(F.count("*").alias(alias))
+        # NULL keys would form a group here but are excluded by SQL
+        # COUNT(DISTINCT ...) — filter to match (latent on TPC-H keys)
+        return (
+            li.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.lit(1))
+            .agg(F.count("*").alias(alias))
+        )
 
     return (
         dcount("l_partkey", "n_parts")
@@ -250,11 +257,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplication) into a single-group reduce — measured 5x slower
     # at sf0.1 and worse with scale. distinct->count is a partial-agg
     # shuffle each, fully parallel.
+    # NULL-key groups excluded to match SQL COUNT(DISTINCT ...)
     exact_parts = (
-        li.groupBy("l_partkey").agg(F.lit(1)).agg(F.count("*").alias("exact_parts"))
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.lit(1))
+        .agg(F.count("*").alias("exact_parts"))
     )
     exact_orders = (
-        li.groupBy("l_orderkey")
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
         .agg(F.lit(1))
         .agg(F.count("*").alias("exact_orders"))
     )
@@ -263,10 +275,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalable assertion is "the fraction of rows at or below the
     # estimate is 0.5 +/- 0.005". An exact percentile twin would drag
     # every value into one reducer — the non-scalable shape.
+    # Tie-tolerant: with tie-heavy values the <=-fraction can jump
+    # past 0.505 by the tie mass even when the sketch meets its rank
+    # contract, so assert frac(<) <= 0.505 AND frac(<=) >= 0.495 —
+    # the estimate's rank INTERVAL straddles the median.
     median_rank = (
         li.select("l_extendedprice")
         .crossJoin(F.broadcast(sketches.select("_approx_median")))
         .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("_approx_median")).cast(
+                        "long"
+                    )
+                )
+                / F.count("*")
+            ).alias("_median_rank_lt"),
             (
                 F.sum(
                     (F.col("l_extendedprice") <= F.col("_approx_median")).cast(
@@ -274,7 +298,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 / F.count("*")
-            ).alias("_median_rank")
+            ).alias("_median_rank_le"),
         )
     )
     # approx_count_distinct default rsd=0.05: assert within 3*rsd.
@@ -294,8 +318,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_orders") * 15
             ).alias("orders_within_15pct"),
             (
-                (F.col("_median_rank") >= 0.495)
-                & (F.col("_median_rank") <= 0.505)
+                (F.col("_median_rank_lt") <= 0.505)
+                & (F.col("_median_rank_le") >= 0.495)
             ).alias("median_rank_within_halfpct"),
         )
     )
@@ -481,13 +505,15 @@ def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
     words = F.split("o_orderpriority", "-")
-    # one from_json parse serves both extractions; get_json_object
-    # per field would re-parse the document per call
+    # one from_json parse serves both extractions: project the parsed
+    # STRUCT once and take its fields in an outer select — two
+    # getField(from_json(...)) expressions in one projection measured
+    # 1.8x the single-parse plan (codegen does not CSE the parse);
+    # get_json_object per field re-parses too
     parsed = F.from_json(js, "k BIGINT, p STRING")
     return orders.select(
         "o_orderkey",
-        parsed.getField("k").alias("json_key"),
-        parsed.getField("p").alias("json_prio"),
+        parsed.alias("j"),
         F.size(arr).cast("long").alias("arr_len"),
         F.aggregate(
             arr, F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -495,6 +521,15 @@ def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(arr, F.lit(3)).alias("arr_has_3"),
         F.element_at(words, 1).alias("prio_word"),
         F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+    ).select(
+        "o_orderkey",
+        F.col("j.k").alias("json_key"),
+        F.col("j.p").alias("json_prio"),
+        "arr_len",
+        "arr_sum",
+        "arr_has_3",
+        "prio_word",
+        "sorted_words",
     )
 
 

@@ -35,6 +35,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Spark byte-size conf values may carry a unit suffix ("128m",
+# "134217728b"); treating the digits alone as bytes mis-sizes the
+# estimate by up to 2^30.
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"([0-9]+)\s*([a-z]*)", raw)
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
 def spread_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin the input across the cluster when the scan arrived
     in fewer splits than cores.
@@ -44,8 +64,15 @@ def spread_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
     one core. At real scale the scan has thousands of splits and this
     branch (and its exchange) disappears — the condition is evaluated
     at plan-build time from file-listing metadata only (inputFiles +
-    on-disk sizes vs maxPartitionBytes), never via `df.rdd`, which
-    would force a full RDD conversion per query build.
+    on-disk sizes vs the scan's split sizing), never via `df.rdd`,
+    which would force a full RDD conversion per query build.
+
+    The estimate models Spark's actual FilePartition packing: files
+    are padded by openCostInBytes and packed into splits of
+    min(maxPartitionBytes, max(openCostInBytes, paddedTotal/cores)) —
+    many small files therefore land in FEW partitions, not
+    one-per-file (len(files) alone would overestimate and skip the
+    needed repartition).
     """
     par = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -58,9 +85,15 @@ def spread_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
             total += os.path.getsize(path)
         except OSError:
             return df  # non-local FS: trust the scan's own splitting
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_bytes = int(re.sub(r"[^0-9]", "", raw) or "134217728")
-    est_splits = max(len(files), -(-total // max_bytes))
+    max_bytes = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    open_cost = _conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", 4 << 20
+    )
+    padded = total + len(files) * open_cost
+    max_split = min(max_bytes, max(open_cost, -(-padded // par)))
+    est_splits = -(-padded // max_split)
     if est_splits < par:
         return df.repartition(par)
     return df

@@ -272,3 +272,65 @@ def test_oneshot_scan_matches_naive_loop(rows, init):
     nflags, nfinal = _naive_oneshot(guard, trig, init)
     assert list(flags) == nflags
     assert final == nfinal
+
+
+def _uf_components(n_nodes, edges):
+    """Union-find ground truth: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes) if any(x in e for e in edges)}
+
+
+def test_connected_components_deep_chain(spark):
+    """A 200-node chain has diameter 199 >> MAX_CLUSTER_ITERS: plain
+    min-label propagation would stop silently wrong; pointer jumping
+    (label-of-label compression) must converge in O(log n) rounds."""
+    from jaws_effective_processor_spark.functions.corpus import (
+        connected_components,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(
+    max_examples=4,  # each example is a full iterative CC run
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    from jaws_effective_processor_spark.functions.corpus import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(25, edges)
