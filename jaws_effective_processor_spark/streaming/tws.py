@@ -25,6 +25,15 @@ cannot run it (check `tws_available()`). Semantics are covered either
 way — streaming/processors.py implements the same machines on
 applyInPandasWithState, and the two are asserted equivalent where the
 dependency exists (tests/test_tws.py).
+
+Install attempt (round 4, 2026-08-14): `pip download protobuf`
+fails with "No matching distribution found" — the container has no
+route to PyPI — and no protobuf wheel or importable `google.protobuf`
+package exists anywhere on the filesystem (searched /opt, /usr,
+site-packages; only typeshed stubs and shaded JVM jars). The
+dependency cannot be installed in this environment; the two
+tests/test_tws.py skips are permanent here and the
+applyInPandasWithState twins carry the tested semantics.
 """
 
 from __future__ import annotations
