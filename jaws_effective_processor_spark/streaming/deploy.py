@@ -5,7 +5,7 @@ application.id / consumer group / state dir, communicating only
 through topics (EffectiveProcessor.java:19-73, ProcessingRule.java:
 37-68). The Spark shape: ONE SparkSession, N independent streaming
 queries, each with its own checkpoint directory (≙ application.id)
-and Kafka source/sink. The override feedback cycle (SURVEY.md §1.4)
+and a topic source/sink. The override feedback cycle (SURVEY.md §1.4)
 lives between queries exactly as it lives between the reference's
 consumer groups.
 
@@ -16,17 +16,24 @@ Dataflow (mirrors the reference chain, EffectiveProcessor.java:22-48):
   intermediate-ondelay --T4--> intermediate-oneshot --E1+E2-->
   effective-alarms
 
-  T2/T3/T4 also feed override records back onto alarm-overrides,
-  and W1/W2 expiration timers tombstone them; override records are
+  alarm-overrides ALSO re-triggers the monolog join for touched
+  alarms with at-rest transitions (the KTable-KTable join fires on
+  either side — ActivationRule.java:400); without this query the
+  T2/T3/T4 override feedback would never reach the effective state.
+
+  T2/T3/T4 feed override records back onto alarm-overrides, and
+  W1/W2 expiration timers tombstone them; override records are
   keyed by the composite {name, type} (AlarmOverrideKey) so a
   tombstone deletes exactly the right entry under
   latest_per_key(["name","type"]) compaction.
 
-This module is the wiring, import-safe without a broker; `main()`
-requires a reachable Kafka cluster and the spark-sql-kafka package,
-so this container never runs it — the identical dataflow is
-exercised end-to-end over directory topics in topology.py, and the
-per-rule processors are unit-tested in test_streaming.py.
+The topic transport is pluggable (`Transport`): `KafkaTransport`
+is the production path (spark-sql-kafka package + reachable broker,
+which this container lacks); `FakeBrokerTransport` runs the SAME
+query graph over `sources.fake_broker` parquet topics that carry the
+exact Kafka wire columns, so the whole deployment — record layout,
+composite keys, null-value tombstones, feedback cycle — executes
+end-to-end under test (tests/test_deploy.py) without a broker.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.compaction import latest_per_key
 from ..operators.effective_state import state_cascade
 from ..session import get_spark
 from . import rules
@@ -50,14 +58,123 @@ from .monolog import (
 )
 from .processors import latch_fn, ondelay_fn, oneshot_fn
 
+# re-emitted monolog rows must compact above the original event seqs
+# downstream (same discipline as topology.ROUND_OFFSET); broker
+# offsets are monotone per topic so offset + this stays increasing
+SEQ_OFFSET = 10**9
 
-def _kafka_writer(df: DataFrame, bootstrap: str, topic: str) -> None:
-    (
-        df.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .save()
-    )
+
+class Transport:
+    """Topic IO boundary: raw wire records in/out. Parsing is SHARED
+    (`rules.parse_keyed_records`) so both implementations run the
+    identical wire -> rows transform; only where bytes live differs."""
+
+    def raw_stream(self, spark: SparkSession, topic: str) -> DataFrame:
+        raise NotImplementedError
+
+    def raw_batch(self, spark: SparkSession, topic: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, records: DataFrame, topic: str) -> None:
+        """Producer: records carry key/value (+ optional headers)."""
+        raise NotImplementedError
+
+    # ---- shared, transport-independent ----
+
+    def stream(self, spark, topic, value_schema) -> DataFrame:
+        return rules.parse_keyed_records(
+            self.raw_stream(spark, topic), value_schema
+        )
+
+    def table(self, spark, topic, value_schema) -> DataFrame:
+        """Batch KTable snapshot of a topic (per-micro-batch read)."""
+        return rules.parse_keyed_records(
+            self.raw_batch(spark, topic), value_schema
+        )
+
+    def sink(self, records, topic, checkpoint, qname, trigger=None):
+        """Streaming producer: records stream -> topic."""
+
+        def fn(batch: DataFrame, _epoch: int, _t=topic) -> None:
+            self.write(batch, _t)
+
+        return self.foreach(records, fn, checkpoint, qname, trigger)
+
+    def foreach(self, src, batch_fn, checkpoint, qname, trigger=None):
+        w = (
+            src.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .queryName(qname)
+        )
+        if trigger is not None:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
+
+
+class KafkaTransport(Transport):
+    """Real broker (production). Needs spark-sql-kafka on the
+    classpath and a reachable bootstrap — neither exists in this
+    container, so this class is exercised only for its plan wiring."""
+
+    def __init__(self, bootstrap: str):
+        self.bootstrap = bootstrap
+
+    def raw_stream(self, spark, topic):
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .option("includeHeaders", "true")
+            .load()
+        )
+
+    def raw_batch(self, spark, topic):
+        return (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .option("includeHeaders", "true")
+            .load()
+        )
+
+    def write(self, records, topic):
+        (
+            records.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+
+    def sink(self, records, topic, checkpoint, qname, trigger=None):
+        # native streaming kafka sink (exactly-once offsets handling)
+        w = (
+            records.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+            .queryName(qname)
+        )
+        if trigger is not None:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
+
+
+class FakeBrokerTransport(Transport):
+    """`sources.fake_broker` parquet topics with Kafka wire columns."""
+
+    def __init__(self, broker):
+        self.broker = broker
+
+    def raw_stream(self, spark, topic):
+        return self.broker.raw_stream(topic)
+
+    def raw_batch(self, spark, topic):
+        return self.broker.raw_batch(topic)
+
+    def write(self, records, topic):
+        self.broker.write(records, topic)
 
 
 def _record(df: DataFrame, key: F.Column) -> DataFrame:
@@ -86,82 +203,159 @@ def _override_record(df: DataFrame, tombstone: bool) -> DataFrame:
 
 def start_rule_queries(
     spark: SparkSession,
-    bootstrap: str,
-    checkpoint_root: str,
+    bootstrap: str | None = None,
+    checkpoint_root: str = "/tmp/jaws-spark-state",
+    transport: Transport | None = None,
+    available_now: bool = False,
 ):
     """Start every rule as its own streaming query; returns the list
     of StreamingQuery handles (caller awaits / monitors them).
 
     Each query gets its own checkpoint dir, the analog of the
     reference's per-rule application.id + RocksDB state dir
-    (ProcessingRule.java:44-54)."""
+    (ProcessingRule.java:44-54).
+
+    `available_now=True` runs one settle pass instead of a resident
+    deployment: each query is started, DRAINED (processAllAvailable)
+    and stopped IN DEPENDENCY ORDER before the next starts, so one
+    call propagates a full chain hop-by-hop (feedback written this
+    pass is consumed by the next call — the reference's eventual
+    consistency, made deterministic; same discipline as
+    topology.settle). Drain-and-stop rather than Trigger.AvailableNow
+    because the W1/W2 expiration operators use ProcessingTimeTimeout,
+    whose pending-timer no-data batches keep an AvailableNow query
+    from ever terminating."""
+    transport = transport if transport is not None else KafkaTransport(bootstrap)
 
     def ckpt(name: str) -> str:
         return os.path.join(checkpoint_root, name)
 
-    def kafka_table(topic: str, schema) -> DataFrame:
-        """Batch KTable snapshot of a topic (per-micro-batch read)."""
-        from ..sources.io import kafka_batch
-
-        return kafka_batch(spark, bootstrap, topic, schema)
-
     queries = []
 
-    # W1/W2 — the async expiration timers, overrides -> overrides
-    # (ShelveExpirationRule / OnDelayExpirationRule); composite-key
-    # null-value tombstones flow back onto the topic they consume.
-    for ovr_type, qname in (("Shelved", "shelve-expiration"),
-                            ("OnDelayed", "ondelay-expiration")):
-        src = decode_override_records(
-            rules.kafka_stream(
-                spark, bootstrap, "alarm-overrides", OVERRIDE_VALUE_SCHEMA
-            )
-        )
-        expired = rules.expiration_stream(src, ovr_type).withColumn(
-            "type", F.lit(ovr_type)
-        )
-        sink = (
-            _override_record(expired, tombstone=True)
-            .writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap)
-            .option("topic", "alarm-overrides")
-            .option("checkpointLocation", ckpt(qname))
-            .queryName(qname)
-        )
-        queries.append(sink.start())
+    def launch(q, timer: bool = False) -> None:
+        queries.append(q)
+        if not available_now:
+            return
+        if timer:
+            # W1/W2 use ProcessingTimeTimeout: pending-timer no-data
+            # batches keep the stream permanently "busy", so BOTH
+            # Trigger.AvailableNow and processAllAvailable() would
+            # block forever. Drain = wait until the source is caught
+            # up (isDataAvailable False) with the trigger IDLE, then
+            # stop. Idle matters twice: it means all planned work
+            # committed, and it avoids interrupting an in-flight
+            # foreachBatch — that raises a Py4J error whose message
+            # (a full nested traceback) blows up Spark's
+            # isInterruptionException regex with a StackOverflowError
+            # in the stream thread (shutdown noise, but it skips
+            # state-store cleanup).
+            import time as _time
 
-    # T1 + monolog join — activations -> transition flags, then join
-    # the current registration + override KTable snapshots so the flag
-    # chain sees the full monolog row (ActivationRule.java:323-429).
-    # foreachBatch because the KTable sides are batch snapshots.
-    act = rules.kafka_stream(
-        spark, bootstrap, "alarm-activations", rules.ACTIVATION_LOG_SCHEMA
-    )
-    transitions = rules.transitions_stream(act)
+            t0 = _time.time()
+            while _time.time() - t0 < 60:
+                p = q.lastProgress
+                st = q.status
+                idle = not st.get("isTriggerActive")
+                caught_up = not st.get("isDataAvailable")
+                if (
+                    idle
+                    and caught_up
+                    # a completed batch proves the availability poll
+                    # ran; before any batch, give the query 5 s to
+                    # discover there is nothing to process
+                    and (p is not None or _time.time() - t0 > 5)
+                ):
+                    break
+                _time.sleep(0.5)
+        else:
+            q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
 
-    def monolog_batch(batch: DataFrame, _epoch: int) -> None:
+    def monolog_out(base: DataFrame) -> DataFrame:
+        """Join a (name, seq, active, transition_*) base against the
+        CURRENT registration + override KTable snapshots
+        (ActivationRule.java:323-429)."""
         from ..adapters import actions_dim
         from ..operators.registration import effective_registrations
 
-        inst = kafka_table("alarm-instances", rules.INSTANCE_VALUE_SCHEMA)
+        inst = transport.table(
+            spark, "alarm-instances", rules.INSTANCE_VALUE_SCHEMA
+        )
         reg = effective_registrations(inst, actions_dim(spark)).select(
             "name", "latchable", "ondelayseconds"
         )
         ovr = override_set(
             decode_override_records(
-                kafka_table("alarm-overrides", OVERRIDE_VALUE_SCHEMA)
+                transport.table(spark, "alarm-overrides", OVERRIDE_VALUE_SCHEMA)
             )
         )
-        out = monolog_join(batch, reg, ovr)
-        _kafka_writer(
-            _record(out, F.col("name")), bootstrap, "intermediate-monolog"
+        return monolog_join(base, reg, ovr)
+
+    # T1 + monolog join — activations -> transition flags, then join
+    # the current registration + override KTable snapshots so the flag
+    # chain sees the full monolog row (ActivationRule.java:323-429).
+    # foreachBatch because the KTable sides are batch snapshots.
+    act = transport.stream(
+        spark, "alarm-activations", rules.ACTIVATION_LOG_SCHEMA
+    )
+    transitions = rules.transitions_stream(act)
+
+    def monolog_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        transport.write(
+            _record(monolog_out(batch), F.col("name")), "intermediate-monolog"
         )
 
-    queries.append(
-        transitions.writeStream.foreachBatch(monolog_batch)
-        .option("checkpointLocation", ckpt("activation"))
-        .queryName("activation")
-        .start()
+    launch(
+        transport.foreach(
+            transitions, monolog_batch, ckpt("activation"), "activation"
+        )
+    )
+
+    # ActivationRule, override side — override updates re-emit the
+    # joined monolog for the touched alarms with AT-REST transitions
+    # (KTable-KTable join fires on either side, ActivationRule.java:
+    # 400: prev == next so both transition flags are false). This is
+    # the query that carries T2/T3/T4 feedback into effective state.
+    ovr_updates = transport.stream(
+        spark, "alarm-overrides", OVERRIDE_VALUE_SCHEMA
+    )
+
+    def override_monolog_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        touched = (
+            decode_override_records(batch)
+            .groupBy("name")
+            .agg(F.max("seq").alias("ovr_seq"))
+        )
+        act_log = transport.table(
+            spark, "alarm-activations", rules.ACTIVATION_LOG_SCHEMA
+        )
+        current = latest_per_key(act_log, ["name"]).select(
+            "name",
+            F.coalesce(F.col("union_type") == "Activation", F.lit(False)).alias(
+                "active"
+            ),
+        )
+        base = touched.join(current, "name", "left").select(
+            "name",
+            (F.col("ovr_seq") + F.lit(SEQ_OFFSET)).alias("seq"),
+            F.coalesce(F.col("active"), F.lit(False)).alias("active"),
+            F.lit(False).alias("transition_to_active"),
+            F.lit(False).alias("transition_to_normal"),
+        )
+        transport.write(
+            _record(monolog_out(base), F.col("name")), "intermediate-monolog"
+        )
+
+    launch(
+        transport.foreach(
+            ovr_updates, override_monolog_batch, ckpt("activation-overrides"),
+            "activation-overrides",
+        )
     )
 
     # T2/T3/T4 — CHAINED flag stages (reference chains
@@ -235,7 +429,7 @@ def start_rule_queries(
         ),
     )
     for qname, in_topic, in_schema, fn, flag, out_topic, feedback, tomb in stages:
-        src = rules.kafka_stream(spark, bootstrap, in_topic, in_schema)
+        src = transport.stream(spark, in_topic, in_schema)
         flagged = rules.flagged_stream(src, fn, flag)
 
         def stage_batch(
@@ -245,18 +439,14 @@ def start_rule_queries(
             _fb=feedback,
             _tomb=tomb,
         ) -> None:
-            _kafka_writer(_record(batch, F.col("name")), bootstrap, _out)
-            _kafka_writer(
+            transport.write(_record(batch, F.col("name")), _out)
+            transport.write(
                 _override_record(_fb(batch), tombstone=_tomb),
-                bootstrap,
                 "alarm-overrides",
             )
 
-        queries.append(
-            flagged.writeStream.foreachBatch(stage_batch)
-            .option("checkpointLocation", ckpt(qname))
-            .queryName(qname)
-            .start()
+        launch(
+            transport.foreach(flagged, stage_batch, ckpt(qname), qname)
         )
 
     # E1+E2 — EffectiveStateRule: drop in-transit rows, apply the
@@ -264,9 +454,7 @@ def start_rule_queries(
     final_schema = plus(
         MONOLOG_FULL_SCHEMA, "latching", "ondelaying", "unshelving"
     )
-    oneshot_out = rules.kafka_stream(
-        spark, bootstrap, "intermediate-oneshot", final_schema
-    )
+    oneshot_out = transport.stream(spark, "intermediate-oneshot", final_schema)
     kept = oneshot_out.filter(
         ~(F.col("latching") | F.col("ondelaying") | F.col("unshelving"))
     )
@@ -284,15 +472,43 @@ def start_rule_queries(
             offdelayed=F.col("ov_offdelayed"),
         ),
     ).select("seq", "name", "active", "state")
-    queries.append(
-        _record(effective, F.col("name"))
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", "effective-alarms")
-        .option("checkpointLocation", ckpt("effective-state"))
-        .queryName("effective-state")
-        .start()
+    launch(
+        transport.sink(
+            _record(effective, F.col("name")),
+            "effective-alarms",
+            ckpt("effective-state"),
+            "effective-state",
+        )
     )
+
+    # W1/W2 — the async expiration timers, overrides -> overrides
+    # (ShelveExpirationRule / OnDelayExpirationRule); composite-key
+    # null-value tombstones flow back onto the topic they consume.
+    for ovr_type, qname in (("Shelved", "shelve-expiration"),
+                            ("OnDelayed", "ondelay-expiration")):
+        src = decode_override_records(
+            transport.stream(
+                spark, "alarm-overrides", OVERRIDE_VALUE_SCHEMA
+            )
+        )
+        expired = rules.expiration_stream(src, ovr_type).withColumn(
+            "type", F.lit(ovr_type)
+        )
+        launch(
+            transport.sink(
+                _override_record(expired, tombstone=True),
+                "alarm-overrides",
+                ckpt(qname),
+                qname,
+                # throttle: ProcessingTimeTimeout operators run no-data
+                # batches to fire pending timers; the default ASAP
+                # trigger would spin them back-to-back (pure churn —
+                # the reference's punctuator also ticks on an interval,
+                # ShelveExpirationRule.java:105-120)
+                trigger="1 second",
+            ),
+            timer=True,
+        )
 
     return queries
 

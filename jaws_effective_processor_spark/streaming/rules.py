@@ -99,6 +99,14 @@ def kafka_stream(
         .option("includeHeaders", "true")
         .load()
     )
+    return parse_keyed_records(raw, value_schema)
+
+
+def parse_keyed_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """Wire -> rows for keyed JSON records: the pure-transform half of
+    `kafka_stream`, split out so the identical select runs on real
+    Kafka rows AND on `sources.fake_broker` rows (same wire columns),
+    making the deploy dataflow layout-verifiable without a broker."""
     parsed = raw.select(
         F.col("key").cast("string").alias("__key"),
         F.col("offset").alias("__offset"),

@@ -1,0 +1,199 @@
+"""End-to-end deployment test WITHOUT a broker: the exact
+`deploy.start_rule_queries` query graph — the production wiring —
+runs over `sources.fake_broker` topics that carry the Kafka wire
+columns (binary key/value, offset, headers, null-value tombstones).
+
+This is the analog of the reference's compose-up smoke flow
+(reference compose.yaml, README.md:16-34): seed the input topics,
+let the 8 queries settle through the feedback cycle, assert the
+effective states and the wire layout of what was produced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaws_effective_processor_spark.adapters import _ACTIONS_SCHEMA
+from jaws_effective_processor_spark.operators.compaction import latest_per_key
+from jaws_effective_processor_spark.sources.fake_broker import FakeBroker
+from jaws_effective_processor_spark.streaming import deploy
+
+_ACTIONS = [
+    ("cls_latch", True, False, None, None, "P1_CRITICAL", "RF", None, None),
+    # ondelay long enough that the OnDelayed override cannot expire
+    # mid-test (the W2 timer query is live during settle passes)
+    ("cls_delay", False, False, 3600, None, "P2_MAJOR", "BPM", None, None),
+    ("cls_plain", False, False, None, None, "P3_MINOR", "CAMAC", None, None),
+]
+
+_INSTANCES = [
+    ("al_latch", "cls_latch"),
+    ("al_delay", "cls_delay"),
+    ("al_plain", "cls_plain"),
+    ("al_oneshot", "cls_plain"),
+    ("al_shelf", "cls_plain"),
+    ("al_dis", "cls_plain"),
+    ("al_norm", "cls_plain"),
+]
+
+_ACTIVATIONS = [
+    (10, "al_latch", "Activation"),
+    (11, "al_delay", "Activation"),
+    (12, "al_plain", "Activation"),
+    (13, "al_oneshot", "Activation"),
+    (14, "al_oneshot", "NoActivation"),  # -> transition to normal
+    (15, "al_shelf", "Activation"),
+    (16, "al_dis", "Activation"),
+    (17, "al_norm", "Activation"),
+    (18, "al_norm", "NoActivation"),
+]
+
+_OVERRIDES = [
+    # (name, type, tombstone, expiration, oneshot)
+    ("al_oneshot", "Shelved", False, None, True),
+    ("al_shelf", "Shelved", False, None, False),
+    ("al_dis", "Disabled", False, None, None),
+]
+
+_EXPECTED = {
+    "al_latch": (True, "ActiveLatched"),
+    "al_delay": (True, "NormalOnDelayed"),
+    "al_plain": (True, "Active"),
+    "al_oneshot": (False, "Normal"),
+    "al_shelf": (True, "NormalContinuousShelved"),
+    "al_dis": (True, "NormalDisabled"),
+    "al_norm": (False, "Normal"),
+}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="jaws_deploy_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _seed(spark, broker: FakeBroker) -> None:
+    """Produce the input topics exactly as external producers would:
+    keyed records, JSON values, composite keys for overrides."""
+    inst = spark.createDataFrame(_INSTANCES, "name string, action string")
+    broker.write(
+        inst.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("action")).alias("value"),
+        ),
+        "alarm-instances",
+    )
+    act = spark.createDataFrame(
+        _ACTIVATIONS, "seq long, name string, union_type string"
+    )
+    broker.write(
+        act.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("seq", "name", "union_type")).alias("value"),
+        ),
+        "alarm-activations",
+    )
+    ovr = spark.createDataFrame(
+        _OVERRIDES,
+        "name string, type string, tombstone boolean, "
+        "expiration long, oneshot boolean",
+    )
+    broker.write(
+        ovr.select(
+            F.to_json(F.struct("name", "type")).alias("key"),
+            F.to_json(
+                F.struct("type", "tombstone", "expiration", "oneshot")
+            ).alias("value"),
+        ),
+        "alarm-overrides",
+    )
+
+
+def _effective_states(spark, broker: FakeBroker) -> dict:
+    """Consumer-side KTable materialization of effective-alarms:
+    latest record per key in ARRIVAL (offset) order, like a broker."""
+    raw = broker.raw_batch("effective-alarms")
+    eff = raw.select(
+        F.col("offset"),
+        F.from_json(
+            F.col("value").cast("string"),
+            "seq long, name string, active boolean, state string",
+        ).alias("v"),
+    ).select("offset", "v.*")
+    latest = latest_per_key(eff, ["name"], order_col="offset")
+    return {
+        r["name"]: (r["active"], r["state"]) for r in latest.collect()
+    }
+
+
+def test_deploy_settles_reference_scenarios(spark, tmpdir):
+    broker = FakeBroker(spark, os.path.join(tmpdir, "broker"))
+    transport = deploy.FakeBrokerTransport(broker)
+    _seed(spark, broker)
+
+    # patch the class dim the monolog join reads (same as test_topology)
+    import jaws_effective_processor_spark.adapters as adapters
+
+    actions = spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA)
+    orig = adapters.actions_dim
+    adapters.actions_dim = lambda _spark: actions
+    # 8 stateful queries x settle rounds over ~10-row topics: state
+    # stores inherit shuffle.partitions at FIRST start (fresh
+    # checkpoints here), so 4 partitions cuts per-restart task count
+    # 8x without touching semantics; production keeps the session's
+    # sizing. Two sequential passes settle every scenario (feedback
+    # written in pass 1 is consumed in pass 2).
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+    finally:
+        adapters.actions_dim = orig
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+    assert _effective_states(spark, broker) == _EXPECTED
+
+    # wire-layout asserts: what reached the topics is byte-for-byte
+    # what a broker would have received
+    eff_raw = broker.raw_batch("effective-alarms").collect()
+    assert eff_raw, "effective-alarms topic is empty"
+    for r in eff_raw:
+        assert isinstance(r["key"], (bytes, bytearray))
+        payload = json.loads(bytes(r["value"]).decode("utf-8"))
+        assert bytes(r["key"]).decode("utf-8") == payload["name"]
+        assert set(payload) == {"seq", "name", "active", "state"}
+
+    # the oneshot consumed itself: a composite-key NULL-VALUE tombstone
+    # must have been produced onto alarm-overrides
+    ovr_raw = broker.raw_batch("alarm-overrides")
+    tombs = (
+        ovr_raw.filter(F.col("value").isNull())
+        .select(F.col("key").cast("string").alias("k"))
+        .collect()
+    )
+    assert {json.loads(t["k"])["name"] for t in tombs} >= {"al_oneshot"}
+    assert all(
+        json.loads(t["k"]).keys() >= {"name", "type"} for t in tombs
+    )
+
+    # feedback records for latch/ondelay carry the composite key too
+    fb = (
+        ovr_raw.filter(F.col("value").isNotNull())
+        .select(F.col("key").cast("string").alias("k"))
+        .collect()
+    )
+    fb_names = {json.loads(r["k"]).get("name") for r in fb}
+    assert {"al_latch", "al_delay"} <= fb_names
