@@ -34,6 +34,17 @@ BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
 # stop starting new sweeps (after the 3rd) once this much wall time
 # has gone into timed sweeps
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+# co-tenant load guard: before the FIRST timed sweep (the only moment
+# the 1-min loadavg is not confounded by our own just-finished sweep),
+# wait for loadavg to drop below this before timing anything — a
+# co-tenant spike at bench start otherwise inflates every sample of
+# the early-alphabet queries at once, which the interleaved median
+# cannot fully undo (observed single loaded runs at 28-46 s vs 23 s
+# idle). We proceed anyway after LOAD_WAIT_S so a busy machine delays
+# the bench, never deadlocks it; per-sweep loadavg is recorded in the
+# output so a loaded measurement is visible, not silent.
+LOAD_GUARD = float(os.environ.get("SPARK_GRAFT_LOAD_GUARD", "8"))
+LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "90"))
 
 
 def force(df) -> None:
@@ -76,9 +87,18 @@ def main() -> None:
     # decorrelates each query's samples in time, so a bad window costs
     # one sample of many queries instead of every sample of one.
     runs: dict[str, list[float]] = {name: [] for name in queries}
+    # wait out a co-tenant load spike before the first timed sweep
+    guard_t0 = time.perf_counter()
+    while (
+        os.getloadavg()[0] > LOAD_GUARD
+        and time.perf_counter() - guard_t0 < LOAD_WAIT_S
+    ):
+        time.sleep(5)
+    sweep_loads: list[float] = []
     sweeps_t0 = time.perf_counter()
     sweeps_done = 0
     for sweep in range(BENCH_N):
+        sweep_loads.append(round(os.getloadavg()[0], 1))
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, SF_DIR))
@@ -108,6 +128,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "n": sweeps_done,
+                "loadavg_per_sweep": sweep_loads,
             }
         )
     )
