@@ -161,3 +161,18 @@ def test_nested_history_no_extra_shuffles(spark):
         shuffle_count(nested),
         shuffle_count(flat),
     )
+
+
+def test_embedding_neardup_reuses_cached_signatures(spark):
+    """The LSH band self-join must read the session-cached signature
+    frame on BOTH sides (InMemoryRelation), not re-run the Arrow
+    signature stage per join input — the signature scan is the
+    dominant cost of the query and runs once per (session, sf_dir)."""
+    df = QUERIES["embedding_neardup"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # both join inputs read the cached relation (the sig_bands stage
+    # textually repeats under each InMemoryTableScan but executes only
+    # at cache build); the candidate re-score is the single live
+    # Arrow stage in the query body
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("MapInPandas score") == 1, plan
