@@ -131,7 +131,20 @@ def incremental_effective_alarms(
             .alias("name")
         )
     )
-    touched = delta_touched.unionByName(expired_in_window).distinct()
+    # Materialize the two frames every downstream branch re-reads,
+    # exactly as a real incremental job stages its delta before the
+    # recompute. Without this, Catalyst re-inlines the touched/delta
+    # subtrees into every consumer — the three log projections, the
+    # snapshot clock, the anti- and semi-joins — compounding to ~39
+    # scans of the event log and ~70 exchanges in ONE plan (measured
+    # at r4); with it the delta is scanned once and reused. Lazy
+    # (eager=False): the cost lands inside the query's own execution,
+    # not at build time.
+    touched = (
+        delta_touched.unionByName(expired_in_window)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     # no broadcast hint on purpose: touched is tiny after the distinct
     # and AQE picks broadcast from the runtime size; a very wide delta
@@ -141,11 +154,15 @@ def incremental_effective_alarms(
     # the re-run still reads the FULL log for touched keys (state is
     # key-complete, not delta-only), but only for those keys — with a
     # key-partitioned log this scan prunes to the touched partitions
-    touched_events = ev.drop("split_seq").join(
-        touched,
-        F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
-        == F.col("name"),
-        "left_semi",
+    touched_events = (
+        ev.drop("split_seq")
+        .join(
+            touched,
+            F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
+            == F.col("name"),
+            "left_semi",
+        )
+        .localCheckpoint(eager=False)
     )
     recomputed = effective_alarms_from_events(
         spark, touched_events, clock_events=events
