@@ -160,11 +160,41 @@ def test_deploy_settles_reference_scenarios(spark, tmpdir):
                 transport=transport,
                 available_now=True,
             )
+
+        assert _effective_states(spark, broker) == _EXPECTED
+
+        # second wave: a producer publishes AFTER the deployment
+        # settled; every checkpointed query resumes from its offsets
+        # and the update propagates the whole chain in one
+        # dependency-ordered pass (the resident deployment's steady
+        # state, exercised through restart)
+        wave = spark.createDataFrame(
+            [(30, "al_plain", "NoActivation")],
+            "seq long, name string, union_type string",
+        )
+        broker.write(
+            wave.select(
+                F.col("name").alias("key"),
+                F.to_json(F.struct("seq", "name", "union_type")).alias(
+                    "value"
+                ),
+            ),
+            "alarm-activations",
+        )
+        deploy.start_rule_queries(
+            spark,
+            checkpoint_root=os.path.join(tmpdir, "ckpt"),
+            transport=transport,
+            available_now=True,
+        )
     finally:
         adapters.actions_dim = orig
         spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
 
-    assert _effective_states(spark, broker) == _EXPECTED
+    assert _effective_states(spark, broker) == {
+        **_EXPECTED,
+        "al_plain": (False, "Normal"),
+    }
 
     # wire-layout asserts: what reached the topics is byte-for-byte
     # what a broker would have received
