@@ -132,3 +132,44 @@ def test_kafka_wire_roundtrip_with_headers(spark):
     assert rows["b"]["v"] is None  # tombstone: null value -> null fields
     hdrs = {h["key"]: bytes(h["value"]).decode() for h in rows["a"]["headers"]}
     assert hdrs == {"user": "u1", "producer": "p1", "host": "h1"}
+
+
+def test_fake_broker_preserves_per_key_order(spark, tmp_path):
+    """A real Kafka producer preserves per-key order (same key -> same
+    partition, appended in send order). The fake broker's offset
+    assignment must give the same guarantee for rows that arrive
+    partitioned by key in key-local order — which is exactly how the
+    stateful stages emit them (applyInPandasWithState sorts by seq
+    within each key group). Consumer-side latest-per-key compaction
+    by OFFSET then agrees with compaction by seq."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources.fake_broker import FakeBroker
+
+    rows = [(f"k{i % 7}", s) for i, s in enumerate(range(200))]
+    df = (
+        spark.createDataFrame(rows, "key string, seq long")
+        .repartition(8, "key")
+        .sortWithinPartitions("key", "seq")
+    )
+    broker = FakeBroker(spark, str(tmp_path / "broker"))
+    broker.write(
+        df.select("key", F.col("seq").cast("string").alias("value")),
+        "t",
+    )
+    got = (
+        broker.raw_batch("t")
+        .select(
+            F.col("key").cast("string").alias("k"),
+            F.col("value").cast("string").cast("long").alias("seq"),
+            "offset",
+        )
+        .collect()
+    )
+    assert len(got) == 200
+    assert len({r["offset"] for r in got}) == 200  # offsets unique
+    by_key: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: r["offset"]):
+        by_key.setdefault(r["k"], []).append(r["seq"])
+    for k, seqs in by_key.items():
+        assert seqs == sorted(seqs), (k, seqs)
