@@ -305,6 +305,7 @@ def _register_llm() -> None:
     register("vocab_topk", corpus.q_vocab_topk, osql.VOCAB_TOPK_SQL)
     register("token_rarity", corpus.q_token_rarity, osql.TOKEN_RARITY_SQL)
     register("corpus_mixture", corpus.q_corpus_mixture, osql.CORPUS_MIXTURE_SQL)
+    register("corpus_split", corpus.q_corpus_split, osql.CORPUS_SPLIT_SQL)
 
 
 _register_rules()
@@ -384,8 +385,9 @@ _CHECK_FIRST = [
     # multimodal
     "multimodal_meta",
     "multimodal_features",
-    # corpus curation
-    "stratified_sample",
+    # corpus curation (corpus_split is stratified_sample's hash-split
+    # sibling, new this round — driver-checked in its place)
+    "corpus_split",
     "doc_chunks",
     "dedup_clusters",
     "contamination",

@@ -533,3 +533,54 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_sum DIV n_tokens").alias("avg_tok_count"),
         )
     )
+
+
+# train/val/test thresholds in 1/65536 units of the 16-bit fingerprint
+# space (md5 hex chars 1-4): 98% / 1% / 1%
+SPLIT_TRAIN_64K = 64225
+SPLIT_VAL_64K = 64880
+N_SPLIT_SHARDS = 64
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + shard assignment, reported
+    per split: doc count, token mass, and distinct shards used.
+
+    The split is a pure function of doc_id (md5 hex chars 1-4 against
+    98/1/1 thresholds), so membership is stable across runs, engines,
+    and corpus growth — adding documents never moves an existing doc
+    between splits, which is what keeps a held-out set held out. The
+    shard key uses hex chars 5-8 (decorrelated from the split bits) mod
+    N_SPLIT_SHARDS — the write-partitioning a training job reads by.
+
+    Scale shape: split+shard assignment is scan-local (no shuffle);
+    the report is a two-level aggregation — groupBy(split, shard) with
+    map-side partials, then groupBy(split) over at most 3*64 rows —
+    which avoids the Expand a count(DISTINCT shard) alongside other
+    aggregates would trigger.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
+    shard = (
+        F.conv(F.substring(hx, 5, 4), 16, 10).cast("long") % N_SPLIT_SHARDS
+    )
+    split = (
+        F.when(h16 < SPLIT_TRAIN_64K, "train")
+        .when(h16 < SPLIT_VAL_64K, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select(
+        split.alias("split"),
+        shard.alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_shard = assigned.groupBy("split", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    return per_shard.groupBy("split").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_shards"),
+    )

@@ -515,6 +515,37 @@ SELECT doc_id, lang, h16, rate_64k FROM (
 ) t WHERE h16 < rate_64k
 """
 
+from .functions.corpus import (  # noqa: E402
+    N_SPLIT_SHARDS,
+    SPLIT_TRAIN_64K,
+    SPLIT_VAL_64K,
+)
+
+CORPUS_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN h16 < {SPLIT_TRAIN_64K} THEN 'train'
+              WHEN h16 < {SPLIT_VAL_64K} THEN 'val'
+              ELSE 'test' END AS split,
+         hshard % {N_SPLIT_SHARDS} AS shard,
+         n_tok
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) AS h16,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+                AS BIGINT) AS hshard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+),
+per_shard AS (
+  SELECT split, shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM assigned GROUP BY split, shard
+)
+SELECT split, sum(n_docs) AS n_docs, sum(n_tokens) AS n_tokens,
+       count(*) AS n_shards
+FROM per_shard GROUP BY split
+"""
+
 _PII_COLS = ",\n       ".join(
     f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS {name}"
     for name, pat in PII_PATTERNS.items()

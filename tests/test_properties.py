@@ -334,3 +334,44 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         for r in connected_components(pairs).collect()
     }
     assert got == _uf_components(25, edges)
+
+
+def test_corpus_split_is_stable_partition(spark):
+    """corpus_split's membership is a pure function of doc_id: the
+    splits partition the corpus exactly (98/1/1 in expectation), and
+    growing the corpus never moves an existing doc between splits —
+    the property that keeps a held-out set held out."""
+    from tests.conftest import SF_SMOKE
+    from jaws_effective_processor_spark.functions.corpus import (
+        N_SPLIT_SHARDS,
+        SPLIT_TRAIN_64K,
+        q_corpus_split,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    rows = {r["split"]: r for r in q_corpus_split(spark, SF_SMOKE).collect()}
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs  # exhaustive
+    assert rows["train"]["n_docs"] > 0.9 * n_docs  # ~98% in expectation
+    assert all(r["n_shards"] <= N_SPLIT_SHARDS for r in rows.values())
+
+    # stability: recompute on a half-corpus; common docs keep their split
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    full = {
+        r["doc_id"]: r["is_train"]
+        for r in docs.select(
+            "doc_id", (h16 < SPLIT_TRAIN_64K).alias("is_train")
+        ).collect()
+    }
+    half = {
+        r["doc_id"]: r["is_train"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", (h16 < SPLIT_TRAIN_64K).alias("is_train"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
