@@ -542,6 +542,23 @@ SPLIT_VAL_64K = 64880
 N_SPLIT_SHARDS = 64
 
 
+def assign_split(df: DataFrame) -> DataFrame:
+    """Add growth-stable `split` (train/val/test) and `shard` columns,
+    both pure functions of doc_id (md5 hex chars 1-4 / 5-8) — no
+    shuffle, no RNG, membership never moves as the corpus grows."""
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
+    shard = (
+        F.conv(F.substring(hx, 5, 4), 16, 10).cast("long") % N_SPLIT_SHARDS
+    )
+    split = (
+        F.when(h16 < SPLIT_TRAIN_64K, "train")
+        .when(h16 < SPLIT_VAL_64K, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split).withColumn("shard", shard)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard assignment, reported
     per split: doc count, token mass, and distinct shards used.
@@ -560,19 +577,9 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates would trigger.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hx = F.md5(F.col("doc_id").cast("string"))
-    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
-    shard = (
-        F.conv(F.substring(hx, 5, 4), 16, 10).cast("long") % N_SPLIT_SHARDS
-    )
-    split = (
-        F.when(h16 < SPLIT_TRAIN_64K, "train")
-        .when(h16 < SPLIT_VAL_64K, "val")
-        .otherwise("test")
-    )
-    assigned = docs.select(
-        split.alias("split"),
-        shard.alias("shard"),
+    assigned = assign_split(docs).select(
+        "split",
+        "shard",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
     per_shard = assigned.groupBy("split", "shard").agg(

@@ -335,3 +335,42 @@ def write_bucketed(
         .mode("overwrite")
         .saveAsTable(table)
     )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write a documents table as the training-ready sharded layout:
+    parquet partitioned by (split, shard), rows sorted by doc_id
+    within each file.
+
+    The assignment columns come from `functions.corpus.assign_split`
+    (pure hash of doc_id — growth-stable, reproducible). Two layout
+    decisions matter at 100 TB:
+
+    - `repartition("split", "shard")` BEFORE `partitionBy`: without
+      it every upstream task holds rows of every (split, shard) and
+      the dynamic-partition write emits tasks x partitions files —
+      the classic small-files explosion. Hash-clustering first means
+      each output directory is written by one task (a handful under
+      AQE), so file count tracks partition count, not task count.
+    - `maxRecordsPerFile` re-splits a hot shard into bounded files so
+      a training loader gets uniform read units even when shard
+      hashing is unlucky.
+
+    Readers prune by directory: a training job reading split=train
+    never lists val/test files, and a single shard is one directory.
+    """
+    from ..functions.corpus import assign_split
+
+    (
+        assign_split(df)
+        .repartition("split", "shard")
+        .sortWithinPartitions("split", "shard", "doc_id")
+        .write.partitionBy("split", "shard")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )

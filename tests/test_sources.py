@@ -173,3 +173,46 @@ def test_fake_broker_preserves_per_key_order(spark, tmp_path):
         by_key.setdefault(r["k"], []).append(r["seq"])
     for k, seqs in by_key.items():
         assert seqs == sorted(seqs), (k, seqs)
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    """Sharded corpus write: directory layout is split=*/shard=*, each
+    shard directory holds a bounded file count (no task x partition
+    small-files explosion), and read-back round-trips exactly with
+    directory-pruned reads per split."""
+    import glob
+
+    from jaws_effective_processor_spark.sources.io import (
+        write_corpus_shards,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(docs, out)
+
+    split_dirs = sorted(
+        p.rsplit("=", 1)[-1] for p in glob.glob(f"{out}/split=*")
+    )
+    assert split_dirs == ["test", "train", "val"]
+    # each (split, shard) dir written by one clustered task: a handful
+    # of files per dir, not one per upstream task
+    for d in glob.glob(f"{out}/split=*/shard=*"):
+        n_files = len(glob.glob(f"{d}/*.parquet"))
+        assert 1 <= n_files <= 4, (d, n_files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # read-back of one split prunes to that split's directories only
+    train = spark.read.parquet(out).filter("split = 'train'")
+    n_train = train.count()
+    assert 0 < n_train < docs.count()
+    from jaws_effective_processor_spark.plans import explain_str
+
+    import re
+
+    plan = explain_str(train, "formatted")
+    assert re.search(r"PartitionFilters: \[[^\]]*split[^\]]*= train", plan), (
+        plan
+    )
