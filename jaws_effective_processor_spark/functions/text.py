@@ -134,16 +134,17 @@ QUALITY_EXPR_T = """
 """
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document quality score (0-1000) + keep/review/drop
-    bucket — the filter stage of a training-data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_stat_columns() -> list:
+    """The five token statistics QUALITY_EXPR_T consumes, as reusable
+    column expressions — shared between the batch quality query and
+    the streaming ingest gate so both paths score byte-identically."""
     toks = _tokens()
-    base = docs.select(
-        "doc_id",
+    return [
         F.length("text").cast("long").alias("len_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias(
+            "n_distinct_tokens"
+        ),
         F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
         .cast("long")
         .alias("n_stopwords"),
@@ -152,7 +153,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("tok_chars"),
-    )
+    ]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (0-1000) + keep/review/drop
+    bucket — the filter stage of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", *quality_stat_columns())
     score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
     return base.select(
         "doc_id",

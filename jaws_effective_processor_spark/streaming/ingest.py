@@ -1,0 +1,82 @@
+"""Streaming corpus ingest: the continuous-arrival half of the
+corpus-curation family (functions/corpus.py is the batch half).
+
+A crawl feed lands documents continuously; the ingest pipeline must
+drop exact re-fetches, gate on quality, and assign the growth-stable
+split/shard BEFORE anything downstream trains on the data. All three
+stages compose as one streaming plan:
+
+- exact dedup: `dropDuplicatesWithinWatermark` on the content
+  fingerprint — Spark's state-store-backed streaming dedup. State is
+  keyed by fingerprint and bounded by the watermark horizon (a
+  re-fetch storm arrives within hours of the original at a real
+  crawler; corpus-lifetime exact dedup stays the batch job,
+  functions/dedup.py:q_dedup_exact, run over the landed shards).
+- quality gate + split assignment: stateless column expressions
+  shared verbatim with the batch queries (functions/text.py
+  quality_stat_columns + QUALITY_EXPR_T, functions/corpus.py
+  assign_split) — a document scores and routes byte-identically
+  whichever path ingested it, so a batch backfill and the live
+  stream can never disagree.
+
+At scale this runs per-microbatch fully parallel: dedup state is
+hash-partitioned on fingerprint, everything else is scan-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.corpus import assign_split
+from ..functions.text import QUALITY_EXPR_T, quality_stat_columns
+
+# wire schema of the document feed (test transport: parquet dir;
+# production: kafka_stream with this as the value schema + the
+# record timestamp as ingest_ts)
+DOC_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ]
+)
+
+DEDUP_WATERMARK = "10 minutes"
+MIN_QUALITY = 500  # the batch bucketing's review threshold
+
+
+def ingest_stream(
+    docs: DataFrame, watermark: str = DEDUP_WATERMARK
+) -> DataFrame:
+    """Feed -> deduped, quality-gated, split-assigned documents."""
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    deduped = (
+        docs.withColumn("fp", F.md5("text"))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    scored = deduped.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "ingest_ts",
+        "fp",
+        *quality_stat_columns(),
+    ).withColumn("quality_score", score)
+    kept = scored.filter(F.col("quality_score") >= MIN_QUALITY)
+    return assign_split(kept).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "ingest_ts",
+        "fp",
+        "quality_score",
+        "split",
+        "shard",
+    )

@@ -227,3 +227,76 @@ def test_mask_scenario(spark, tmpdir):
         ("alarm1", 4, False, True),
         ("alarm2", 5, False, True),
     }
+
+
+def test_ingest_stream_dedup_quality_split(spark, tmpdir):
+    """Streaming corpus ingest: cross-microbatch exact dedup by
+    content fingerprint, quality gate and split assignment identical
+    to the batch expressions."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.corpus import assign_split
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def doc(i, text, minute):
+        return (
+            i,
+            text,
+            "en",
+            "crawl",
+            t0 + datetime.timedelta(minutes=minute),
+        )
+
+    # ~25-word docs built to pass all four quality gates; the "junk"
+    # doc fails length + diversity gates and must be dropped
+    good = (
+        "the quick brown fox jumps over a lazy sleeping dog while "
+        "seven wizards of oxford brew giant black quartz potions "
+        "and judge every vexing word"
+    )
+    good2 = (
+        "a misty harbor town wakes early in cold light as fishing "
+        "boats drift past stone piers carrying nets ropes lanterns "
+        "and the patient hopes of sailors"
+    )
+    junk = "spam spam spam"
+    rows0 = [doc(1, good, 0), doc(2, good2, 1), doc(3, junk, 2)]
+    # batch 1 re-fetches doc 1's text under a new doc_id (dup) and
+    # lands one genuinely new doc
+    good3 = (
+        "under desert stars an old caravan rests beside red dunes "
+        "while traders share warm bread salted olives and long "
+        "stories of distant rainy kingdoms"
+    )
+    rows1 = [doc(4, good, 7), doc(5, good3, 8)]
+
+    src = os.path.join(tmpdir, "feed")
+    for i, rows in enumerate([rows0, rows1]):
+        spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"batch{i}"))
+
+    stream = rules.dir_stream(
+        spark, f"{src}/*", ingest.DOC_FEED_SCHEMA, max_files=1
+    )
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.ingest_stream(stream), name, os.path.join(tmpdir, "ckpt")
+    )
+    got = {r["doc_id"]: r for r in _memory_table(spark, name).collect()}
+
+    # doc 4 is a within-watermark re-fetch of doc 1's content; doc 3
+    # fails the quality gate
+    assert set(got) == {1, 2, 5}
+    assert all(r["quality_score"] >= ingest.MIN_QUALITY for r in got.values())
+    # split/shard match the batch assignment for the surviving doc_ids
+    batch = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in assign_split(
+            spark.createDataFrame(rows0 + rows1, ingest.DOC_FEED_SCHEMA)
+        ).collect()
+    }
+    for i, r in got.items():
+        assert (r["split"], r["shard"]) == batch[i], i
