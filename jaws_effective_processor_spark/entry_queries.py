@@ -262,6 +262,9 @@ def _register_llm() -> None:
         "embedding_neardup", dedup.q_embedding_neardup, osql.EMBEDDING_NEARDUP_SQL
     )
     register("knn_bruteforce", similarity.q_knn_bruteforce, osql.KNN_BRUTEFORCE_SQL)
+    register(
+        "knn_label_vote", similarity.q_knn_label_vote, osql.KNN_LABEL_VOTE_SQL
+    )
     register("knn_lsh", similarity.q_knn_lsh, osql.KNN_LSH_SQL)
     register("knn_ivf", similarity.q_knn_ivf, osql.KNN_IVF_SQL)
     register(

@@ -267,3 +267,51 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
         )
     )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification — the canonical end-use of the
+    ANN family: predict each query vector's label from its TOP_K exact
+    cosine neighbors' labels (ties break to the smaller label).
+
+    Same scale shape as q_knn_bruteforce (tiny query side broadcast,
+    corpus streams past it); the vote adds a groupBy over at most
+    N_QUERIES x TOP_K rows and a window over N_QUERIES x #labels —
+    driver-free, all JVM-side, integer outputs for exact oracle
+    parity.
+    """
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = e.alias("c")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    neighbors = (
+        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").cast("long").alias("true_label"),
+            F.col("c.label").cast("long").alias("neighbor_label"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos("q", "c").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = neighbors.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "votes",
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+    )

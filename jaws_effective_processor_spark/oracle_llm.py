@@ -276,6 +276,41 @@ SELECT query_id, neighbor_id, rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+KNN_LABEL_VOTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS neighbor_label, c.vec_id AS neighbor_id,
+         {_QCOS} AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, neighbor_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, count(*) AS votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+)
+SELECT query_id, true_label, neighbor_label AS predicted_label,
+       votes, neighbor_label = true_label AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, neighbor_label) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
 
 def _plane_literal(plane: list[int]) -> str:
     vals = ", ".join(f"{float(w)}" for w in plane)
