@@ -80,3 +80,34 @@ def ingest_stream(
         "split",
         "shard",
     )
+
+
+def start_ingest_shards(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Run the ingest pipeline continuously into the same sharded
+    parquet layout `sources.io.write_corpus_shards` produces for
+    batch backfills: partitioned by (split, shard), exactly-once via
+    the checkpointed file-sink commit log.
+
+    Batch and stream land in interchangeable layouts, so a training
+    reader prunes split=train directories without caring which path
+    ingested a row. Files are per-microbatch per-partition here (the
+    file-sink cannot re-cluster across triggers); the periodic
+    compaction a real deployment runs over hot shards is exactly a
+    `write_corpus_shards` batch over the landed files.
+    """
+    writer = (
+        ingest_stream(docs)
+        .writeStream.format("parquet")
+        .partitionBy("split", "shard")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

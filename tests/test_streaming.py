@@ -300,3 +300,40 @@ def test_ingest_stream_dedup_quality_split(spark, tmpdir):
     }
     for i, r in got.items():
         assert (r["split"], r["shard"]) == batch[i], i
+
+
+def test_ingest_shards_sink_matches_batch_layout(spark, tmpdir):
+    """Streaming ingest lands in the same (split, shard) partitioned
+    layout as the batch writer, readable with per-split pruning."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox jumps over a lazy sleeping dog while "
+        "seven wizards of oxford brew giant black quartz potions "
+        "and judge every vexing word"
+    )
+    rows = [(1, good, "en", "crawl", t0)]
+    src = os.path.join(tmpdir, "feed")
+    spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "batch0"))
+
+    out = os.path.join(tmpdir, "shards")
+    q = ingest.start_ingest_shards(
+        rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA),
+        out,
+        os.path.join(tmpdir, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 1
+    row = back.collect()[0]
+    assert row["doc_id"] == 1 and row["split"] in ("train", "val", "test")
+    import glob as _glob
+
+    assert _glob.glob(f"{out}/split=*/shard=*/*.parquet")
