@@ -309,6 +309,20 @@ def _register_llm() -> None:
     register("token_rarity", corpus.q_token_rarity, osql.TOKEN_RARITY_SQL)
     register("corpus_mixture", corpus.q_corpus_mixture, osql.CORPUS_MIXTURE_SQL)
     register("corpus_split", corpus.q_corpus_split, osql.CORPUS_SPLIT_SQL)
+    register("decontaminate", corpus.q_decontaminate, osql.DECONTAMINATE_SQL)
+    register("semdedup_keep", corpus.q_semdedup_keep, osql.SEMDEDUP_KEEP_SQL)
+    register(
+        "mixture_rebalance",
+        corpus.q_mixture_rebalance,
+        osql.MIXTURE_REBALANCE_SQL,
+    )
+    register("keyword_topk", corpus.q_keyword_topk, osql.KEYWORD_TOPK_SQL)
+    register(
+        "inverted_index", corpus.q_inverted_index, osql.INVERTED_INDEX_SQL
+    )
+    register(
+        "curation_funnel", corpus.q_curation_funnel, osql.CURATION_FUNNEL_SQL
+    )
 
 
 _register_rules()
@@ -389,11 +403,15 @@ _CHECK_FIRST = [
     "multimodal_meta",
     "multimodal_features",
     # corpus curation (corpus_split is stratified_sample's hash-split
-    # sibling, new this round — driver-checked in its place)
+    # sibling; decontaminate SUBSUMES contamination — it invokes the
+    # report as its inner sub-query — and semdedup_keep exercises the
+    # same connected-components core as dedup_clusters over the
+    # embedding pair set, so the swapped-out names stay transitively
+    # driver-covered)
     "corpus_split",
     "doc_chunks",
-    "dedup_clusters",
-    "contamination",
+    "semdedup_keep",
+    "decontaminate",
     "vocab_topk",
 ]
 

@@ -270,6 +270,55 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct CONTAM_K-gram hash table (doc_id, grams) —
+    the derived artifact both the contamination report and the
+    decontaminate pass read; session-cached like the other corpus
+    artifacts (token_rarity's unigram table, the dedup shingles).
+
+    ONE md5 per TOKEN (28-bit half), then each 8-gram is an integer
+    rolling combine of its 8 token hashes mod P. The earlier form —
+    an 8-wide string concat + md5 PER GRAM — generated codegen so
+    large the JVM intermittently stalled every task thread for
+    seconds re-JITting it (the round-1 MinHash lesson again); this
+    form is 8x fewer digests and a small generated method. Both
+    engines run the identical integer fold, so parity is exact.
+    """
+
+    def _build_gram_table():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        tkh = F.transform(
+            tk,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(
+                "long"
+            ),
+        )
+
+        def combine(i: F.Column) -> F.Column:
+            acc = F.element_at(F.col("tkh"), i)
+            for o in range(1, CONTAM_K):
+                acc = (
+                    acc * CONTAM_MULT + F.element_at(F.col("tkh"), i + o)
+                ) % CONTAM_P
+            return acc
+
+        t = docs.select("doc_id", F.size(tk).alias("n_tok"), tkh.alias("tkh"))
+        gram = F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - (CONTAM_K - 1)), combine
+        )
+        grams = F.when(
+            F.col("n_tok") >= CONTAM_K, F.array_distinct(gram)
+        ).otherwise(F.array().cast("array<long>"))
+        return t.select("doc_id", grams.alias("grams"))
+
+    from .dedup import _cached_frame
+
+    return _cached_frame(spark, sf_dir, "contam_grams", _build_gram_table)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check: per TRAIN doc, how many of its
     distinct CONTAM_K-grams appear anywhere in the held-out set
@@ -287,45 +336,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB twin hashes identically and parity is unaffected by
     (negligible) collisions. Only contaminated docs are emitted.
     """
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
-    # ONE md5 per TOKEN (28-bit half), then each 8-gram is an integer
-    # rolling combine of its 8 token hashes mod P. The earlier form —
-    # an 8-wide string concat + md5 PER GRAM — generated codegen so
-    # large the JVM intermittently stalled every task thread for
-    # seconds re-JITting it (the round-1 MinHash lesson again); this
-    # form is 8x fewer digests and a small generated method. Both
-    # engines run the identical integer fold, so parity is exact.
-    tkh = F.transform(
-        tk,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
-    )
-
-    def combine(i: F.Column) -> F.Column:
-        acc = F.element_at(F.col("tkh"), i)
-        for o in range(1, CONTAM_K):
-            acc = (acc * CONTAM_MULT + F.element_at(F.col("tkh"), i + o)) % CONTAM_P
-        return acc
-
-    t = docs.select("doc_id", F.size(tk).alias("n_tok"), tkh.alias("tkh"))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.col("n_tok") - (CONTAM_K - 1)), combine
-    )
-    grams = F.when(
-        F.col("n_tok") >= CONTAM_K, F.array_distinct(gram)
-    ).otherwise(F.array().cast("array<long>"))
-
-    def _build_gram_table():
-        return t.select("doc_id", grams.alias("grams"))
-
-    # session-cache the hashed gram table like the other corpus
-    # artifacts (token_rarity's unigram table, the dedup shingles):
-    # it is referenced twice below (test + train branches), each
-    # reference re-evaluating ~1M token digests per run otherwise; at
-    # scale this is the derived table a decontamination pass persists
-    from .dedup import _cached_frame
-
-    g = _cached_frame(spark, sf_dir, "contam_grams", _build_gram_table)
+    g = _contam_gram_table(spark, sf_dir)
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     test_grams = (
         g.filter(is_test).select(F.explode("grams").alias("gram_h")).distinct()
@@ -590,4 +601,262 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_shards"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated training corpus: the TRAIN-side documents that
+    share NO distinct CONTAM_K-gram with the held-out set — the
+    actionable output of q_contamination (which only reports the
+    overlap). Emitting the retained set is what an actual pipeline
+    writes before training.
+
+    Scale shape: the gram table is the session-cached artifact
+    _contam_gram_table (cache hit when the report already ran); the
+    contaminated doc set is tiny by nature (benchmark overlap is
+    rare), so the LEFT ANTI join back to the train side is a runtime
+    broadcast under AQE — the train side never join-shuffles. Docs
+    shorter than CONTAM_K tokens have zero grams and are retained by
+    construction (nothing to overlap)."""
+    g = _contam_gram_table(spark, sf_dir)
+    contaminated = q_contamination(spark, sf_dir).select("doc_id")
+    train = g.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    )
+    return train.join(contaminated, "doc_id", "left_anti")
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level semantic-dedup retention set (SemDeDup-style):
+    connected components over the verified cosine near-dup pairs
+    (q_embedding_neardup), keep ONE representative per component —
+    the min vec_id — plus every vector that appears in no pair.
+
+    This is the embedding twin of the MinHash keep-one-per-cluster
+    decision: pairs -> components -> retained set. Scale shape: the
+    pair set is candidate-driven (LSH-banded, never all-pairs), the
+    component loop is the shared O(log diameter) min-label-propagation
+    with pointer jumping, and the final LEFT ANTI join removes the
+    (small) non-canonical member set from the embeddings scan — AQE
+    broadcasts it at runtime."""
+    from .dedup import q_embedding_neardup
+
+    pairs = q_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return emb.join(dropped, "vec_id", "left_anti")
+
+
+# mixture rebalance: cap any language at REBALANCE_CAP_PERMILLE of the
+# (pre-sampling) total token mass. The per-language keep rate lives in
+# the 16-bit fingerprint space: rate_64k = CAP_64K * total DIV lang
+# with CAP_64K precomputed in Python so both engines share the exact
+# constant. CAP_64K * total stays < 2^63 up to ~4.7e14 total tokens
+# (~500x a 100 TB text corpus) — no overflow at target scale.
+REBALANCE_CAP_PERMILLE = 300
+REBALANCE_CAP_64K = REBALANCE_CAP_PERMILLE * 65536 // 1000
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing by deterministic downsampling: any language
+    holding more than REBALANCE_CAP_PERMILLE of total token mass is
+    hash-sampled down to (approximately) the cap; the rest keep rate
+    1000. Emits the retained docs with the applied per-language rate.
+
+    The keep decision is a pure function of doc_id (md5 16-bit
+    fingerprint vs the language's rate), so the sample is reproducible
+    across engines/runs and stable under corpus growth — the same
+    property as q_stratified_sample, but with the rates COMPUTED from
+    the observed mixture instead of configured. Rates use the
+    PRE-sampling total (the standard one-pass approximation; an exact
+    post-sampling share needs a fixpoint).
+
+    Scale shape: one tiny per-language aggregate (handful of rows)
+    window-totaled and broadcast-joined back onto the scan — the doc
+    side never shuffles; the filter is scan-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_lang = base.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    rates = per_lang.select(
+        "lang",
+        F.least(
+            F.lit(65536).cast("long"),
+            F.expr(
+                f"({REBALANCE_CAP_64K} * sum(lang_tokens) OVER ())"
+                " DIV lang_tokens"
+            ),
+        ).alias("rate_64k"),
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        base.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", "n_tok", "rate_64k", h16.alias("h16"))
+        .filter(F.col("h16") < F.col("rate_64k"))
+        .select("doc_id", "lang", "n_tok", "rate_64k")
+    )
+
+
+KEYWORD_TOP_K = 3
+
+
+def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-KEYWORD_TOP_K keywords by tf-idf-style rarity
+    weighting, with EXACT integer scoring: score = (tf * 1e6) DIV df.
+    Ranking by tf/df is order-equivalent to tf*idf = tf*log(N/df) for
+    a fixed corpus (log is monotone, N constant), and the integer
+    quotient sidesteps cross-engine libm/float divergence entirely.
+    Ties break on token text, so the top-k set is deterministic.
+
+    Scale shape: tf is one groupBy(doc_id, token) with map-side
+    partials; df is a doc-distinct aggregate over the same exploded
+    scan; the join key (token) is the vocab — broadcast-range for any
+    real corpus head, AQE-skew-split beyond; the top-k window runs
+    per doc over only that doc's distinct tokens."""
+    from pyspark.sql import Window
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        tf.join(df_tbl, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr("(tf * 1000000) DIV df").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KEYWORD_TOP_K)
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> posting-list inverted index: per token, document
+    frequency, total occurrences, and the sorted posting list of
+    doc_ids (comma-joined text, so the driver's value hash is exact
+    and engine-independent).
+
+    Scale shape: one exploded scan, groupBy(token) with map-side
+    partials for the counts; the posting list is collect_set +
+    array_sort per token. At web scale posting lists for head tokens
+    outgrow a single aggregation buffer — a production index shards
+    the list by (token, doc_id DIV block) first; the per-token shape
+    here is the final merge of that hierarchy."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over the TRAIN-side corpus: doc and
+    token counts surviving each stage of the composed pipeline —
+    quality gate (score >= 500), exact-dup canonicalization (keep the
+    min doc_id per fingerprint among quality survivors), then n-gram
+    decontamination. The report every curation run publishes so a
+    mixture change is visible as "which stage ate the tokens".
+
+    Stages compose sequentially (each flag implies the previous), so
+    the four rows are monotone non-increasing. Scale shape: one
+    quality-scored scan (pure Catalyst), one groupBy(fp) over quality
+    survivors for the canonical set, the (tiny) contaminated-doc
+    LEFT join, then a SINGLE global aggregate with conditional sums —
+    the 4 output rows come from stack() over that one row, so nothing
+    wide ever shuffles."""
+    from .text import QUALITY_EXPR_T, quality_stat_columns
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    base = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
+        "doc_id", F.md5("text").alias("fp"), *quality_stat_columns()
+    )
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    scored = base.select(
+        "doc_id",
+        "fp",
+        F.col("n_tokens").alias("n_tok"),
+        (score >= 500).alias("q_ok"),
+    )
+    canon = (
+        scored.filter("q_ok")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canon_id"))
+    )
+    contam = q_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contam")
+    )
+    flags = (
+        scored.join(canon, "fp", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "n_tok",
+            "q_ok",
+            (F.col("q_ok") & (F.col("doc_id") == F.col("canon_id"))).alias(
+                "d_ok"
+            ),
+            (
+                F.col("q_ok")
+                & (F.col("doc_id") == F.col("canon_id"))
+                & F.col("is_contam").isNull()
+            ).alias("c_ok"),
+        )
+    )
+
+    def n_of(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def t_of(cond):
+        return F.sum(F.when(cond, F.col("n_tok")).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_tok").cast("long").alias("t0"),
+        n_of(F.col("q_ok")).alias("n1"),
+        t_of(F.col("q_ok")).alias("t1"),
+        n_of(F.col("d_ok")).alias("n2"),
+        t_of(F.col("d_ok")).alias("t2"),
+        n_of(F.col("c_ok")).alias("n3"),
+        t_of(F.col("c_ok")).alias("t3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', n0, t0, '1_quality', n1, t1,"
+            " '2_dedup', n2, t2, '3_decontaminated', n3, t3)"
+            " AS (stage, n_docs, n_tokens)"
+        )
     )

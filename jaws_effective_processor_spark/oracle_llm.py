@@ -736,8 +736,10 @@ _CONTAM_GRAM = (
     f"list_transform(range(1, len(th) - {CONTAM_K - 2}), i -> {_contam_acc})"
 )
 
-CONTAMINATION_SQL = f"""
-WITH t AS (
+# shared CTE prefix: per-doc gram-hash table + test-side gram set —
+# used by both the contamination report and the decontaminate pass so
+# the two oracles cannot drift from each other
+_CONTAM_BASE = f"""t AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
            t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS th
@@ -753,7 +755,10 @@ g AS (
 test_g AS (
   SELECT DISTINCT unnest(grams) AS gram_h
   FROM g WHERE doc_id % {HOLDOUT_MOD} = 0
-),
+)"""
+
+CONTAMINATION_SQL = f"""
+WITH {_CONTAM_BASE},
 train AS (
   SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
          unnest(grams) AS gram_h
@@ -766,6 +771,23 @@ SELECT train.doc_id,
          AS contam_permille
 FROM train JOIN test_g USING (gram_h)
 GROUP BY train.doc_id
+"""
+
+# Twin of q_decontaminate: the retained train docs — those sharing no
+# gram with the held-out set (short docs have zero grams and survive)
+DECONTAMINATE_SQL = f"""
+WITH {_CONTAM_BASE},
+train AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, grams
+  FROM g WHERE doc_id % {HOLDOUT_MOD} <> 0
+),
+contam AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram_h FROM train) e
+  JOIN test_g USING (gram_h)
+)
+SELECT doc_id, n_grams FROM train
+WHERE doc_id NOT IN (SELECT doc_id FROM contam)
 """
 
 VOCAB_TOPK_SQL = f"""
@@ -852,4 +874,151 @@ SELECT tok.doc_id,
        sum(freq.tok_count) // count(*) AS avg_tok_count
 FROM tok JOIN freq USING (token)
 GROUP BY tok.doc_id
+"""
+
+
+# Twin of q_semdedup_keep: recursive reachability over the embedding
+# near-dup pairs (same min-label fixpoint as DEDUP_CLUSTERS_SQL), then
+# the retained set = everything except non-canonical component members
+SEMDEDUP_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {EMBEDDING_NEARDUP_SQL}
+),
+edges AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM pairs
+  UNION ALL
+  SELECT vec_b AS doc_a, vec_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.doc_b, w.lab
+  FROM walk w JOIN edges e ON w.node = e.doc_a
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+dropped AS (SELECT node AS vec_id FROM comp WHERE node <> cluster_id)
+SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+from .functions.corpus import REBALANCE_CAP_64K  # noqa: E402
+
+# Twin of q_mixture_rebalance: the keep rate is all-integer and the
+# CAP_64K constant is imported from the Spark side, so the boundary
+# arithmetic is shared to the bit
+MIXTURE_REBALANCE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, sum(n_tok) AS lang_tokens FROM base GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         CAST(least(65536,
+              ({REBALANCE_CAP_64K} * sum(lang_tokens) OVER ())
+                // lang_tokens) AS BIGINT) AS rate_64k
+  FROM per_lang
+)
+SELECT doc_id, lang, n_tok, rate_64k
+FROM base JOIN rates USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      < rate_64k
+"""
+
+from .functions.corpus import KEYWORD_TOP_K  # noqa: E402
+
+# Twin of q_keyword_topk: integer tf/df rarity score, row_number over
+# (score DESC, token) per doc
+KEYWORD_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfq AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) d
+  GROUP BY token
+),
+s AS (
+  SELECT doc_id, token, tf, df, (tf * 1000000) // df AS score
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tf, df, score,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {KEYWORD_TOP_K}
+"""
+
+# Twin of q_inverted_index: sorted distinct posting list, comma-joined
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS df,
+       array_to_string(
+         list_transform(list_sort(list_distinct(list(doc_id))),
+                        d -> CAST(d AS VARCHAR)), ',') AS postings
+FROM tok GROUP BY token
+"""
+
+
+# Twin of q_curation_funnel: the same staged flags, one filtered
+# aggregate, four literal rows
+CURATION_FUNNEL_SQL = f"""
+WITH {_CONTAM_BASE},
+contam AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram_h FROM g
+        WHERE doc_id % {HOLDOUT_MOD} <> 0) e
+  JOIN test_g USING (gram_h)
+),
+stats AS (
+  SELECT doc_id, fp, n_tokens AS n_tok, CAST({_Q} AS BIGINT) AS score
+  FROM (
+    SELECT doc_id, md5(text) AS fp,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+             AS n_stopwords,
+           CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+             AS tok_chars
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS tk
+          FROM documents WHERE doc_id % {HOLDOUT_MOD} <> 0) t0
+  ) t1
+),
+canon AS (
+  SELECT fp, min(doc_id) AS canon_id FROM stats
+  WHERE score >= 500 GROUP BY fp
+),
+flags AS (
+  SELECT s.n_tok,
+         s.score >= 500 AS q_ok,
+         (s.score >= 500 AND s.doc_id = c.canon_id) AS d_ok,
+         (s.score >= 500 AND s.doc_id = c.canon_id
+          AND s.doc_id NOT IN (SELECT doc_id FROM contam)) AS c_ok
+  FROM stats s LEFT JOIN canon c USING (fp)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(n_tok) AS BIGINT) AS t0,
+         CAST(count(*) FILTER (q_ok) AS BIGINT) AS n1,
+         CAST(coalesce(sum(n_tok) FILTER (q_ok), 0) AS BIGINT) AS t1,
+         CAST(count(*) FILTER (d_ok) AS BIGINT) AS n2,
+         CAST(coalesce(sum(n_tok) FILTER (d_ok), 0) AS BIGINT) AS t2,
+         CAST(count(*) FILTER (c_ok) AS BIGINT) AS n3,
+         CAST(coalesce(sum(n_tok) FILTER (c_ok), 0) AS BIGINT) AS t3
+  FROM flags
+)
+SELECT '0_total' AS stage, n0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT '1_quality', n1, t1 FROM agg
+UNION ALL SELECT '2_dedup', n2, t2 FROM agg
+UNION ALL SELECT '3_decontaminated', n3, t3 FROM agg
 """
