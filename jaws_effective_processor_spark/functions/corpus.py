@@ -720,24 +720,29 @@ def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient sidesteps cross-engine libm/float divergence entirely.
     Ties break on token text, so the top-k set is deterministic.
 
-    Scale shape: tf is one groupBy(doc_id, token) with map-side
-    partials; df is a doc-distinct aggregate over the same exploded
-    scan; the join key (token) is the vocab — broadcast-range for any
-    real corpus head, AQE-skew-split beyond; the top-k window runs
-    per doc over only that doc's distinct tokens."""
+    Scale shape: ONE exploded scan -> tf via groupBy(doc_id, token)
+    with map-side partials; df falls out of tf (tf already holds one
+    row per (doc, token), so df = row count per token) — no second
+    scan or doc-distinct pass. The join key (token) is the vocab —
+    broadcast-range for any real corpus head, AQE-skew-split beyond;
+    the top-k window runs per doc over only that doc's distinct
+    tokens. tf is session-cached: the df aggregate and the join probe
+    both read it."""
     from pyspark.sql import Window
 
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_tbl = (
-        tok.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-    )
+    from .dedup import _cached_frame
+
+    def _build_tf():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tok = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        return tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+    tf = _cached_frame(spark, sf_dir, "keyword_tf", _build_tf)
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("token")
     )
