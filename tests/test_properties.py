@@ -375,3 +375,118 @@ def test_corpus_split_is_stable_partition(spark):
         .collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_decontaminate_partitions_train_set(spark):
+    """decontaminate ∪ contamination is EXACTLY the train-side corpus:
+    the retained and contaminated doc sets are disjoint and their
+    union covers every train doc — no document is silently dropped or
+    double-counted by the decontamination pass."""
+    from tests.conftest import SF_SMOKE
+    from jaws_effective_processor_spark.functions.corpus import (
+        HOLDOUT_MOD,
+        q_contamination,
+        q_decontaminate,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    kept = {r["doc_id"] for r in q_decontaminate(spark, SF_SMOKE).collect()}
+    contam = {r["doc_id"] for r in q_contamination(spark, SF_SMOKE).collect()}
+    train = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(f"doc_id % {HOLDOUT_MOD} != 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert kept.isdisjoint(contam)
+    assert kept | contam == train
+
+
+def test_semdedup_keeps_one_per_component(spark):
+    """The semdedup retention set keeps EXACTLY the component
+    representative (min vec_id) of every near-dup component, plus all
+    vectors that appear in no pair."""
+    from tests.conftest import SF_SMOKE
+    from jaws_effective_processor_spark.functions.corpus import (
+        connected_components,
+        q_semdedup_keep,
+    )
+    from jaws_effective_processor_spark.functions.dedup import (
+        q_embedding_neardup,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    kept = {r["vec_id"] for r in q_semdedup_keep(spark, SF_SMOKE).collect()}
+    pairs = q_embedding_neardup(spark, SF_SMOKE).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs).collect()
+    paired = {r["doc_id"] for r in comp}
+    reps = {r["cluster_id"] for r in comp}
+    all_vecs = {
+        r["vec_id"]
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    assert kept == (all_vecs - paired) | reps
+
+
+def test_mixture_rebalance_caps_token_share(spark):
+    """After rebalancing, no language's retained token mass exceeds
+    the cap by more than sampling noise allows; languages already
+    under the cap are retained in full (rate 65536)."""
+    from tests.conftest import SF_SMOKE
+    from jaws_effective_processor_spark.functions.corpus import (
+        REBALANCE_CAP_PERMILLE,
+        q_mixture_rebalance,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pre = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    total = sum(pre.values())
+    out = q_mixture_rebalance(spark, SF_SMOKE).collect()
+    rates = {r["lang"]: r["rate_64k"] for r in out}
+    post = {}
+    for r in out:
+        post[r["lang"]] = post.get(r["lang"], 0) + r["n_tok"]
+    for lang, lt in pre.items():
+        if 1000 * lt <= REBALANCE_CAP_PERMILLE * total:
+            # under the cap: kept in full
+            assert rates.get(lang) == 65536
+            assert post.get(lang) == lt
+        else:
+            # capped: expected retained mass ~= cap * total; allow
+            # generous hash-sampling noise at sf0.001 scale
+            expected = REBALANCE_CAP_PERMILLE * total / 1000
+            assert post.get(lang, 0) < 2.0 * expected
+
+
+def test_curation_funnel_monotone(spark):
+    """Funnel stages compose sequentially, so doc and token counts
+    are monotone non-increasing down the four stages."""
+    from tests.conftest import SF_SMOKE
+    from jaws_effective_processor_spark.functions.corpus import (
+        q_curation_funnel,
+    )
+
+    rows = sorted(
+        q_curation_funnel(spark, SF_SMOKE).collect(),
+        key=lambda r: r["stage"],
+    )
+    stages = [r["stage"] for r in rows]
+    assert stages == ["0_total", "1_quality", "2_dedup", "3_decontaminated"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] >= b["n_docs"]
+        assert a["n_tokens"] >= b["n_tokens"]
