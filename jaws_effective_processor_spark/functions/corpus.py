@@ -270,11 +270,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc distinct CONTAM_K-gram hash table (doc_id, grams) —
-    the derived artifact both the contamination report and the
-    decontaminate pass read; session-cached like the other corpus
-    artifacts (token_rarity's unigram table, the dedup shingles).
+def with_contam_grams(df: DataFrame, out: str = "grams") -> DataFrame:
+    """Add the distinct CONTAM_K-gram hash array of `text` as `out`.
 
     ONE md5 per TOKEN (28-bit half), then each 8-gram is an integer
     rolling combine of its 8 token hashes mod P. The earlier form —
@@ -283,40 +280,63 @@ def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds re-JITting it (the round-1 MinHash lesson again); this
     form is 8x fewer digests and a small generated method. Both
     engines run the identical integer fold, so parity is exact.
-    """
+
+    The token-hash array is staged through a named projection so the
+    gram combine's CONTAM_K element_at references read ONE
+    materialized array instead of inlining the md5 transform 8x
+    (CollapseProject keeps non-cheap multi-referenced expressions).
+    Shared by the batch gram table and the streaming decontamination
+    gate, so both paths hash byte-identically."""
+    tk = F.split(F.col("text"), " ")
+    tkh = F.transform(
+        tk,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    staged = df.withColumn("_n_tok", F.size(tk)).withColumn("_tkh", tkh)
+
+    def combine(i: F.Column) -> F.Column:
+        acc = F.element_at(F.col("_tkh"), i)
+        for o in range(1, CONTAM_K):
+            acc = (
+                acc * CONTAM_MULT + F.element_at(F.col("_tkh"), i + o)
+            ) % CONTAM_P
+        return acc
+
+    gram = F.transform(
+        F.sequence(F.lit(1), F.col("_n_tok") - (CONTAM_K - 1)), combine
+    )
+    grams = F.when(
+        F.col("_n_tok") >= CONTAM_K, F.array_distinct(gram)
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.withColumn(out, grams).drop("_n_tok", "_tkh")
+
+
+def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct CONTAM_K-gram hash table (doc_id, grams) —
+    the derived artifact both the contamination report and the
+    decontaminate pass read; session-cached like the other corpus
+    artifacts (token_rarity's unigram table, the dedup shingles)."""
 
     def _build_gram_table():
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         )
-        tk = F.split(F.col("text"), " ")
-        tkh = F.transform(
-            tk,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(
-                "long"
-            ),
-        )
-
-        def combine(i: F.Column) -> F.Column:
-            acc = F.element_at(F.col("tkh"), i)
-            for o in range(1, CONTAM_K):
-                acc = (
-                    acc * CONTAM_MULT + F.element_at(F.col("tkh"), i + o)
-                ) % CONTAM_P
-            return acc
-
-        t = docs.select("doc_id", F.size(tk).alias("n_tok"), tkh.alias("tkh"))
-        gram = F.transform(
-            F.sequence(F.lit(1), F.col("n_tok") - (CONTAM_K - 1)), combine
-        )
-        grams = F.when(
-            F.col("n_tok") >= CONTAM_K, F.array_distinct(gram)
-        ).otherwise(F.array().cast("array<long>"))
-        return t.select("doc_id", grams.alias("grams"))
+        return with_contam_grams(docs).select("doc_id", "grams")
 
     from .dedup import _cached_frame
 
     return _cached_frame(spark, sf_dir, "contam_grams", _build_gram_table)
+
+
+def holdout_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct gram hashes of the held-out set (gram_h) — the
+    static side a streaming decontamination gate joins against."""
+    g = _contam_gram_table(spark, sf_dir)
+    return (
+        g.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+        .select(F.explode("grams").alias("gram_h"))
+        .distinct()
+    )
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.corpus import assign_split
+from ..functions.corpus import assign_split, with_contam_grams
 from ..functions.text import QUALITY_EXPR_T, quality_stat_columns
 
 # wire schema of the document feed (test transport: parquet dir;
@@ -79,6 +79,34 @@ def ingest_stream(
         "quality_score",
         "split",
         "shard",
+    )
+
+
+def decontaminate_stream(
+    docs: DataFrame, holdout_grams: DataFrame
+) -> DataFrame:
+    """Streaming decontamination gate: drop any arriving document that
+    shares a CONTAM_K-gram with the (static) held-out gram set — the
+    live-ingest half of functions/corpus.q_decontaminate, hashing
+    byte-identically via the shared with_contam_grams expression.
+
+    The holdout side collapses to a ONE-ROW broadcast array and the
+    check is arrays_overlap — a stateless per-microbatch expression,
+    so it composes anywhere in a streaming plan (no stream-side
+    explode + re-aggregation, which would force watermarked state
+    just to reassemble documents). Benchmark suites are small by
+    nature; if the holdout ever outgrew broadcast range the shape
+    becomes an exploded stream-static left-anti join plus a windowed
+    regroup. Documents shorter than CONTAM_K tokens carry an empty
+    gram array and pass (nothing to overlap)."""
+    gset = holdout_grams.agg(
+        F.collect_set("gram_h").alias("_test_grams")
+    )
+    return (
+        with_contam_grams(docs, "_grams")
+        .crossJoin(F.broadcast(gset))
+        .filter(~F.arrays_overlap(F.col("_grams"), F.col("_test_grams")))
+        .drop("_grams", "_test_grams")
     )
 
 

@@ -337,3 +337,51 @@ def test_ingest_shards_sink_matches_batch_layout(spark, tmpdir):
     import glob as _glob
 
     assert _glob.glob(f"{out}/split=*/shard=*/*.parquet")
+
+
+def test_decontaminate_stream_gate(spark, tmpdir):
+    """Streaming decontamination: an arriving doc sharing an 8-gram
+    with the static holdout gram set is dropped; clean docs and
+    sub-gram-width docs pass. The gate hashes via the shared
+    with_contam_grams expression, so batch and stream agree."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.corpus import (
+        with_contam_grams,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    holdout_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    # doc 1 embeds an 8-token run of the holdout text -> contaminated;
+    # doc 2 is clean; doc 3 is shorter than the gram width -> passes
+    leaky = "intro words alpha beta gamma delta epsilon zeta eta theta tail"
+    clean = "one two three four five six seven eight nine ten eleven"
+    short = "tiny doc"
+    rows = [
+        (1, leaky, "en", "crawl", t0),
+        (2, clean, "en", "crawl", t0),
+        (3, short, "en", "crawl", t0),
+    ]
+
+    holdout = with_contam_grams(
+        spark.createDataFrame(
+            [(100, holdout_text)], "doc_id long, text string"
+        )
+    ).select(F.explode("grams").alias("gram_h")).distinct()
+
+    src = os.path.join(tmpdir, "decontam_feed")
+    spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"decontam_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.decontaminate_stream(stream, holdout),
+        name,
+        os.path.join(tmpdir, "decontam_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == {2, 3}
