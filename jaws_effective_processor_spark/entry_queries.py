@@ -323,6 +323,7 @@ def _register_llm() -> None:
     register(
         "curation_funnel", corpus.q_curation_funnel, osql.CURATION_FUNNEL_SQL
     )
+    register("dedup_keep", corpus.q_dedup_keep, osql.DEDUP_KEEP_SQL)
 
 
 _register_rules()

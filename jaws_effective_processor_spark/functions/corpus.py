@@ -885,3 +885,21 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage, n_docs, n_tokens)"
         )
     )
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level dedup retention set: keep ONE representative
+    (min doc_id) per MinHash-LSH near-dup component plus every
+    unpaired document — the doc-side twin of q_semdedup_keep, and the
+    set a dedup pass actually writes out for training. Same
+    candidate-driven pair generation, same shared connected-components
+    core, same AQE-broadcast LEFT ANTI of the (small) non-canonical
+    member set against the documents scan."""
+    comp = connected_components(
+        q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.join(dropped, "doc_id", "left_anti")

@@ -1022,3 +1022,28 @@ UNION ALL SELECT '1_quality', n1, t1 FROM agg
 UNION ALL SELECT '2_dedup', n2, t2 FROM agg
 UNION ALL SELECT '3_decontaminated', n3, t3 FROM agg
 """
+
+
+# Twin of q_dedup_keep: the same recursive component fixpoint as
+# DEDUP_CLUSTERS_SQL, then documents minus non-canonical members
+DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_LSH_SQL}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.doc_b, w.lab
+  FROM walk w JOIN edges e ON w.node = e.doc_a
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
