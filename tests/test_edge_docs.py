@@ -52,6 +52,12 @@ EDGE_QUERIES = (
     "language_id",
     "pii_scan",
     "stratified_sample",
+    "decontaminate",
+    "dedup_keep",
+    "mixture_rebalance",
+    "keyword_topk",
+    "inverted_index",
+    "curation_funnel",
 )
 
 
@@ -86,7 +92,7 @@ def test_edge_docs_oracle_parity(spark, edge_dir, name):
 
 EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
-               "knn_ivf_multiprobe")
+               "knn_ivf_multiprobe", "semdedup_keep")
 
 
 @pytest.fixture(scope="module")
