@@ -272,6 +272,11 @@ def _register_llm() -> None:
         similarity.q_knn_ivf_multiprobe,
         osql.KNN_IVF_MULTIPROBE_SQL,
     )
+    register(
+        "embedding_quantize",
+        similarity.q_embedding_quantize,
+        osql.EMBEDDING_QUANTIZE_SQL,
+    )
     register("multimodal_meta", multimodal.q_multimodal_meta, osql.MULTIMODAL_META_SQL)
     register(
         "multimodal_features",
@@ -324,6 +329,11 @@ def _register_llm() -> None:
         "curation_funnel", corpus.q_curation_funnel, osql.CURATION_FUNNEL_SQL
     )
     register("dedup_keep", corpus.q_dedup_keep, osql.DEDUP_KEEP_SQL)
+    register(
+        "source_quality_report",
+        corpus.q_source_quality_report,
+        osql.SOURCE_QUALITY_REPORT_SQL,
+    )
 
 
 _register_rules()

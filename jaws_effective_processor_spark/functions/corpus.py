@@ -624,6 +624,23 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contam_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contaminated TRAIN doc-id set — tiny by nature and read by
+    three consumers (decontaminate, curation_funnel,
+    source_quality_report), so it is session-cached like the gram
+    table it derives from: the persisted id-list artifact a real
+    decontamination pass writes once and every downstream job anti-
+    joins against."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "contam_docs",
+        lambda: q_contamination(spark, sf_dir).select("doc_id"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminated training corpus: the TRAIN-side documents that
     share NO distinct CONTAM_K-gram with the held-out set — the
@@ -639,7 +656,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than CONTAM_K tokens have zero grams and are retained by
     construction (nothing to overlap)."""
     g = _contam_gram_table(spark, sf_dir)
-    contaminated = q_contamination(spark, sf_dir).select("doc_id")
+    contaminated = _contam_doc_ids(spark, sf_dir)
     train = g.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
         "doc_id", F.size("grams").cast("long").alias("n_grams")
     )
@@ -721,8 +738,13 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     h16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long")
+    # No explicit broadcast hint: rates is tiny but DERIVED (agg +
+    # window), and forcing an eager broadcast exchange of a computed
+    # subplan intermittently stalled on a busy driver (measured on
+    # contamination's hit set — see that docstring); AQE picks the
+    # broadcast join from runtime stats instead.
     return (
-        base.join(F.broadcast(rates), "lang")
+        base.join(rates, "lang")
         .select("doc_id", "lang", "n_tok", "rate_64k", h16.alias("h16"))
         .filter(F.col("h16") < F.col("rate_64k"))
         .select("doc_id", "lang", "n_tok", "rate_64k")
@@ -842,7 +864,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("canon_id"))
     )
-    contam = q_contamination(spark, sf_dir).select(
+    contam = _contam_doc_ids(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("is_contam")
     )
     flags = (
@@ -903,3 +925,61 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return docs.join(dropped, "doc_id", "left_anti")
+
+
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl-source curation dashboard: doc/token mass, mean
+    quality score, exact-duplicate rate, and contamination rate — the
+    report that decides which sources a mixture keeps, all exact
+    integer arithmetic.
+
+    dup_permille counts NON-CANONICAL exact copies (doc_id != min of
+    its fingerprint group, fingerprints global across sources so a
+    cross-source copy counts against the later source); contam
+    permille is over the source's TRAIN-side docs. Scale shape: one
+    fingerprint groupBy (the exact-dedup shuffle), the tiny
+    contaminated set LEFT-joined under AQE broadcast, then a single
+    groupBy(source) over a handful of result rows."""
+    from .text import QUALITY_EXPR_T, quality_stat_columns
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    base = docs.select(
+        "doc_id", "source", F.md5("text").alias("fp"), *quality_stat_columns()
+    ).select(
+        "doc_id",
+        "source",
+        "fp",
+        F.col("n_tokens").alias("n_tok"),
+        score.alias("score"),
+    )
+    canon = base.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    contam = _contam_doc_ids(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contam")
+    )
+    flags = (
+        base.join(canon, "fp")
+        .join(contam, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            "score",
+            (F.col("doc_id") != F.col("canon_id")).alias("is_dup"),
+            F.coalesce(F.col("is_contam"), F.lit(False)).alias("is_contam"),
+            (F.col("doc_id") % HOLDOUT_MOD != 0).alias("is_train"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("sum(score) DIV count(*)").alias("mean_quality"),
+        F.expr(
+            "(1000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) DIV count(*)"
+        ).alias("dup_permille"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN is_train THEN 1 ELSE 0 END) > 0 THEN"
+            " (1000 * sum(CASE WHEN is_contam THEN 1 ELSE 0 END))"
+            " DIV sum(CASE WHEN is_train THEN 1 ELSE 0 END)"
+            " ELSE 0 END"
+        ).alias("contam_permille"),
+    )

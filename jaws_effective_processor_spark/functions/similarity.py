@@ -315,3 +315,47 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the storage
+    transform an ANN index applies before persisting vectors (4x
+    smaller than float32, 8x smaller than the double compute type):
+    q_i = floor(v_i * 127 / maxabs), scale published in integer
+    micro-units so reconstruction is engine-exact.
+
+    Floor (not round) quantization keeps cross-engine parity trivial:
+    both engines evaluate the identical IEEE expression tree
+    left-to-right and floor is unambiguous, where round-half
+    conventions differ between dialects. Zero vectors quantize to
+    all-zero with scale 0. Scale shape: scan-local column work — one
+    array_max and one transform per row, no shuffle at all; the
+    quantized payload ships as csv text so the driver's value hash is
+    byte-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("maxabs"),
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.when(
+            F.col("maxabs") > 0,
+            F.floor(x * 127 / F.col("maxabs")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return m.select(
+        "vec_id",
+        F.when(
+            F.col("maxabs") > 0,
+            F.floor(F.col("maxabs") * 1000000 / 127),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("scale_micro"),
+        F.array_join(
+            F.transform(q, lambda d: d.cast("string")), ","
+        ).alias("q_csv"),
+    )

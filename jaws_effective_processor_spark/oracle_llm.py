@@ -1047,3 +1047,69 @@ dropped AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
 SELECT doc_id, lang FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+
+# Twin of q_embedding_quantize: identical IEEE expression tree,
+# floor quantization, integer micro-unit scale
+EMBEDDING_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(CASE WHEN maxabs > 0 THEN floor(maxabs * 1000000 / 127)
+                 ELSE 0 END AS BIGINT) AS scale_micro,
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(
+           CASE WHEN maxabs > 0 THEN floor(x * 127 / maxabs)
+                ELSE 0 END AS BIGINT) AS VARCHAR)), ',') AS q_csv
+FROM m
+"""
+
+
+# Twin of q_source_quality_report: same flags, same integer ratios
+SOURCE_QUALITY_REPORT_SQL = f"""
+WITH {_CONTAM_BASE},
+contam AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram_h FROM g
+        WHERE doc_id % {HOLDOUT_MOD} <> 0) e
+  JOIN test_g USING (gram_h)
+),
+base AS (
+  SELECT doc_id, source, fp, n_tokens AS n_tok, CAST({_Q} AS BIGINT) AS score
+  FROM (
+    SELECT doc_id, source, md5(text) AS fp,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+             AS n_stopwords,
+           CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+             AS tok_chars
+    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+          FROM documents) t0
+  ) t1
+),
+canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp),
+flags AS (
+  SELECT b.source, b.n_tok, b.score,
+         b.doc_id <> c.canon_id AS is_dup,
+         b.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+         b.doc_id % {HOLDOUT_MOD} <> 0 AS is_train
+  FROM base b JOIN canon c USING (fp)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(score) AS BIGINT) // count(*) AS mean_quality,
+       (1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS dup_permille,
+       CASE WHEN sum(CASE WHEN is_train THEN 1 ELSE 0 END) > 0 THEN
+         (1000 * CAST(sum(CASE WHEN is_contam THEN 1 ELSE 0 END) AS BIGINT))
+           // CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+       ELSE 0 END AS contam_permille
+FROM flags GROUP BY source
+"""

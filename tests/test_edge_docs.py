@@ -58,6 +58,7 @@ EDGE_QUERIES = (
     "keyword_topk",
     "inverted_index",
     "curation_funnel",
+    "source_quality_report",
 )
 
 
@@ -92,7 +93,8 @@ def test_edge_docs_oracle_parity(spark, edge_dir, name):
 
 EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
-               "knn_ivf_multiprobe", "semdedup_keep")
+               "knn_ivf_multiprobe", "semdedup_keep",
+               "embedding_quantize")
 
 
 @pytest.fixture(scope="module")
