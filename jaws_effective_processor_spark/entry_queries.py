@@ -277,6 +277,7 @@ def _register_llm() -> None:
         similarity.q_embedding_quantize,
         osql.EMBEDDING_QUANTIZE_SQL,
     )
+    register("ann_recall", similarity.q_ann_recall, osql.ANN_RECALL_SQL)
     register("multimodal_meta", multimodal.q_multimodal_meta, osql.MULTIMODAL_META_SQL)
     register(
         "multimodal_features",

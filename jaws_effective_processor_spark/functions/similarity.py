@@ -359,3 +359,39 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(q, lambda d: d.cast("string")), ","
         ).alias("q_csv"),
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: per-query recall@TOP_K of the IVF-multiprobe
+    index against the exact brute-force top-k — the evaluation every
+    ANN deployment runs before trusting the index (and re-runs when
+    nprobe/cell counts are tuned). recall_permille = 1000 * |exact
+    top-k found by the index| DIV TOP_K.
+
+    Composes the two existing operators; the overlap is a LEFT SEMI
+    join on (query_id, neighbor_id) — both sides are k rows per
+    query, so the join input is O(queries * k), never corpus-sized.
+    Queries whose index list misses everything still emit a row
+    (recall 0) via the left join on the query list."""
+    bf = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = q_knn_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    queries = bf.select("query_id").distinct()
+    return (
+        queries.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(1000 * n_hits) DIV {TOP_K}").alias("recall_permille"),
+        )
+    )

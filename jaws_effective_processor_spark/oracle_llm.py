@@ -1113,3 +1113,26 @@ SELECT source,
        ELSE 0 END AS contam_permille
 FROM flags GROUP BY source
 """
+
+
+# Twin of q_ann_recall: both knn twins as nested CTE subqueries, then
+# the per-query overlap count
+ANN_RECALL_SQL = f"""
+WITH bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+iv AS (
+  {KNN_IVF_MULTIPROBE_SQL}
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN iv USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // {TOP_K}
+         AS recall_permille
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
+"""

@@ -94,7 +94,7 @@ def test_edge_docs_oracle_parity(spark, edge_dir, name):
 EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
-               "embedding_quantize")
+               "embedding_quantize", "ann_recall")
 
 
 @pytest.fixture(scope="module")
