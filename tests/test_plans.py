@@ -176,3 +176,45 @@ def test_embedding_neardup_reuses_cached_signatures(spark):
     # Arrow stage in the query body
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert plan.count("MapInPandas score") == 1, plan
+
+
+def test_keyword_topk_single_document_scan(spark):
+    """keyword_topk derives df from the tf aggregate, so the physical
+    plan reads the documents parquet exactly once (plus nothing else):
+    a second exploded scan would double the dominant cost at scale."""
+    df = QUERIES["keyword_topk"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_mixture_rebalance_doc_side_not_join_shuffled(spark):
+    """The rebalance keep-filter applies on the scan side: the doc
+    side must reach the rates join without an exchange keyed on lang
+    (the rates side is a handful of rows — AQE broadcasts it)."""
+    from jaws_effective_processor_spark.plans import explain_str as es
+
+    df = QUERIES["mixture_rebalance"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = es(df)
+    # the doc-side branch (the one carrying doc_id) must not hash-
+    # partition on lang; the only lang exchange allowed is the tiny
+    # per-language aggregate feeding the rates window
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_inverted_index_single_shuffle(spark):
+    """token -> postings is one aggregation exchange over the exploded
+    scan with partial_count map-side (collect_set carries no partial,
+    but the count columns do — the exchange count is the invariant)."""
+    df = QUERIES["inverted_index"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1, explain_str(df)
+
+
+def test_retention_sets_no_extra_corpus_shuffle(spark):
+    """dedup_keep / semdedup_keep anti-join the (small) non-canonical
+    member set against the base scan; the base side must not plan a
+    cartesian and the pair pipeline's shuffles are the cached
+    component loop's, not per-query corpus exchanges."""
+    for name in ("dedup_keep", "semdedup_keep"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert not has_cartesian(df), name
