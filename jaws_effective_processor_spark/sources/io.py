@@ -374,3 +374,34 @@ def write_corpus_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_corpus_shards(
+    spark: "SparkSession",
+    path: str,
+    out_path: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Compact a landed sharded corpus (streaming ingest's
+    per-microbatch files or any small-file accumulation) back into
+    the canonical one-task-per-directory layout write_corpus_shards
+    produces — the periodic maintenance job every file-sink stream
+    needs (streaming/ingest.py's sink cannot re-cluster across
+    triggers by construction).
+
+    Reads the partitioned layout (split/shard come back as partition
+    columns, so the scan prunes nothing and rewrites everything —
+    run it per hot shard subtree in production), re-clusters with
+    repartition(split, shard), restores within-file doc_id order,
+    and rewrites with bounded file sizes. Output is byte-compatible
+    with the batch writer's layout; compaction changes file geometry,
+    never rows."""
+    df = spark.read.parquet(path)
+    (
+        df.repartition("split", "shard")
+        .sortWithinPartitions("split", "shard", "doc_id")
+        .write.partitionBy("split", "shard")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )

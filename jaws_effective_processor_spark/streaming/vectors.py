@@ -1,0 +1,158 @@
+"""Streaming vector ingest: the continuous-arrival half of the
+similarity family (functions/similarity.py is the batch half).
+
+An embedding feed lands vectors continuously; before an ANN index can
+serve them they need (1) zero-norm rejection, (2) IVF cell routing to
+the nearest centroid, and (3) the int8 storage quantization — all
+BEFORE the write, so the landed layout is directly servable
+(partitioned by cell, exactly the directories an IVF probe reads).
+
+Streaming constraint that shapes the design: the batch cell
+assignment (`similarity._cell_assignment`) ranks a (vector x
+centroid) join with a row_number window — stateful, illegal in a
+streaming plan. Here the centroids are a CONFIG-SIZED artifact (K
+rows — a real IVF index always holds its codebook in memory), so
+they inline as literal arrays and the argmax is a pure column
+expression: array_max over (cos, -cent_id) structs, ties resolved to
+the smallest centroid id exactly like the batch window's
+(cos DESC, cent_id) ordering. Stateless per micro-batch, scan-local
+at any scale.
+
+Float discipline: centroid norms are folded in Python in the SAME
+left-to-right order as the engine's sequential-fold dot(), so stream
+and batch assignments are bit-identical (pinned by test).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.similarity import N_CELLS, N_QUERIES, dot
+from ..tables import load_table
+
+# wire schema of the vector feed (test transport: parquet dir;
+# production: kafka_stream with this as the value schema)
+VEC_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ]
+)
+
+
+def load_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The IVF codebook: the same N_CELLS seed vectors the batch IVF
+    queries use (vec_id in [N_QUERIES, N_QUERIES + N_CELLS)). K rows
+    cross the driver ONCE at stream setup — the codebook is
+    configuration, not data (same stance as the LSH plane lists)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [(r["vec_id"], list(r["v"])) for r in rows]
+
+
+def _fold_norm(v: list[float]) -> float:
+    """Left-to-right fold of sum(x*x), then sqrt — the exact IEEE
+    operation sequence of dot(v, v) so Python-side centroid norms
+    match engine-side folded norms to the bit."""
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def vector_ingest_stream(
+    vecs: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Feed -> zero-norm-filtered, cell-routed, int8-quantized vectors
+    ready for a partitioned ANN store."""
+    v = F.col("embedding").cast("array<double>")
+    base = vecs.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "ingest_ts",
+        v.alias("v"),
+        F.sqrt(dot(v, v)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+
+    # argmax over the codebook: array_max on (cos, -cent_id) structs
+    # == the batch window's ORDER BY cos DESC, cent_id ASC
+    candidates = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("norm") * F.lit(_fold_norm(cv)))
+                ).alias("ccos"),
+                F.lit(-cid).cast("long").alias("neg_cent"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    routed = base.withColumn(
+        "cell", -F.array_max(candidates)["neg_cent"]
+    )
+
+    # int8 storage quantization — the same floor expression tree as
+    # functions/similarity.q_embedding_quantize
+    m = routed.withColumn(
+        "maxabs", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.when(
+            F.col("maxabs") > 0,
+            F.floor(x * 127 / F.col("maxabs")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return m.select(
+        "vec_id",
+        "label",
+        "ingest_ts",
+        "cell",
+        F.when(F.col("maxabs") > 0, F.floor(F.col("maxabs") * 1000000 / 127))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("scale_micro"),
+        F.array_join(F.transform(q, lambda d: d.cast("string")), ",").alias(
+            "q_csv"
+        ),
+    )
+
+
+def start_vector_shards(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Run the vector ingest continuously into a cell-partitioned
+    parquet store — each cell directory is exactly the file set an
+    IVF probe of that cell reads, so the landed layout IS the index
+    (exactly-once via the checkpointed file-sink commit log)."""
+    writer = (
+        vector_ingest_stream(vecs, centroids)
+        .writeStream.format("parquet")
+        .partitionBy("cell")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

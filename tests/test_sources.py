@@ -216,3 +216,53 @@ def test_write_corpus_shards_layout(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*split[^\]]*= train", plan), (
         plan
     )
+
+
+def test_compact_corpus_shards_preserves_rows_and_layout(spark, tmpdir):
+    """Compaction rewrites a fragmented sharded corpus into the
+    canonical layout: identical rows, same (split, shard) directory
+    tree, and per-directory file counts collapse to the bounded
+    write geometry."""
+    import glob as _glob
+    import os
+
+    from jaws_effective_processor_spark.sources.io import (
+        compact_corpus_shards,
+        write_corpus_shards,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    frag = os.path.join(str(tmpdir), "frag")
+    # fragment: many small files per directory (the streaming-sink
+    # accumulation shape) — 8 tasks x dynamic partitions
+    from jaws_effective_processor_spark.functions.corpus import assign_split
+
+    (
+        assign_split(docs)
+        .repartition(8)
+        .write.partitionBy("split", "shard")
+        .mode("overwrite")
+        .parquet(frag)
+    )
+    out = os.path.join(str(tmpdir), "compacted")
+    compact_corpus_shards(spark, frag, out)
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert sorted(a.columns) == sorted(b.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # geometry: compaction must not INCREASE any directory's file count
+    def files_per_dir(root):
+        out_map = {}
+        for p in _glob.glob(f"{root}/split=*/shard=*/*.parquet"):
+            d = os.path.dirname(p).replace(root, "")
+            out_map[d] = out_map.get(d, 0) + 1
+        return out_map
+
+    fa, fb = files_per_dir(frag), files_per_dir(out)
+    assert set(fb) == set(fa)
+    assert all(fb[d] <= fa[d] for d in fa)
+    assert max(fb.values()) == 1  # one task per directory after compaction

@@ -385,3 +385,52 @@ def test_decontaminate_stream_gate(spark, tmpdir):
     )
     got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
     assert got == {2, 3}
+
+
+def test_vector_ingest_stream_matches_batch(spark, tmpdir):
+    """Streaming vector ingest: cell routing equals the batch IVF
+    assignment bit-for-bit (expression argmax == window argmax, shared
+    fold-order norms) and the quantized payload equals the batch
+    quantizer; zero-norm vectors are rejected."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        _cell_assignment,
+        _vectors,
+        q_embedding_quantize,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "vec_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    cents = sv.load_centroids(spark, sf)
+    stream = rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA)
+    name = f"vecingest_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        sv.vector_ingest_stream(stream, cents),
+        name,
+        os.path.join(tmpdir, "vec_ckpt"),
+    )
+    got = {r["vec_id"]: r for r in _memory_table(spark, name).collect()}
+
+    batch_cells = {
+        r["vec_id"]: r["cell"]
+        for r in _cell_assignment(_vectors(spark, sf)).collect()
+    }
+    assert set(got) == set(batch_cells)  # zero-norm drop matches
+    assert {k: v["cell"] for k, v in got.items()} == batch_cells
+
+    batch_q = {
+        r["vec_id"]: (r["scale_micro"], r["q_csv"])
+        for r in q_embedding_quantize(spark, sf).collect()
+    }
+    for k, v in got.items():
+        assert (v["scale_micro"], v["q_csv"]) == batch_q[k]
