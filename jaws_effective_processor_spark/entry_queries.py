@@ -411,9 +411,10 @@ _CHECK_FIRST = [
     # ANN / similarity
     "knn_bruteforce",
     "knn_ivf",
-    # multimodal
+    # multimodal (meta reps the family; the features sibling is
+    # 2-rounds green and stays locally checked)
     "multimodal_meta",
-    "multimodal_features",
+    "curation_funnel",
     # corpus curation (corpus_split is stratified_sample's hash-split
     # sibling; decontaminate SUBSUMES contamination — it invokes the
     # report as its inner sub-query — and semdedup_keep exercises the
