@@ -335,6 +335,11 @@ def _register_llm() -> None:
         corpus.q_source_quality_report,
         osql.SOURCE_QUALITY_REPORT_SQL,
     )
+    register(
+        "packed_token_ids",
+        corpus.q_packed_token_ids,
+        osql.PACKED_TOKEN_IDS_SQL,
+    )
 
 
 _register_rules()

@@ -983,3 +983,70 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("contam_permille"),
     )
+
+
+def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training pipeline's last mile: tokenize every document
+    against the corpus vocabulary (id = rank by occurrence count desc,
+    token asc — the vocab table as the lookup artifact), then emit one
+    row per (lang, pack_id) sequence pack with the concatenated token
+    ids of its documents in doc_id order — exactly what a loader
+    streams into a trainer.
+
+    Scale shape: the vocab id table is the ranked unigram aggregate
+    (a window over vocab-sized rows); tokenization is posexplode ->
+    vocab equi-join (broadcast-range head at any real scale, AQE skew
+    split beyond) -> per-doc regroup via collect_list(struct(pos,id))
+    + array_sort, which keeps token order without an ordered-window
+    shuffle per token. Pack assembly reuses q_pack_sequences'
+    deterministic cumsum packing and aggregates csv fragments sorted
+    by doc_id. Everything that moves after the join is narrow ints /
+    csv text."""
+    from pyspark.sql import Window
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(
+            "token", F.row_number().over(w).cast("long").alias("token_id")
+        )
+    )
+    per_doc = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv")
+        )
+    )
+    packs = q_pack_sequences(spark, sf_dir)  # doc_id, lang, n_tokens, pack_id
+    return (
+        packs.join(per_doc, "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "ids_csv"))
+                    ),
+                    lambda s: s["ids_csv"],
+                ),
+                ",",
+            ).alias("pack_ids_csv"),
+        )
+    )

@@ -1136,3 +1136,44 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM bf) q
 LEFT JOIN hits h USING (query_id)
 """
+
+
+# Twin of q_packed_token_ids: ordinality-preserving unnest, ranked
+# vocab join, ordered list/string aggregation per doc then per pack
+PACKED_TOKEN_IDS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, tk[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT)
+           AS token_id
+  FROM tok GROUP BY token
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+  FROM tok JOIN vocab USING (token)
+  GROUP BY doc_id
+),
+packs AS (
+  SELECT doc_id, lang, n_tokens,
+         (cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS pack_id
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM documents
+  ) t
+)
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(ids_csv, ',' ORDER BY doc_id) AS pack_ids_csv
+FROM packs JOIN per_doc USING (doc_id)
+GROUP BY lang, pack_id
+"""

@@ -59,6 +59,7 @@ EDGE_QUERIES = (
     "inverted_index",
     "curation_funnel",
     "source_quality_report",
+    "packed_token_ids",
 )
 
 
