@@ -434,3 +434,38 @@ def test_vector_ingest_stream_matches_batch(spark, tmpdir):
     }
     for k, v in got.items():
         assert (v["scale_micro"], v["q_csv"]) == batch_q[k]
+
+
+def test_vector_shards_sink_cell_partitioned(spark, tmpdir):
+    """The streaming vector sink lands cell-partitioned parquet — each
+    cell directory is the file set an IVF probe of that cell reads."""
+    import datetime
+    import glob as _glob
+
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .limit(20)
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "vec_sink_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    out = os.path.join(tmpdir, "vec_store")
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        sv.load_centroids(spark, sf),
+        out,
+        os.path.join(tmpdir, "vec_sink_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {
+        "vec_id", "label", "ingest_ts", "scale_micro", "q_csv", "cell",
+    }
+    assert _glob.glob(f"{out}/cell=*/*.parquet")
