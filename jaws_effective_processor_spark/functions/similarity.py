@@ -184,13 +184,31 @@ def _cell_assignment(e: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vector, centroid) cosine ranking — the codebook
+    assignment a real IVF index computes once at build time and every
+    probe reads. knn_ivf, knn_ivf_multiprobe, and ann_recall (which
+    composes them) all consume it; without the cache each consumer
+    re-runs the centroid cross-score per query execution (same
+    state-store argument as the dedup signature frames)."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "ivf_cell_ranked",
+        lambda: _cell_ranked(_vectors(spark, sf_dir)),
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: coarse-quantize the corpus into N_CELLS cells, then
     search only the query's own cell (nprobe=1) — the inverted-file
     ANN pattern. At 100 TB the cell assignment is one broadcast pass
     and each query touches ~1/N_CELLS of the corpus."""
-    e = _vectors(spark, sf_dir)
-    cells = _cell_assignment(e)
+    cells = _ranked_cells(spark, sf_dir).filter(F.col("rn") == 1).select(
+        "vec_id", "label", "v", "norm", F.col("cent_id").alias("cell")
+    )
     q = cells.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = cells.alias("c")
     w = Window.partitionBy("query_id").orderBy(
@@ -232,8 +250,7 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to exactly one cell, so probe result sets are disjoint
     and need no dedup. Same physical shape as nprobe=1: broadcast
     centroid pass, cell equi-join, per-query top-k window."""
-    e = _vectors(spark, sf_dir)
-    ranked = _cell_ranked(e)
+    ranked = _ranked_cells(spark, sf_dir)
     c = ranked.filter(F.col("rn") == 1).select(
         "vec_id", "v", "norm", F.col("cent_id").alias("cell")
     ).alias("c")
