@@ -53,13 +53,18 @@ def load_centroids(
     queries use (vec_id in [N_QUERIES, N_QUERIES + N_CELLS)). K rows
     cross the driver ONCE at stream setup — the codebook is
     configuration, not data (same stance as the LSH plane lists)."""
+    v = F.col("embedding").cast("array<double>")
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .filter(
             (F.col("vec_id") >= N_QUERIES)
             & (F.col("vec_id") < N_QUERIES + N_CELLS)
         )
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # zero-norm seeds are excluded exactly like the batch side's
+        # _vectors filter — otherwise the stream would score a NaN
+        # cosine against a centroid the batch assignment never sees
+        .filter(dot(v, v) > 0)
+        .select("vec_id", v.alias("v"))
         .collect()
     )
     return [(r["vec_id"], list(r["v"])) for r in rows]
