@@ -30,6 +30,13 @@ EDGE_DOCS = [
     (9, "unico documento espanol con varias palabras distintas", "es", "edge", 53),
     (50, "held out doc with some overlapping words here", "de", "edge", 45),
     (51, "train doc with some overlapping words here too", "de", "edge", 46),
+    # unicode (BMP-only: accents + CJK agree on length/md5/split in
+    # both engines; astral-plane chars would diverge on length —
+    # Java counts UTF-16 units, DuckDB counts code points — and are
+    # deliberately excluded as a documented engine difference)
+    (52, "café naïve piñata über señor déjà vu rôle fiancée crème", "fr", "edge", 55),
+    (53, "机器 学习 模型 训练 数据 管道 质量 过滤 重复 删除", "zh", "edge", 29),
+    (54, "mixed ascii café 数据 words tokens 模型 here", "en", "edge", 41),
 ]
 
 EDGE_QUERIES = (
