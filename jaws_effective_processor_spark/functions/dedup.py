@@ -7,7 +7,12 @@ Four families, each a production dedup pattern for LLM training data:
 - minhash-LSH: 3-word shingles -> one md5 per shingle -> 16 affine
                minhashes ((h1 + i*h2) mod P) -> 4 bands of 4 ->
                band-bucket self-join -> exact-Jaccard verify on the
-               surviving candidates. Shingles (not unigram tokens) are
+               surviving candidates. A mass-duplicate class makes any
+               LSH bucket quadratic IN THE CLASS (correct, pinned in
+               test_properties.py::test_minhash_survives_mass_duplicate_class);
+               at production scale run q_dedup_exact FIRST and feed
+               LSH only canonical survivors, which caps class size
+               at 1. Shingles (not unigram tokens) are
                the pruning power: shared vocabulary no longer collides
                whole bands, so the candidate set is ~the true near-dup
                set instead of a third of all pairs. At 100 TB the join

@@ -490,3 +490,52 @@ def test_curation_funnel_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["n_docs"] >= b["n_docs"]
         assert a["n_tokens"] >= b["n_tokens"]
+
+
+def test_minhash_survives_mass_duplicate_class(spark, tmp_path):
+    """A mass-duplicate class (N identical documents) is the classic
+    LSH stress: every band bucket holds the whole class, so candidate
+    generation is quadratic IN THE CLASS (N*(N-1)/2 pairs) — correct,
+    but the reason production pipelines run exact dedup FIRST and
+    feed LSH only canonical survivors. This pins that the pipeline
+    stays CORRECT under the shape: all pairs verify at jaccard 1000,
+    the component collapses to one cluster, and dedup_keep retains
+    exactly the min doc_id of the class."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+
+    n = 40
+    text = (
+        "identical boilerplate template body repeated across the "
+        "whole duplicate class with enough words to shingle"
+    )
+    uniq = "a completely different document with its own words here"
+    rows = [(i, text, "en", "edge", len(text)) for i in range(n)]
+    rows.append((1000, uniq, "en", "edge", len(uniq)))
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "dupclass")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, d).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(r["jac_permille"] == 1000 for r in pairs)
+
+    clusters = QUERIES["dedup_clusters"](spark, d).collect()
+    assert {r["cluster_id"] for r in clusters} == {0}
+    assert len(clusters) == n
+
+    kept = {r["doc_id"] for r in QUERIES["dedup_keep"](spark, d).collect()}
+    assert kept == {0, 1000}
