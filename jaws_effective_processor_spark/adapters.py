@@ -42,8 +42,26 @@ OVERRIDE_TYPES = (
 )
 
 
+# the event types each changelog projection consumes — the single
+# source of truth for "which delta rows touch alarm state" (the
+# incremental operator's touched-key gate imports these, so adding a
+# routed type here automatically widens that gate)
+REGISTRATION_EVENT_TYPES = ("signup",)
+ACTIVATION_EVENT_TYPES = ("error", "view", "click")
+OVERRIDE_EVENT_TYPES = ("purchase",)
+LOG_EVENT_TYPES = (
+    REGISTRATION_EVENT_TYPES + ACTIVATION_EVENT_TYPES + OVERRIDE_EVENT_TYPES
+)
+
+
+def alarm_name_expr() -> F.Column:
+    """The alarm-key derivation, unaliased — shared by the log
+    projections and every consumer that must match their keys."""
+    return F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
+
+
 def _alarm_name() -> F.Column:
-    return F.concat(F.lit("alarm_"), F.col("user_id").cast("string")).alias("name")
+    return alarm_name_expr().alias("name")
 
 
 def _is_long_type(df: DataFrame, col: str) -> bool:
@@ -146,7 +164,7 @@ def activations_log(events: DataFrame) -> DataFrame:
     downstream (operators/transitions.py).
     """
     return events.filter(
-        F.col("event_type").isin("error", "view", "click")
+        F.col("event_type").isin(*ACTIVATION_EVENT_TYPES)
     ).select(
         F.col("event_id").alias("seq"),
         _alarm_name(),

@@ -5,12 +5,21 @@ Several operator families materialize a derived frame once per
 the dedup signature tables — mirroring the state stores / persisted
 artifacts a deployed pipeline keeps (see pipeline.alarm_monolog).
 
-The cache is keyed WEAKLY on the SparkSession: a plain module-level
-dict keyed by (session, ...) pins both the driver-side plan objects
-and the executor storage of every stopped session for the life of the
-process (real in long-lived multi-session processes such as the test
-suite). A WeakKeyDictionary drops a session's whole entry map when the
-session itself is garbage, so cached frames die with their session.
+Lifetime discipline, in two layers:
+
+- The map is keyed WEAKLY on the SparkSession. On its own that is NOT
+  sufficient: the cached DataFrames (the values) hold strong
+  references back to their session, so a WeakKeyDictionary entry
+  whose value references its key is never collectable (the weakref
+  module documents exactly this trap). The weak keying still helps
+  for sessions released before any frame was cached, but it cannot
+  free a populated entry.
+- Therefore every access also PURGES entries whose session has been
+  stopped (`spark._jsc` is None after SparkSession.stop()). Dropping
+  the entry map releases the DataFrames, which releases the py4j
+  plan objects and breaks the value->key cycle, so the stopped
+  session itself becomes collectable. Executor storage needs no
+  unpersist — it died with the session's JVM state.
 """
 
 from __future__ import annotations
@@ -21,14 +30,27 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark._jsc is None  # cleared by SparkSession.stop()
+    except Exception:
+        return True
+
+
 class SessionFrameCache:
     """get_or_build(spark, key, build) -> build().cache(), memoized
-    per (session, key); entries evaporate with the session."""
+    per (session, key); stopped sessions' entries are purged on the
+    next access from any session."""
 
     def __init__(self) -> None:
         self._by_session: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
             weakref.WeakKeyDictionary()
         )
+
+    def _purge_stopped(self) -> None:
+        for sess in [s for s in self._by_session if _is_stopped(s)]:
+            self._by_session[sess].clear()
+            del self._by_session[sess]
 
     def get_or_build(
         self,
@@ -36,6 +58,7 @@ class SessionFrameCache:
         key: tuple,
         build: Callable[[], DataFrame],
     ) -> DataFrame:
+        self._purge_stopped()
         per = self._by_session.get(spark)
         if per is None:
             per = {}

@@ -226,12 +226,28 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return out
 
 
+def _minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached component labels over the MinHash-LSH pair set —
+    the (doc_id, cluster_id) artifact a dedup pass persists once and
+    every consumer (clusters report, size histogram, keep set) reads.
+    Without the cache each consumer re-runs the whole iterative loop
+    (driver actions + per-round shuffles) per execution."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "minhash_components",
+        lambda: connected_components(
+            q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH verified pair set
     (see connected_components for the algorithm and scale shape)."""
-    return connected_components(
-        q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    return _minhash_components(spark, sf_dir)
 
 
 CONTAM_K = 8  # n-gram width for the train/test overlap check
@@ -358,9 +374,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     g = _contam_gram_table(spark, sf_dir)
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
-    test_grams = (
-        g.filter(is_test).select(F.explode("grams").alias("gram_h")).distinct()
-    )
+    # the same holdout gram set the streaming decontamination gate
+    # broadcasts — one definition, both paths
+    test_grams = holdout_gram_set(spark, sf_dir)
     # the gram array is ONLY ever exploded — never also size()'d:
     # referencing it twice would inline (re-evaluate) the whole md5
     # construction once per reference. n_grams falls out of the same
@@ -676,12 +692,18 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pointer jumping, and the final LEFT ANTI join removes the
     (small) non-canonical member set from the embeddings scan — AQE
     broadcasts it at runtime."""
-    from .dedup import q_embedding_neardup
+    from .dedup import _cached_frame, q_embedding_neardup
 
-    pairs = q_embedding_neardup(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    comp = _cached_frame(
+        spark,
+        sf_dir,
+        "neardup_components",
+        lambda: connected_components(
+            q_embedding_neardup(spark, sf_dir).select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+        ),
     )
-    comp = connected_components(pairs)
     dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("vec_id")
     )
@@ -917,9 +939,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-driven pair generation, same shared connected-components
     core, same AQE-broadcast LEFT ANTI of the (small) non-canonical
     member set against the documents scan."""
-    comp = connected_components(
-        q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    comp = _minhash_components(spark, sf_dir)
     dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
@@ -1009,13 +1029,22 @@ def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("n_occurrences"))
-        .select(
-            "token", F.row_number().over(w).cast("long").alias("token_id")
-        )
+    # the frequency table is the SAME session-cached artifact
+    # q_token_rarity reads ("token_freq"), so tokenization does not
+    # re-run the corpus unigram aggregate per execution
+    from .dedup import _cached_frame
+
+    freq = _cached_frame(
+        spark,
+        sf_dir,
+        "token_freq",
+        lambda: tok.select("doc_id", "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("tok_count")),
+    )
+    w = Window.orderBy(F.col("tok_count").desc(), F.col("token"))
+    vocab = freq.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
     )
     per_doc = (
         tok.join(vocab, "token")

@@ -463,19 +463,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         The oracle folds each dot product sequentially (DuckDB
         list_dot_product); BLAS uses pairwise/blocked summation, which
         can differ in the last ulps. A sign bit can only flip where
-        |matmul proj| is within the worst-case summation-error bound
-        dim * eps * (|A| @ |P|.T), so only those rare entries are
-        recomputed with np.cumsum (== sequential left fold, the
-        bit-exact path this replaces wholesale). Emits NEARDUP_BANDS
-        rows per vector."""
+        |matmul proj| is within the summation-error window. The bound
+        must cover the DIFFERENCE between two independently-rounded
+        summation orders — sequential fold errs up to (dim-1)*eps*
+        sum|terms| and the BLAS order up to ~log2(dim)*eps*sum|terms|
+        independently — so the window is 2*(dim + log2(dim))*eps*
+        (|A| @ |P|.T), comfortably above the sum of both one-order
+        bounds (a one-order-only window could miss a flip where fold
+        and matmul err in opposite directions). Over-width only costs
+        extra cumsum rechecks, which are cheap and exact; entries
+        inside the window are recomputed with np.cumsum (== the
+        sequential left fold, the bit-exact path this replaces
+        wholesale). Emits NEARDUP_BANDS rows per vector."""
         for pdf in batches:
             if pdf.empty:
                 continue
             A = np.vstack(pdf["v"].to_numpy())  # n x dim, float64
             n = len(pdf)
             proj = A @ P.T  # n x (bands*bits)
+            dim = A.shape[1]
             tol = (
-                A.shape[1]
+                2.0
+                * (dim + np.log2(max(dim, 2)))
                 * np.finfo("float64").eps
                 * (np.abs(A) @ absP.T)
             )

@@ -119,17 +119,15 @@ def incremental_effective_alarms(
         )
         .select("name")
     )
+    # the type gate and key derivation are the adapters' own constants
+    # (LOG_EVENT_TYPES / alarm_name_expr), so a newly-routed event
+    # type or a changed key format widens this gate automatically —
+    # a stale inline copy here would silently carry touched keys
+    # forward unrecomputed
     delta_touched = (
         ev.filter(F.col("event_id") > F.col("split_seq"))
-        .filter(
-            F.col("event_type").isin(
-                "signup", "error", "view", "click", "purchase"
-            )
-        )
-        .select(
-            F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
-            .alias("name")
-        )
+        .filter(F.col("event_type").isin(*adapters.LOG_EVENT_TYPES))
+        .select(adapters.alarm_name_expr().alias("name"))
     )
     # Materialize the two frames every downstream branch re-reads,
     # exactly as a real incremental job stages its delta before the
@@ -158,8 +156,7 @@ def incremental_effective_alarms(
         ev.drop("split_seq")
         .join(
             touched,
-            F.concat(F.lit("alarm_"), F.col("user_id").cast("string"))
-            == F.col("name"),
+            adapters.alarm_name_expr() == F.col("name"),
             "left_semi",
         )
         .localCheckpoint(eager=False)

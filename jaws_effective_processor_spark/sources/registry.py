@@ -104,6 +104,22 @@ class MockSchemaRegistry:
                 f"id {schema_id} in subject {subject}"
             ) from None
 
+    def lookup(self, subject: str, schema: str | dict) -> tuple[int, int]:
+        """(schema_id, version) of an ALREADY-registered schema under
+        a subject — the Confluent POST /subjects/{subject} check. No
+        side effects: raises SchemaNotFound when the subject does not
+        exist (REST 40401) or does not hold the schema (40403) —
+        registering on lookup would fabricate versions the caller
+        never created."""
+        canon = _canonical(schema)
+        versions = self._subjects.get(subject)
+        if versions is None:
+            raise SchemaNotFound(f"subject {subject}")
+        sid = self._id_by_canonical.get(canon)
+        if sid is None or sid not in versions:
+            raise SchemaNotFound(f"schema not registered in {subject}")
+        return sid, versions.index(sid) + 1
+
     def subjects(self) -> list[str]:
         return sorted(self._subjects)
 

@@ -204,12 +204,18 @@ def _override_record(df: DataFrame, tombstone: bool) -> DataFrame:
 def start_rule_queries(
     spark: SparkSession,
     bootstrap: str | None = None,
-    checkpoint_root: str = "/tmp/jaws-spark-state",
+    checkpoint_root: str | None = None,
     transport: Transport | None = None,
     available_now: bool = False,
 ):
     """Start every rule as its own streaming query; returns the list
     of StreamingQuery handles (caller awaits / monitors them).
+
+    `checkpoint_root` is REQUIRED (no shared default): streaming
+    checkpoints encode committed source offsets, so two deployments
+    silently sharing a default directory would each skip the records
+    the other already consumed — the worst failure mode is no error
+    and no output. main() wires it from $STATE_DIR.
 
     Each query gets its own checkpoint dir, the analog of the
     reference's per-rule application.id + RocksDB state dir
@@ -226,6 +232,13 @@ def start_rule_queries(
     whose pending-timer no-data batches keep an AvailableNow query
     from ever terminating."""
     transport = transport if transport is not None else KafkaTransport(bootstrap)
+
+    if checkpoint_root is None:
+        raise ValueError(
+            "checkpoint_root is required: streaming checkpoints commit "
+            "source offsets, and a shared default path would make a "
+            "second deployment silently skip already-consumed records"
+        )
 
     def ckpt(name: str) -> str:
         return os.path.join(checkpoint_root, name)

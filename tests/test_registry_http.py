@@ -107,11 +107,14 @@ def _make_handler(store: MockSchemaRegistry):
             if m:
                 subject = m.group(1)
                 schema = self._body()["schema"]
+                # Confluent semantics: this endpoint is a LOOKUP with
+                # no side effects — 40403 when the schema is not
+                # registered under the subject (registering here would
+                # fabricate versions the client never created)
                 try:
-                    sid = store.register(subject, schema)
-                    version = store.version_of(subject, sid)
+                    sid, version = store.lookup(subject, schema)
                 except SchemaNotFound:
-                    return self._not_found(40401, "Subject not found")
+                    return self._not_found(40403, "Schema not found")
                 return self._send(
                     200,
                     {
@@ -197,3 +200,20 @@ def test_serde_round_trip_over_http(registry_server):
     assert v2.deserialize(old_wire) == {"action": "alarming", "n": 7}
     assert v2.deserialize(new_wire) == {"action": None, "n": 1, "extra": 5}
     assert v1.schema_id != v2.schema_id
+
+
+def test_version_of_unregistered_schema_raises(registry_server):
+    """POST /subjects/{s} is a side-effect-free lookup: version_of for
+    a schema never registered under the subject raises SchemaNotFound
+    (Confluent 40403) and must NOT create the subject or a version."""
+    base, store = registry_server
+    client = HttpSchemaRegistry(base)
+    sid = client.register("topic-a-value", AVSC)
+    with pytest.raises(SchemaNotFound):
+        client.version_of("topic-b-value", sid)
+    assert "topic-b-value" not in store.subjects()
+    # and an id that exists but under another subject: still not found
+    client.register("topic-b-value", AVSC_V2)
+    with pytest.raises(SchemaNotFound):
+        client.version_of("topic-b-value", sid)
+    assert store.latest("topic-b-value")[1] == 1  # no fabricated version
