@@ -539,3 +539,61 @@ def test_minhash_survives_mass_duplicate_class(spark, tmp_path):
 
     kept = {r["doc_id"] for r in QUERIES["dedup_keep"](spark, d).collect()}
     assert kept == {0, 1000}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_contam_grams_match_python_reference(spark, docs):
+    """with_contam_grams (the shared batch/stream gram fold) equals a
+    direct Python reimplementation of the spec: one md5 per token
+    (28-bit hex half), rolling combine acc*MULT + h mod P over
+    CONTAM_K-windows, distinct, empty below the gram width."""
+    import hashlib
+
+    from jaws_effective_processor_spark.functions.corpus import (
+        CONTAM_K,
+        CONTAM_MULT,
+        CONTAM_P,
+        with_contam_grams,
+    )
+
+    def py_grams(tokens):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            for t in tokens
+        ]
+        if len(th) < CONTAM_K:
+            return []
+        out = []
+        for i in range(len(th) - CONTAM_K + 1):
+            acc = th[i]
+            for o in range(1, CONTAM_K):
+                acc = (acc * CONTAM_MULT + th[i + o]) % CONTAM_P
+            out.append(acc)
+        # list_distinct keeps first-occurrence order; compare as sets
+        return sorted(set(out))
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["grams"])
+        for r in with_contam_grams(df).select("doc_id", "grams").collect()
+    }
+    for i, toks in enumerate(docs):
+        # split(' ') of the joined text: empty doc -> one '' token
+        tokens = " ".join(toks).split(" ")
+        assert got[i] == py_grams(tokens), (i, toks)
