@@ -232,6 +232,12 @@ def _register_relational() -> None:
     register(
         "range_copurchase", r.q_range_copurchase, osql.RANGE_COPURCHASE_SQL
     )
+    register("lineitem_cube", r.q_lineitem_cube, osql.LINEITEM_CUBE_SQL)
+    register(
+        "customer_value_bands",
+        r.q_customer_value_bands,
+        osql.CUSTOMER_VALUE_BANDS_SQL,
+    )
 
 
 def _register_llm() -> None:
@@ -340,6 +346,24 @@ def _register_llm() -> None:
         corpus.q_packed_token_ids,
         osql.PACKED_TOKEN_IDS_SQL,
     )
+
+    from .functions import filtering, retrieval
+
+    register(
+        "gopher_quality", filtering.q_gopher_quality, osql.GOPHER_QUALITY_SQL
+    )
+    register("block_dedup", filtering.q_block_dedup, osql.BLOCK_DEDUP_SQL)
+    register(
+        "dup_gram_coverage",
+        filtering.q_dup_gram_coverage,
+        osql.DUP_GRAM_COVERAGE_SQL,
+    )
+    register(
+        "bloom_dedup_gate",
+        filtering.q_bloom_dedup_gate,
+        osql.BLOOM_DEDUP_GATE_SQL,
+    )
+    register("bm25_search", retrieval.q_bm25_search, osql.BM25_SEARCH_SQL)
 
 
 _register_rules()

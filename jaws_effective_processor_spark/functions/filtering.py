@@ -1,0 +1,326 @@
+"""Corpus filtering / gating operators over `documents` — the
+rule-based and membership-test passes between dedup and training:
+
+- Gopher-style quality rules: per-doc token statistics folded into
+  keep/drop rule booleans (length bounds, mean-token-length band,
+  stopword floor, top-token-dominance cap) — the composite rule
+  filter of Rae et al. (Gopher) / Penedo et al. (RefinedWeb),
+  re-expressed on the whitespace-token corpus this testbed ships.
+- Block-level exact dedup: corpus-wide dedup of non-overlapping
+  token blocks (the tractable form of Lee et al.'s substring-level
+  "Deduplicating Training Data" pass): first occurrence in global
+  (doc_id, block_idx) order wins, later copies are dropped.
+- Cross-doc duplicated-gram coverage: per doc, the share of its
+  distinct 8-grams that also occur in ANY other document — the
+  corpus-level twin of the intra-doc `doc_repetition` signal, and
+  the continuous score behind block dedup's binary decision.
+- Bloom-filter dedup gate: a deterministic Bloom membership test of
+  new docs against the ingested partition's fingerprint set — the
+  constant-space incremental-dedup gate a 100 TB pipeline runs
+  before the expensive pairwise passes. The filter's bit set is a
+  pure function of the data (k md5-derived positions in a 2^16-bit
+  space), so the oracle reproduces it exactly, including the
+  no-false-negative guarantee emitted as a checkable boolean.
+
+Scale shapes:
+- quality rules: ZERO shuffle — every statistic (including max token
+  multiplicity, via a run-length fold over the per-doc sorted token
+  array) is a per-row expression; at 100 TB this runs at parquet
+  scan speed with pruning to (doc_id, text).
+- block dedup: one explode + one groupBy(block_hash) min-winner +
+  one hash join back on the 60-bit block hash — blocks move as
+  narrow longs, never token text.
+- gram coverage: reuses the session-cached contamination gram table;
+  one groupBy(gram) + one equi-join, all longs.
+- bloom gate: the bit set is bounded by the filter geometry (m=2^16
+  positions) regardless of corpus size, so the membership join is a
+  broadcast by construction — the entire point of the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table, spread_if_undersplit
+from .corpus import CONTAM_MULT, CONTAM_P, _contam_gram_table
+from .text import STOPWORDS
+
+# ---------------------------------------------------------- quality
+# Rule thresholds, calibrated so each rule discriminates on the
+# synthetic corpus (sf0.01: token counts 10-99, stopword counts 0-10,
+# top-token permille 51-300).
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MIN_AVG_TOKEN_CENTI = 350  # mean token length >= 3.50 chars
+QUALITY_MAX_AVG_TOKEN_CENTI = 700  # and <= 7.00 chars
+QUALITY_MIN_STOPWORDS = 2
+QUALITY_MAX_TOP_TOKEN_PERMILLE = 200  # no token > 20% of the doc
+
+# ------------------------------------------------------ block dedup
+BLOCK_TOKENS = 16  # non-overlapping block width, in tokens
+
+# -------------------------------------------------------- bloom gate
+BLOOM_BITS = 1 << 16  # m: filter positions
+BLOOM_HASHES = 4  # k: md5-derived positions per fingerprint
+BLOOM_INGESTED_MOD = 3  # doc_id % 3 != 0 -> already-ingested side
+
+
+def _toks() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style rule filter: per-doc statistics and
+    the keep decision, computed WITHOUT any shuffle.
+
+    The one statistic that naively wants a groupBy — the maximum
+    multiplicity of any token — is computed per row as the longest
+    run in the doc's sorted token array via an `F.aggregate` fold
+    (run-length encoding of `array_sort`), keeping the whole operator
+    embarrassingly parallel; per-doc cost is O(n log n) in bounded
+    doc length, not a corpus-wide exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _toks()
+    sorted_tk = F.array_sort(tk)
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _merge(acc: F.Column, x: F.Column) -> F.Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(sorted_tk, acc0, _merge, lambda a: a["best"])
+    base = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("long")),
+            zero,
+            lambda a, x: a + x,
+        ).alias("_tok_chars"),
+        F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+        top_cnt.alias("_top_cnt"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        F.expr("(100 * _tok_chars) DIV n_tokens").alias("avg_token_len_centi"),
+        F.expr("(1000 * _top_cnt) DIV n_tokens").alias("top_token_permille"),
+    )
+    ok_len = (F.col("n_tokens") >= QUALITY_MIN_TOKENS) & (
+        F.col("n_tokens") <= QUALITY_MAX_TOKENS
+    )
+    ok_tok = (
+        F.col("avg_token_len_centi") >= QUALITY_MIN_AVG_TOKEN_CENTI
+    ) & (F.col("avg_token_len_centi") <= QUALITY_MAX_AVG_TOKEN_CENTI)
+    ok_stop = F.col("n_stopwords") >= QUALITY_MIN_STOPWORDS
+    ok_top = F.col("top_token_permille") <= QUALITY_MAX_TOP_TOKEN_PERMILLE
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "avg_token_len_centi",
+        "top_token_permille",
+        ok_len.alias("ok_length"),
+        ok_tok.alias("ok_mean_token_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_top.alias("ok_top_token"),
+        (ok_len & ok_tok & ok_stop & ok_top).alias("keep"),
+    )
+
+
+def _block_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, block_idx, block_h): rolling-hash of each
+    non-overlapping BLOCK_TOKENS-token block. One md5 per TOKEN
+    (28-bit half) then an integer fold per block — the same
+    hash-once-fold-cheap discipline as `with_contam_grams`, so only
+    narrow longs ever shuffle."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = _toks()
+    tkh = F.transform(
+        tk,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    staged = docs.select(
+        "doc_id", F.size(tk).alias("_n_tok"), tkh.alias("_tkh")
+    )
+    n_blocks = F.expr(f"(_n_tok + {BLOCK_TOKENS - 1}) DIV {BLOCK_TOKENS}")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.aggregate(
+            F.slice(F.col("_tkh"), i * BLOCK_TOKENS + 1, BLOCK_TOKENS),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * CONTAM_MULT + x) % CONTAM_P,
+        ),
+    )
+    return staged.select(
+        "doc_id", F.posexplode(blocks).alias("block_idx", "block_h")
+    )
+
+
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact dedup of non-overlapping token blocks.
+
+    For every block hash the FIRST occurrence in (doc_id, block_idx)
+    order is kept; all later copies are dropped. Emits the per-doc
+    retention report (the actionable output: how much of each doc
+    survives substring-level dedup). One groupBy on the block hash
+    picks winners; the join back is an equi-join on the same key, so
+    AQE can satisfy it from the same exchange."""
+    blocks = _block_table(spark, sf_dir)
+    winners = blocks.groupBy("block_h").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("w")
+    )
+    flagged = blocks.join(winners, "block_h").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("block_idx") == F.col("w.block_idx"))
+        ).alias("kept"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_kept",
+            (F.col("n_blocks") - F.col("n_kept")).alias("n_dropped"),
+            F.expr("(1000 * (n_blocks - n_kept)) DIV n_blocks").alias(
+                "drop_permille"
+            ),
+        )
+    )
+
+
+def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: how much of its distinct 8-gram mass occurs in ANY
+    other document — the cross-corpus duplication score (Lee et al.'s
+    duplicate-substring fraction at gram granularity).
+
+    Reuses the session-cached contamination gram table, so warm runs
+    pay only the groupBy(gram) + join. A gram counts as duplicated
+    when it appears in >= 2 distinct docs (the per-doc gram arrays
+    are already distinct, so count(*) per gram IS the doc count)."""
+    g = _contam_gram_table(spark, sf_dir)
+    exploded = g.select("doc_id", F.explode("grams").alias("gram_h"))
+    gram_docs = exploded.groupBy("gram_h").agg(
+        F.count("*").alias("_n_docs_with")
+    )
+    return (
+        exploded.join(gram_docs, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_n_docs_with") >= 2).cast("long")).alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("(1000 * n_dup_grams) DIV n_grams").alias(
+                "dup_permille"
+            ),
+        )
+    )
+
+
+def _bloom_positions() -> F.Column:
+    """The k filter positions of a doc's content fingerprint —
+    md5(seed:text) 28-bit halves folded into [0, BLOOM_BITS)."""
+    return F.array_distinct(
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("text"))),
+                            1,
+                            7,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % BLOOM_BITS
+                )
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+    )
+
+
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup Bloom gate: probe new docs (doc_id % 3 == 0)
+    against the Bloom filter built from the already-ingested
+    partition (doc_id % 3 != 0).
+
+    The filter is represented as its exact set-bit table — a pure
+    function of the data, bounded by BLOOM_BITS rows no matter how
+    large the corpus, hence broadcast by construction. A probe doc is
+    flagged when ALL of its k positions are set. `sound` asserts the
+    Bloom no-false-negative guarantee per row (true duplicates are
+    always flagged); it is the oracle-checkable contract, while
+    `bloom_hit` on non-duplicates documents the false-positive cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ingested = docs.filter(F.col("doc_id") % BLOOM_INGESTED_MOD != 0)
+    probe = docs.filter(F.col("doc_id") % BLOOM_INGESTED_MOD == 0)
+
+    bits = (
+        ingested.select(F.explode(_bloom_positions()).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(True))
+    )
+    # stage the position array once so size() and explode() read one
+    # materialized column instead of inlining the 4-md5 build twice
+    probe_pos = probe.select(
+        "doc_id", _bloom_positions().alias("_pos")
+    ).select(
+        "doc_id",
+        F.size("_pos").alias("_n_pos"),
+        F.explode("_pos").alias("pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n_pos").alias("_n_pos"),
+            F.count("_set").alias("_n_set"),
+        )
+        .select(
+            "doc_id", (F.col("_n_set") == F.col("_n_pos")).alias("bloom_hit")
+        )
+    )
+    # exact-dup truth: probe text present verbatim in the ingested side
+    ingested_fp = ingested.select(
+        F.md5("text").alias("_fp")
+    ).distinct().withColumn("_dup", F.lit(True))
+    truth = probe.select("doc_id", F.md5("text").alias("_fp")).join(
+        ingested_fp, "_fp", "left"
+    ).select("doc_id", F.coalesce("_dup", F.lit(False)).alias("is_dup"))
+    return (
+        hits.join(truth, "doc_id")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            "is_dup",
+            (F.col("bloom_hit") | ~F.col("is_dup")).alias("sound"),
+        )
+    )

@@ -1177,3 +1177,204 @@ SELECT lang, pack_id,
 FROM packs JOIN per_doc USING (doc_id)
 GROUP BY lang, pack_id
 """
+
+# ---------------------------------------------------------------------------
+# round-5 filtering / gating / retrieval twins (functions/filtering.py,
+# functions/retrieval.py) — thresholds and hash geometry imported from the
+# Spark modules so the dialects cannot drift
+from .functions.filtering import (  # noqa: E402
+    BLOCK_TOKENS,
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    BLOOM_INGESTED_MOD,
+    QUALITY_MAX_AVG_TOKEN_CENTI,
+    QUALITY_MAX_TOKENS,
+    QUALITY_MAX_TOP_TOKEN_PERMILLE,
+    QUALITY_MIN_AVG_TOKEN_CENTI,
+    QUALITY_MIN_STOPWORDS,
+    QUALITY_MIN_TOKENS,
+)
+from .functions.retrieval import (  # noqa: E402
+    BM25_B_MILLI,
+    BM25_K1_MILLI,
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+)
+
+GOPHER_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN token IN ({_STOP_LIST}) THEN cnt ELSE 0 END)
+              AS BIGINT) AS n_stopwords,
+         CAST(sum(length(token) * cnt) AS BIGINT) AS tok_chars,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
+  FROM tf GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id, n_tokens, n_stopwords,
+         (100 * tok_chars) // n_tokens AS avg_token_len_centi,
+         (1000 * top_cnt) // n_tokens AS top_token_permille
+  FROM s
+)
+SELECT doc_id, n_tokens, n_stopwords, avg_token_len_centi,
+       top_token_permille,
+       n_tokens BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+         AS ok_length,
+       avg_token_len_centi BETWEEN {QUALITY_MIN_AVG_TOKEN_CENTI}
+         AND {QUALITY_MAX_AVG_TOKEN_CENTI} AS ok_mean_token_len,
+       n_stopwords >= {QUALITY_MIN_STOPWORDS} AS ok_stopwords,
+       top_token_permille <= {QUALITY_MAX_TOP_TOKEN_PERMILLE} AS ok_top_token,
+       (n_tokens BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS})
+         AND (avg_token_len_centi BETWEEN {QUALITY_MIN_AVG_TOKEN_CENTI}
+              AND {QUALITY_MAX_AVG_TOKEN_CENTI})
+         AND n_stopwords >= {QUALITY_MIN_STOPWORDS}
+         AND top_token_permille <= {QUALITY_MAX_TOP_TOKEN_PERMILLE} AS keep
+FROM d
+"""
+
+BLOCK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS th
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST((len(th) + {BLOCK_TOKENS - 1}) // {BLOCK_TOKENS}
+                 AS BIGINT)),
+           i -> struct_pack(
+             block_idx := i,
+             block_h := list_reduce(
+               th[i * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}
+                  + {BLOCK_TOKENS}],
+               (a, x) -> (a * {CONTAM_MULT} + x) % {CONTAM_P})))) AS blk
+  FROM t
+),
+blocks AS (
+  SELECT doc_id, blk.block_idx AS block_idx, blk.block_h AS block_h FROM b
+),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY block_h
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       (1000 * (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)))
+         // count(*) AS drop_permille
+FROM flagged GROUP BY doc_id
+"""
+
+DUP_GRAM_COVERAGE_SQL = f"""
+WITH {_CONTAM_BASE},
+e AS (SELECT doc_id, unnest(grams) AS gram_h FROM g),
+c AS (SELECT gram_h, count(*) AS nd FROM e GROUP BY gram_h)
+SELECT e.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       (1000 * sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)) // count(*)
+         AS dup_permille
+FROM e JOIN c USING (gram_h)
+GROUP BY e.doc_id
+"""
+
+_BLOOM_POS = "list_distinct([" + ", ".join(
+    f"CAST(('0x' || substr(md5('{i}:' || text), 1, 7)) AS BIGINT)"
+    f" % {BLOOM_BITS}"
+    for i in range(BLOOM_HASHES)
+) + "])"
+
+BLOOM_DEDUP_GATE_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text, {_BLOOM_POS} AS ps FROM documents
+),
+bits AS (
+  SELECT DISTINCT unnest(ps) AS p FROM pos
+  WHERE doc_id % {BLOOM_INGESTED_MOD} <> 0
+),
+probe AS (
+  SELECT doc_id, text, ps FROM pos WHERE doc_id % {BLOOM_INGESTED_MOD} = 0
+),
+hit AS (
+  SELECT pr.doc_id,
+         max(len(pr.ps)) = count(bits.p) AS bloom_hit
+  FROM (SELECT doc_id, ps, unnest(ps) AS p FROM probe) pr
+  LEFT JOIN bits USING (p)
+  GROUP BY pr.doc_id
+),
+ing AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE doc_id % {BLOOM_INGESTED_MOD} <> 0
+),
+truth AS (
+  SELECT doc_id, md5(text) IN (SELECT fp FROM ing) AS is_dup FROM probe
+)
+SELECT hit.doc_id, bloom_hit, is_dup,
+       (bloom_hit OR NOT is_dup) AS sound
+FROM hit JOIN truth USING (doc_id)
+"""
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+BM25_SEARCH_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+totals AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+postings AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token IN ({_BM25_TERMS})
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+per_term AS (
+  SELECT tf.doc_id,
+         (((1000000 * (n_docs - df) + 500000) // (df + 1))
+          * (tf * (1000 + {BM25_K1_MILLI})))
+         // (1000 * tf + ({BM25_K1_MILLI} * (1000 - {BM25_B_MILLI}
+             + ({BM25_B_MILLI} * dl.dl * n_docs) // total_tokens)) // 1000)
+           AS term_score
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro
+  FROM per_term GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, score_micro FROM per_doc
+  ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score_micro
+FROM topk
+"""

@@ -305,3 +305,32 @@ SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
               + (p.purchase_ms IS NOT NULL)::INT AS BIGINT) AS stage
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
+
+# GROUPING(a, b) in DuckDB and grouping_id() in Spark both encode the
+# cube dimensions most-significant-first, so g_id matches bit-for-bit
+LINEITEM_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g_id,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+CUSTOMER_VALUE_BANDS_SQL = """
+SELECT c_custkey, n_name, acctbal_cents,
+       CAST(ntile(4) OVER w AS BIGINT) AS band,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       cume_dist() OVER w AS cume
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+) c
+JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY acctbal_cents, c_custkey)
+"""

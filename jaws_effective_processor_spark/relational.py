@@ -657,3 +657,48 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus) — all four
+    grouping combinations in ONE pass; `grouping_id()` disambiguates
+    aggregate NULLs from data NULLs. Spark plans this as a single
+    Expand + hash aggregate (4x row expansion into map-side partials,
+    one shuffle), the standard multi-grouping strategy; at 100 TB the
+    expansion factor is the fixed grouping-set count, not data-driven.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("g_id"),
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+    )
+
+
+def q_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE quartile bands and exact
+    cumulative-distribution ranks of customers by account balance
+    within nation. One hash exchange on the nation key feeds every
+    window (shared partitioning); the nation dim is a broadcast.
+    Ordering is made total with the custkey tiebreak so both engines
+    band identically."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = cents(F.col("c_acctbal"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("acctbal_cents"), F.col("c_custkey")
+    )
+    return (
+        cust.select("c_custkey", "c_nationkey", bal.alias("acctbal_cents"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "n_name",
+            "acctbal_cents",
+            F.ntile(4).over(w).cast("long").alias("band"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )

@@ -67,6 +67,11 @@ EDGE_QUERIES = (
     "curation_funnel",
     "source_quality_report",
     "packed_token_ids",
+    "gopher_quality",
+    "block_dedup",
+    "dup_gram_coverage",
+    "bloom_dedup_gate",
+    "bm25_search",
 )
 
 

@@ -1,0 +1,149 @@
+"""Invariants for the round-5 filtering / gating / retrieval
+operators (functions/filtering.py, functions/retrieval.py). Oracle
+parity itself is covered by test_entry_contract + test_edge_docs;
+these pin the semantic guarantees the oracles can't express and the
+physical-plan shapes that must survive scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jaws_effective_processor_spark.entry_queries import QUERIES
+from jaws_effective_processor_spark.functions.filtering import (
+    BLOOM_HASHES,
+    q_block_dedup,
+    q_bloom_dedup_gate,
+    q_dup_gram_coverage,
+    q_gopher_quality,
+)
+from jaws_effective_processor_spark.functions.retrieval import (
+    BM25_TOP_K,
+    q_bm25_search,
+)
+from jaws_effective_processor_spark.plans import explain_str, has_cartesian
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_gopher_quality_rules_discriminate(spark):
+    rows = q_gopher_quality(spark, SF_ORACLE).collect()
+    assert rows
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}, "rule set should split the corpus"
+    # each rule's verdict is the conjunction contract
+    for r in rows:
+        assert r.keep == (
+            r.ok_length and r.ok_mean_token_len
+            and r.ok_stopwords and r.ok_top_token
+        )
+    # individually discriminating rules (calibrated thresholds)
+    assert {r.ok_length for r in rows} == {True, False}
+    assert {r.ok_stopwords for r in rows} == {True, False}
+    assert {r.ok_top_token for r in rows} == {True, False}
+
+
+def test_block_dedup_conservation(spark):
+    out = q_block_dedup(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_blocks
+        assert 0 <= r.drop_permille <= 1000
+    # kept blocks across the corpus == distinct block hashes: exactly
+    # one winner per hash value
+    from jaws_effective_processor_spark.functions.filtering import (
+        _block_table,
+    )
+    n_kept = sum(r.n_kept for r in rows)
+    n_hashes = (
+        _block_table(spark, SF_ORACLE).select("block_h").distinct().count()
+    )
+    assert n_kept == n_hashes
+
+
+def test_dup_gram_coverage_bounds(spark):
+    rows = q_dup_gram_coverage(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert 0 <= r.dup_permille <= 1000
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    rows = q_bloom_dedup_gate(spark, SF_ORACLE).collect()
+    assert rows
+    # the Bloom guarantee: every true duplicate is flagged
+    assert all(r.sound for r in rows)
+
+
+def test_bloom_gate_flags_cross_split_duplicates(spark, tmp_path):
+    """A probe doc (doc_id % 3 == 0) whose text exists verbatim on the
+    ingested side MUST be flagged — exercised explicitly since the
+    driver corpus has no exact dup crossing the split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (3, "same body of text here"),  # probe, dup of 4
+        (4, "same body of text here"),  # ingested
+        (6, "unique probe body"),  # probe, not a dup
+        (7, "another ingested body"),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in q_bloom_dedup_gate(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {3, 6}
+    assert rows[3].is_dup and rows[3].bloom_hit and rows[3].sound
+    assert not rows[6].is_dup and rows[6].sound
+
+
+def test_bloom_bits_side_is_broadcast(spark):
+    """The set-bit table is bounded by the filter geometry, never by
+    corpus size — the membership join must be a broadcast join, not a
+    shuffle of the probe side."""
+    plan = explain_str(q_bloom_dedup_gate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian(q_bloom_dedup_gate(spark, SF_SMOKE))
+
+
+def test_bm25_ranking_contract(spark):
+    rows = q_bm25_search(spark, SF_ORACLE).orderBy("rank").collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """The posting scan must filter to the query terms below the
+    aggregation exchange — at scale this is the difference between
+    reading a posting list and shuffling the whole corpus."""
+    plan = explain_str(q_bm25_search(spark, SF_SMOKE))
+    assert "Filter" in plan and "Exchange" in plan
+    # term df and corpus totals ride broadcasts, not shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_registered_and_oracle_backed():
+    for name in (
+        "gopher_quality",
+        "block_dedup",
+        "dup_gram_coverage",
+        "bloom_dedup_gate",
+        "bm25_search",
+        "lineitem_cube",
+        "customer_value_bands",
+    ):
+        assert name in QUERIES
