@@ -176,19 +176,15 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     For every block hash the FIRST occurrence in (doc_id, block_idx)
     order is kept; all later copies are dropped. Emits the per-doc
     retention report (the actionable output: how much of each doc
-    survives substring-level dedup). One groupBy on the block hash
-    picks winners; the join back is an equi-join on the same key, so
-    AQE can satisfy it from the same exchange."""
+    survives substring-level dedup). Winner selection is ONE window
+    pass partitioned on the block hash — a single exchange, where a
+    groupBy-winners + join-back would shuffle the same key twice."""
+    from pyspark.sql import Window
+
     blocks = _block_table(spark, sf_dir)
-    winners = blocks.groupBy("block_h").agg(
-        F.min(F.struct("doc_id", "block_idx")).alias("w")
-    )
-    flagged = blocks.join(winners, "block_h").select(
-        "doc_id",
-        (
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("block_idx") == F.col("w.block_idx"))
-        ).alias("kept"),
+    w = Window.partitionBy("block_h").orderBy("doc_id", "block_idx")
+    flagged = blocks.select(
+        "doc_id", (F.row_number().over(w) == 1).alias("kept")
     )
     return (
         flagged.groupBy("doc_id")
@@ -214,17 +210,24 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-substring fraction at gram granularity).
 
     Reuses the session-cached contamination gram table, so warm runs
-    pay only the groupBy(gram) + join. A gram counts as duplicated
+    pay only the per-gram doc counting. A gram counts as duplicated
     when it appears in >= 2 distinct docs (the per-doc gram arrays
-    are already distinct, so count(*) per gram IS the doc count)."""
+    are already distinct, so the per-gram row count IS the doc
+    count); the count rides ONE window pass partitioned on the gram
+    hash instead of a groupBy + join-back that would shuffle the
+    same key twice."""
+    from pyspark.sql import Window
+
     g = _contam_gram_table(spark, sf_dir)
     exploded = g.select("doc_id", F.explode("grams").alias("gram_h"))
-    gram_docs = exploded.groupBy("gram_h").agg(
-        F.count("*").alias("_n_docs_with")
+    counted = exploded.select(
+        "doc_id",
+        F.count("*")
+        .over(Window.partitionBy("gram_h"))
+        .alias("_n_docs_with"),
     )
     return (
-        exploded.join(gram_docs, "gram_h")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum((F.col("_n_docs_with") >= 2).cast("long")).alias(
