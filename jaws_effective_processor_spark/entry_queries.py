@@ -390,6 +390,17 @@ _register_llm()
 # the unpivot, which builds on it —, doc_fingerprint, dedup_simhash,
 # knn_ivf_multiprobe), so the driver oracle eventually visits every
 # registered query, not a fixed favored subset.
+#
+# Round 5 rotation: the seven NEW operators (gopher_quality,
+# block_dedup, dup_gram_coverage, bloom_dedup_gate, bm25_search,
+# lineitem_cube, customer_value_bands) enter the window; the slots
+# come from now-green round-4 entrants whose families stay
+# represented (heavy_hitters -> approx_distinct; event_type_unpivot
+# -> lineitem_cube reps multi-grouping; pii_scan -> the three other
+# text reps; dedup_simhash_pairs -> four dedup reps remain; knn_ivf
+# -> knn_bruteforce) plus two multi-round-green curation twins
+# (vocab_topk, doc_chunks — the curation family keeps corpus_split,
+# semdedup_keep, decontaminate, curation_funnel and gains five).
 _CHECK_FIRST = [
     # alarm pipeline (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -419,27 +430,30 @@ _CHECK_FIRST = [
     "approx_distinct",
     "events_sessionization",
     "event_funnel",
-    "heavy_hitters",
+    "lineitem_cube",
     "parts_above_brand_avg",
     "scalar_functions",
-    "event_type_unpivot",
+    "customer_value_bands",
     "order_percentiles",
     "asof_last_purchase",
     "range_copurchase",
-    # text analysis
+    # text analysis / quality
     "token_counts",
     "quality_score",
     "language_id",
-    "pii_scan",
+    "gopher_quality",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
+    "block_dedup",
+    "dup_gram_coverage",
+    "bloom_dedup_gate",
     "embedding_neardup",
     # ANN / similarity
     "knn_bruteforce",
-    "knn_ivf",
+    # retrieval
+    "bm25_search",
     # multimodal (meta reps the family; the features sibling is
     # 2-rounds green and stays locally checked)
     "multimodal_meta",
@@ -451,10 +465,8 @@ _CHECK_FIRST = [
     # embedding pair set, so the swapped-out names stay transitively
     # driver-covered)
     "corpus_split",
-    "doc_chunks",
     "semdedup_keep",
     "decontaminate",
-    "vocab_topk",
 ]
 
 
