@@ -365,6 +365,19 @@ def _register_llm() -> None:
     )
     register("bm25_search", retrieval.q_bm25_search, osql.BM25_SEARCH_SQL)
 
+    from .functions import tokenizer
+
+    register(
+        "bpe_pair_counts",
+        tokenizer.q_bpe_pair_counts,
+        osql.BPE_PAIR_COUNTS_SQL,
+    )
+    register(
+        "embedding_outliers",
+        similarity.q_embedding_outliers,
+        osql.EMBEDDING_OUTLIERS_SQL,
+    )
+
 
 _register_rules()
 _register_nested()

@@ -412,3 +412,63 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(1000 * n_hits) DIV {TOP_K}").alias("recall_permille"),
         )
     )
+
+
+OUTLIER_K = 20
+OUTLIER_MICRO = 1_000_000  # fixed-point scale for exact cross-engine math
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier scoring — the embedding-
+    space QA pass that surfaces mislabeled / anomalous vectors before
+    they poison a class (the ANN-index counterpart of quality rules).
+
+    All math is fixed-point: each component is floored to integer
+    micro-units, the per-(label, dim) centroid is the integer mean of
+    those micro-units, and the distance is the exact integer sum of
+    squared micro-differences — both engines evaluate the identical
+    integer expressions, so the oracle is bit-exact (doubles would
+    diverge on summation order).
+
+    Scale shape: one posexplode + one (label, dim) aggregation with
+    map-side partials; the centroid table is labels x dims rows
+    (tiny, broadcast back), and the per-vector distance reduce
+    shuffles on vec_id. Top-k via TakeOrdered, never a global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x") * OUTLIER_MICRO).cast("long").alias("xm"),
+    )
+    cent = (
+        e.groupBy("label", "dim")
+        .agg(F.sum("xm").alias("_s"), F.count("*").alias("_c"))
+        .select("label", "dim", F.expr("_s DIV _c").alias("cm"))
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("dist_sq")
+        )
+    )
+    top = dist.orderBy(F.col("dist_sq").desc(), F.col("vec_id")).limit(
+        OUTLIER_K
+    )
+    w = Window.orderBy(F.col("dist_sq").desc(), F.col("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "label",
+        "dist_sq",
+    )

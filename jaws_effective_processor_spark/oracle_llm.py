@@ -1378,3 +1378,60 @@ SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
        doc_id, score_micro
 FROM topk
 """
+
+from .functions.tokenizer import BPE_TOP_PAIRS  # noqa: E402
+from .functions.similarity import OUTLIER_K, OUTLIER_MICRO  # noqa: E402
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+  FROM t
+),
+c AS (
+  SELECT pr.l AS "left", pr.r AS "right", count(*) AS n_pairs
+  FROM p GROUP BY pr.l, pr.r
+),
+top AS (
+  SELECT "left", "right", n_pairs FROM c
+  ORDER BY n_pairs DESC, "left", "right" LIMIT {BPE_TOP_PAIRS}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, "left", "right")
+            AS BIGINT) AS rank,
+       "left", "right", n_pairs
+FROM top
+"""
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+           i -> struct_pack(dim := i - 1,
+                xm := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                 * {OUTLIER_MICRO}) AS BIGINT)))) AS u
+  FROM embeddings
+),
+x AS (SELECT vec_id, label, u.dim AS dim, u.xm AS xm FROM e),
+cent AS (
+  SELECT label, dim, CAST(sum(xm) AS BIGINT) // count(*) AS cm
+  FROM x GROUP BY label, dim
+),
+dist AS (
+  SELECT vec_id, x.label AS label,
+         CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS dist_sq
+  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+  GROUP BY vec_id, x.label
+),
+top AS (
+  SELECT vec_id, label, dist_sq FROM dist
+  ORDER BY dist_sq DESC, vec_id LIMIT {OUTLIER_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY dist_sq DESC, vec_id) AS BIGINT)
+         AS rank,
+       vec_id, label, dist_sq
+FROM top
+"""

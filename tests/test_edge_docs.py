@@ -72,6 +72,7 @@ EDGE_QUERIES = (
     "dup_gram_coverage",
     "bloom_dedup_gate",
     "bm25_search",
+    "bpe_pair_counts",
 )
 
 
@@ -107,7 +108,7 @@ def test_edge_docs_oracle_parity(spark, edge_dir, name):
 EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
-               "embedding_quantize", "ann_recall")
+               "embedding_quantize", "ann_recall", "embedding_outliers")
 
 
 @pytest.fixture(scope="module")

@@ -7,11 +7,8 @@ physical-plan shapes that must survive scale-up.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from jaws_effective_processor_spark.entry_queries import QUERIES
 from jaws_effective_processor_spark.functions.filtering import (
-    BLOOM_HASHES,
     q_block_dedup,
     q_bloom_dedup_gate,
     q_dup_gram_coverage,
@@ -147,3 +144,49 @@ def test_registered_and_oracle_backed():
         "customer_value_bands",
     ):
         assert name in QUERIES
+
+
+def test_bpe_pair_counts_contract(spark):
+    from jaws_effective_processor_spark.functions.tokenizer import (
+        BPE_TOP_PAIRS,
+        q_bpe_pair_counts,
+    )
+
+    rows = q_bpe_pair_counts(spark, SF_ORACLE).orderBy("rank").collect()
+    assert 0 < len(rows) <= BPE_TOP_PAIRS
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n_pairs > 0 for r in rows)
+    # total pair mass conservation: sum over ALL pairs == sum(n_tok - 1)
+    from pyspark.sql import functions as SF
+    from jaws_effective_processor_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    expected = docs.select(
+        SF.greatest(
+            SF.size(SF.split("text", " ")) - 1, SF.lit(0)
+        ).alias("n")
+    ).agg(SF.sum("n")).collect()[0][0]
+    tk = SF.split(SF.col("text"), " ")
+    total = (
+        docs.filter(SF.size(tk) >= 2)
+        .select(SF.explode(SF.transform(
+            SF.sequence(SF.lit(1), SF.size(tk) - 1),
+            lambda i: SF.element_at(tk, i),
+        )).alias("t"))
+        .count()
+    )
+    assert total == expected
+
+
+def test_embedding_outliers_contract(spark):
+    from jaws_effective_processor_spark.functions.similarity import (
+        OUTLIER_K,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, SF_ORACLE).orderBy("rank").collect()
+    assert len(rows) == OUTLIER_K
+    dists = [r.dist_sq for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d >= 0 for d in dists)
