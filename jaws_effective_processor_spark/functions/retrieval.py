@@ -43,45 +43,71 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with denom_milli = 1000*tf + k1_milli*(1000 - b_milli
       + b_milli*dl*n_docs DIV total_tokens) DIV 1000
     and idf_micro = (1e6*(N - df) + 5e5) DIV (df + 1).
+
+    Physical shape: tf per query term is a per-row array count
+    (`size(filter(tokens, = term))`), NOT an explode — the query is a
+    handful of terms, so the posting matrix is k extra columns, and
+    the (doc, token) shuffle + per-term join of the textbook plan
+    disappears. Corpus statistics (total_tokens, n_docs, every df)
+    fold into ONE map-side-partial aggregate producing a single row,
+    broadcast back to the scoring scan; the only wide operation left
+    is TakeOrdered on the scored docs. (The first version exploded
+    tokens and shuffled twice — 1.1 s at sf0.1 vs ~0.35 s for this
+    form, and at 100 TB the explode shuffles corpus*avg_dl rows.)
     """
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
-    with_len = docs.select(
-        "doc_id", F.size(tk).cast("long").alias("dl"), tk.alias("_tk")
+
+    # one-arg lambda per term (a two-arg lambda with a default would
+    # be called as (element, index) by F.filter)
+    def tf_col(term: str) -> F.Column:
+        return F.size(
+            F.filter(tk, lambda t: t == F.lit(term))
+        ).cast("long")
+
+    staged = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("dl"),
+        *[
+            tf_col(term).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ],
     )
-    totals = with_len.agg(
+    nterms = len(BM25_QUERY_TERMS)
+    stats = staged.agg(
         F.sum("dl").alias("total_tokens"),
         F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nterms)
+        ],
     )
-    postings = with_len.select(
-        "doc_id", "dl", F.explode("_tk").alias("token")
-    ).filter(F.col("token").isin(*BM25_QUERY_TERMS))
-    tf = postings.groupBy("doc_id", "token").agg(
-        F.count("*").alias("tf"), F.max("dl").alias("dl")
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    any_match = F.col("tf_0") > 0
+    for i in range(1, nterms):
+        any_match = any_match | (F.col(f"tf_{i}") > 0)
+    scored = staged.filter(any_match).crossJoin(F.broadcast(stats))
 
-    scored = tf.join(F.broadcast(dfreq), "token").crossJoin(
-        F.broadcast(totals)
-    )
-    idf_micro = F.expr(
-        "(1000000 * (n_docs - df) + 500000) DIV (df + 1)"
-    )
-    denom_milli = F.expr(
-        f"1000 * tf + ({BM25_K1_MILLI} * (1000 - {BM25_B_MILLI}"
-        f" + ({BM25_B_MILLI} * dl * n_docs) DIV total_tokens)) DIV 1000"
-    )
-    num_milli = F.expr(f"tf * (1000 + {BM25_K1_MILLI})")
     # exact integer DIV end-to-end — a float division truncated to
     # long can land one off the floored quotient at exact boundaries
-    per_term = scored.select(
-        "doc_id",
-        (idf_micro * num_milli).alias("_num"),
-        denom_milli.alias("_den"),
-    ).select("doc_id", F.expr("_num DIV _den").alias("_term_score"))
-    per_doc = per_term.groupBy("doc_id").agg(
-        F.sum("_term_score").alias("score_micro")
-    )
+    def term_score(i: int) -> F.Column:
+        idf = (
+            f"(1000000 * (n_docs - df_{i}) + 500000) DIV (df_{i} + 1)"
+        )
+        num = f"tf_{i} * (1000 + {BM25_K1_MILLI})"
+        den = (
+            f"1000 * tf_{i} + ({BM25_K1_MILLI} * (1000 - {BM25_B_MILLI}"
+            f" + ({BM25_B_MILLI} * dl * n_docs) DIV total_tokens)) DIV 1000"
+        )
+        return F.expr(
+            f"CASE WHEN tf_{i} > 0"
+            f" THEN (({idf}) * ({num})) DIV ({den})"
+            f" ELSE 0 END"
+        )
+
+    total = term_score(0)
+    for i in range(1, nterms):
+        total = total + term_score(i)
+    per_doc = scored.select("doc_id", total.alias("score_micro"))
     topk = per_doc.orderBy(
         F.col("score_micro").desc(), F.col("doc_id")
     ).limit(BM25_TOP_K)
