@@ -27,11 +27,10 @@ Scale shapes:
   multiplicity, via a run-length fold over the per-doc sorted token
   array) is a per-row expression; at 100 TB this runs at parquet
   scan speed with pruning to (doc_id, text).
-- block dedup: one explode + one groupBy(block_hash) min-winner +
-  one hash join back on the 60-bit block hash — blocks move as
-  narrow longs, never token text.
+- block dedup: one explode + ONE winner-window exchange on the
+  block hash — blocks move as narrow longs, never token text.
 - gram coverage: reuses the session-cached contamination gram table;
-  one groupBy(gram) + one equi-join, all longs.
+  one window exchange on the gram hash, all longs.
 - bloom gate: the bit set is bounded by the filter geometry (m=2^16
   positions) regardless of corpus size, so the membership join is a
   broadcast by construction — the entire point of the operator.
@@ -70,9 +69,13 @@ def _toks() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
-def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/RefinedWeb-style rule filter: per-doc statistics and
-    the keep decision, computed WITHOUT any shuffle.
+def with_gopher_stats(df: DataFrame) -> DataFrame:
+    """Add the Gopher rule statistics + verdict columns to any frame
+    with a `text` column — shared verbatim between the batch report
+    (q_gopher_quality) and the streaming gate
+    (streaming/ingest.gopher_gate_stream), so a document scores
+    identically whichever path evaluated it. Stateless per-row
+    expressions only, hence streaming-composable.
 
     The one statistic that naively wants a groupBy — the maximum
     multiplicity of any token — is computed per row as the longest
@@ -81,7 +84,6 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel; per-doc cost is O(n log n) in bounded
     doc length, not a corpus-wide exchange.
     """
-    docs = load_table(spark, sf_dir, "documents")
     tk = _toks()
     sorted_tk = F.array_sort(tk)
     zero = F.lit(0).cast("long")
@@ -100,24 +102,28 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top_cnt = F.aggregate(sorted_tk, acc0, _merge, lambda a: a["best"])
-    base = docs.select(
-        "doc_id",
-        F.size(tk).cast("long").alias("n_tokens"),
-        F.aggregate(
-            F.transform(tk, lambda t: F.length(t).cast("long")),
-            zero,
-            lambda a, x: a + x,
-        ).alias("_tok_chars"),
-        F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
-        .cast("long")
-        .alias("n_stopwords"),
-        top_cnt.alias("_top_cnt"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "n_stopwords",
-        F.expr("(100 * _tok_chars) DIV n_tokens").alias("avg_token_len_centi"),
-        F.expr("(1000 * _top_cnt) DIV n_tokens").alias("top_token_permille"),
+    base = df.withColumns(
+        {
+            "n_tokens": F.size(tk).cast("long"),
+            "_tok_chars": F.aggregate(
+                F.transform(tk, lambda t: F.length(t).cast("long")),
+                zero,
+                lambda a, x: a + x,
+            ),
+            "n_stopwords": F.size(
+                F.filter(tk, lambda t: t.isin(*STOPWORDS))
+            ).cast("long"),
+            "_top_cnt": top_cnt,
+        }
+    ).withColumns(
+        {
+            "avg_token_len_centi": F.expr(
+                "(100 * _tok_chars) DIV n_tokens"
+            ),
+            "top_token_permille": F.expr(
+                "(1000 * _top_cnt) DIV n_tokens"
+            ),
+        }
     )
     ok_len = (F.col("n_tokens") >= QUALITY_MIN_TOKENS) & (
         F.col("n_tokens") <= QUALITY_MAX_TOKENS
@@ -127,18 +133,36 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("avg_token_len_centi") <= QUALITY_MAX_AVG_TOKEN_CENTI)
     ok_stop = F.col("n_stopwords") >= QUALITY_MIN_STOPWORDS
     ok_top = F.col("top_token_permille") <= QUALITY_MAX_TOP_TOKEN_PERMILLE
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "n_stopwords",
-        "avg_token_len_centi",
-        "top_token_permille",
-        ok_len.alias("ok_length"),
-        ok_tok.alias("ok_mean_token_len"),
-        ok_stop.alias("ok_stopwords"),
-        ok_top.alias("ok_top_token"),
-        (ok_len & ok_tok & ok_stop & ok_top).alias("keep"),
-    )
+    return base.withColumns(
+        {
+            "ok_length": ok_len,
+            "ok_mean_token_len": ok_tok,
+            "ok_stopwords": ok_stop,
+            "ok_top_token": ok_top,
+            "keep": ok_len & ok_tok & ok_stop & ok_top,
+        }
+    ).drop("_tok_chars", "_top_cnt")
+
+
+GOPHER_STAT_COLS = (
+    "n_tokens",
+    "n_stopwords",
+    "avg_token_len_centi",
+    "top_token_permille",
+    "ok_length",
+    "ok_mean_token_len",
+    "ok_stopwords",
+    "ok_top_token",
+    "keep",
+)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style rule filter report: per-doc statistics
+    and the keep decision, computed WITHOUT any shuffle (see
+    with_gopher_stats — the same expressions gate the live stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_gopher_stats(docs).select("doc_id", *GOPHER_STAT_COLS)
 
 
 def _block_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,9 +269,11 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_positions() -> F.Column:
+def bloom_positions() -> F.Column:
     """The k filter positions of a doc's content fingerprint —
-    md5(seed:text) 28-bit halves folded into [0, BLOOM_BITS)."""
+    md5(seed:text) 28-bit halves folded into [0, BLOOM_BITS). Shared
+    verbatim with the streaming gate (streaming/ingest.
+    bloom_gate_stream) so both paths hash byte-identically."""
     return F.array_distinct(
         F.array(
             *[
@@ -287,14 +313,14 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = docs.filter(F.col("doc_id") % BLOOM_INGESTED_MOD == 0)
 
     bits = (
-        ingested.select(F.explode(_bloom_positions()).alias("pos"))
+        ingested.select(F.explode(bloom_positions()).alias("pos"))
         .distinct()
         .withColumn("_set", F.lit(True))
     )
     # stage the position array once so size() and explode() read one
     # materialized column instead of inlining the 4-md5 build twice
     probe_pos = probe.select(
-        "doc_id", _bloom_positions().alias("_pos")
+        "doc_id", bloom_positions().alias("_pos")
     ).select(
         "doc_id",
         F.size("_pos").alias("_n_pos"),

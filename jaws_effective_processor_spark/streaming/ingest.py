@@ -139,3 +139,50 @@ def start_ingest_shards(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def gopher_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming Gopher rule gate: drop arriving documents the rule
+    filter rejects — the live-ingest half of
+    functions/filtering.q_gopher_quality, evaluating the IDENTICAL
+    with_gopher_stats expressions, so a doc is kept or dropped the
+    same way whichever path saw it. Entirely stateless per-row
+    column work, so it composes anywhere in a streaming plan."""
+    from ..functions.filtering import GOPHER_STAT_COLS, with_gopher_stats
+
+    return (
+        with_gopher_stats(docs)
+        .filter(F.col("keep"))
+        .drop(*GOPHER_STAT_COLS)
+    )
+
+
+def bloom_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
+    """Streaming Bloom dedup gate: drop arriving documents whose k
+    filter positions are ALL set in the Bloom filter built from the
+    (static) already-ingested corpus — the live half of
+    functions/filtering.q_bloom_dedup_gate, hashing via the shared
+    bloom_positions expression.
+
+    The filter collapses to a ONE-ROW broadcast array of set
+    positions — bounded by BLOOM_BITS (2^16) no matter how large the
+    ingested corpus, which is the whole point: constant-space
+    membership state where exact streaming dedup
+    (dropDuplicatesWithinWatermark) must hold every fingerprint
+    inside the watermark. The guarantee direction matches ingest
+    economics: a Bloom hit may be a false positive (lost doc, cheap);
+    a miss is NEVER a missed duplicate. The membership test is
+    `array_except(positions, set_bits) == []` — stateless per row.
+    """
+    from ..functions.filtering import bloom_positions
+
+    bits = (
+        ingested.select(F.explode(bloom_positions()).alias("pos"))
+        .agg(F.collect_set("pos").alias("_bits"))
+    )
+    return (
+        docs.withColumn("_pos", bloom_positions())
+        .crossJoin(F.broadcast(bits))
+        .filter(F.size(F.array_except(F.col("_pos"), F.col("_bits"))) > 0)
+        .drop("_pos", "_bits")
+    )

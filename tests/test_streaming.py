@@ -469,3 +469,79 @@ def test_vector_shards_sink_cell_partitioned(spark, tmpdir):
         "vec_id", "label", "ingest_ts", "scale_micro", "q_csv", "cell",
     }
     assert _glob.glob(f"{out}/cell=*/*.parquet")
+
+
+def test_gopher_gate_stream_matches_batch(spark, tmpdir):
+    """Streaming Gopher rule gate keeps exactly the docs the batch
+    rule filter keeps — shared with_gopher_stats expressions, so the
+    verdict sets must be identical on the same feed."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        with_gopher_stats,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox jumps over a lazy sleeping dog while "
+        "seven wizards of oxford brew giant black quartz potions "
+        "and judge every vexing word"
+    )
+    rows = [
+        (1, good, "en", "crawl", t0),
+        (2, "too short", "en", "crawl", t0),  # fails length floor
+        (3, "the " * 30 + "of a", "en", "crawl", t0),  # top-token dominance
+    ]
+    src = os.path.join(tmpdir, "gq_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    batch_kept = {
+        r["doc_id"]
+        for r in with_gopher_stats(feed).filter("keep").collect()
+    }
+    assert batch_kept == {1}
+
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"gq_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.gopher_gate_stream(stream),
+        name,
+        os.path.join(tmpdir, "gq_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == batch_kept
+
+
+def test_bloom_gate_stream_drops_known_content(spark, tmpdir):
+    """Streaming Bloom gate: an arriving doc whose text was already
+    ingested is dropped (all k positions set); novel docs pass. The
+    gate hashes via the shared bloom_positions expression."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    seen = "this exact body of text was already ingested yesterday"
+    novel = "a completely new crawl result never before observed"
+    ingested = spark.createDataFrame(
+        [(100, seen)], "doc_id long, text string"
+    )
+    rows = [
+        (1, seen, "en", "crawl", t0),
+        (2, novel, "en", "crawl", t0),
+    ]
+    src = os.path.join(tmpdir, "bg_feed")
+    spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"bg_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.bloom_gate_stream(stream, ingested),
+        name,
+        os.path.join(tmpdir, "bg_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == {2}
