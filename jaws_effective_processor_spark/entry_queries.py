@@ -308,6 +308,7 @@ def _register_llm() -> None:
         osql.STRATIFIED_SAMPLE_SQL,
     )
     register("pii_scan", corpus.q_pii_scan, osql.PII_SCAN_SQL)
+    register("pii_redact", corpus.q_pii_redact, osql.PII_REDACT_SQL)
     register("doc_chunks", corpus.q_doc_chunks, osql.DOC_CHUNKS_SQL)
     register("pack_sequences", corpus.q_pack_sequences, osql.PACK_SEQUENCES_SQL)
     register("dedup_clusters", corpus.q_dedup_clusters, osql.DEDUP_CLUSTERS_SQL)

@@ -134,6 +134,41 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# redaction order matters (a number inside a URL must not be mangled
+# before the URL match runs) and is therefore FIXED: url -> email ->
+# number, identical in the DuckDB twin; placeholders contain no
+# redactable characters, so passes cannot cascade
+PII_REDACTIONS = (
+    ("url_count", "<url>"),
+    ("email_count", "<email>"),
+    ("number_count", "<num>"),
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction pass q_pii_scan triages for: emit each document
+    with every PII-shaped span replaced by a typed placeholder, plus
+    the total replacement count (the auditing column). Same character-
+    class-only patterns as the scan — they behave identically in Java
+    regex and RE2-style engines — applied to the same lowercased view.
+    Pure scan-local string work: zero shuffle at any scale."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    redacted = F.lower(F.col("text"))
+    total = F.lit(0).cast("long")
+    for name, placeholder in PII_REDACTIONS:
+        total = total + F.regexp_count(
+            redacted, F.lit(PII_PATTERNS[name])
+        ).cast("long")
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[name], placeholder
+        )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        total.alias("n_redactions"),
+    )
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
     """Connected components over an undirected pair set (doc_a, doc_b)
     -> (doc_id, cluster_id = min doc id in the component).

@@ -1435,3 +1435,28 @@ SELECT CAST(row_number() OVER (ORDER BY dist_sq DESC, vec_id) AS BIGINT)
        vec_id, label, dist_sq
 FROM top
 """
+
+from .functions.corpus import PII_PATTERNS, PII_REDACTIONS  # noqa: E402
+
+# sequential redaction twin: each pass counts + replaces on the
+# PREVIOUS pass's output, mirroring the Spark expression chain
+_redact_cte = ["s0 AS (SELECT doc_id, lower(text) AS t FROM documents)"]
+_count_cols = []
+for _i, (_name, _ph) in enumerate(PII_REDACTIONS):
+    _pat = PII_PATTERNS[_name]
+    _prev = f"s{_i}"
+    _carry = ", ".join(f"c{_j}" for _j in range(_i))
+    _carry = (_carry + ", ") if _carry else ""
+    _redact_cte.append(
+        f"s{_i + 1} AS (SELECT doc_id, {_carry}"
+        f"CAST(len(regexp_extract_all(t, '{_pat}')) AS BIGINT) AS c{_i}, "
+        f"regexp_replace(t, '{_pat}', '{_ph}', 'g') AS t FROM {_prev})"
+    )
+    _count_cols.append(f"c{_i}")
+
+PII_REDACT_SQL = (
+    "WITH " + ",\n".join(_redact_cte) + "\n"
+    "SELECT doc_id, t AS redacted_text, "
+    f"CAST({' + '.join(_count_cols)} AS BIGINT) AS n_redactions "
+    f"FROM s{len(PII_REDACTIONS)}"
+)

@@ -186,3 +186,29 @@ def bloom_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
         .filter(F.size(F.array_except(F.col("_pos"), F.col("_bits"))) > 0)
         .drop("_pos", "_bits")
     )
+
+
+def token_threshold_stream(docs: DataFrame, threshold: int) -> DataFrame:
+    """Emit-once detection of tokens whose cumulative corpus count
+    crosses `threshold` — the continuous version of the batch
+    vocabulary/heavy-hitter reports: a downstream blocklist or vocab
+    updater subscribes to newly-hot tokens instead of re-running the
+    corpus aggregate.
+
+    State is hash-partitioned by token across executors (one small
+    tuple per distinct token); per micro-batch the explode routes the
+    batch's tokens to their state partitions — the same shuffle the
+    batch unigram aggregate pays per run, paid here only on arrival.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import processors as P
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return toks.groupBy("token").applyInPandasWithState(
+        P.make_heavy_hitter_fn(threshold),
+        P.HEAVY_OUT,
+        P.HEAVY_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -292,3 +292,38 @@ def expiration_fn(key, rows, state) -> Iterator[pd.DataFrame]:
         state.update((exp,))
         state.setTimeoutDuration(max(exp - now, 1000))
     return
+
+
+HEAVY_OUT = "token string, n_occurrences long"
+HEAVY_STATE = "count long, emitted boolean"
+
+
+def make_heavy_hitter_fn(threshold: int):
+    """Streaming threshold detector (emit-once heavy hitters): per
+    token, accumulate the occurrence count across micro-batches and
+    emit ONE row the first time the cumulative count reaches
+    `threshold` — the streaming twin of the batch heavy-hitters
+    report, with exact counts instead of a sketch (state is one
+    (count, emitted) tuple per distinct key, the natural fit for
+    applyInPandasWithState; a bounded-memory variant would hold a
+    count-min sketch per partition instead of per-key state).
+
+    Emit-once (not emit-on-every-crossing-batch) keeps the output a
+    changelog of newly-hot tokens, which is what a downstream
+    blocklist/vocab updater consumes."""
+
+    def fn(key, rows, state) -> Iterator[pd.DataFrame]:
+        n = sum(len(chunk) for chunk in rows)
+        if state.exists:
+            count, emitted = int(state.get[0]), bool(state.get[1])
+        else:
+            count, emitted = 0, False
+        count += n
+        if not emitted and count >= threshold:
+            emitted = True
+            yield pd.DataFrame(
+                [{"token": key[0], "n_occurrences": count}]
+            )
+        state.update((count, emitted))
+
+    return fn

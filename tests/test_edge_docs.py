@@ -58,6 +58,7 @@ EDGE_QUERIES = (
     "quality_score",
     "language_id",
     "pii_scan",
+    "pii_redact",
     "stratified_sample",
     "decontaminate",
     "dedup_keep",

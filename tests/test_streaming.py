@@ -545,3 +545,40 @@ def test_bloom_gate_stream_drops_known_content(spark, tmpdir):
     )
     got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
     assert got == {2}
+
+
+def test_token_threshold_stream_emits_once(spark, tmpdir):
+    """Cumulative cross-batch token counting with emit-once semantics:
+    a token crossing the threshold in batch 2 is emitted exactly once
+    with its cumulative count; tokens never crossing stay silent."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    b0 = [(1, "hot hot warm cold", "en", "crawl", t0)]
+    b1 = [(2, "hot warm warm", "en", "crawl", t0)]
+    src = os.path.join(tmpdir, "tt_feed")
+    spark.createDataFrame(b0, ingest.DOC_FEED_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "batch0"))
+    spark.createDataFrame(b1, ingest.DOC_FEED_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "batch1"))
+    # maxFilesPerTrigger=1 -> each batch dir is its own micro-batch,
+    # so the crossing genuinely spans state checkpoints
+    stream = rules.dir_stream(
+        spark, f"{src}/*", ingest.DOC_FEED_SCHEMA, max_files=1
+    )
+    name = f"tt_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tmpdir, "tt_ckpt")
+    # threshold 3: no single batch crosses alone (hot: 2 then 1,
+    # warm: 1 then 2); only the cumulative count does. cold never.
+    rules.run_to_memory(
+        ingest.token_threshold_stream(stream, 3), name, ckpt
+    )
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in _memory_table(spark, name).collect()
+    }
+    assert got == {("hot", 3), ("warm", 3)}
