@@ -233,6 +233,12 @@ def _register_relational() -> None:
         "range_copurchase", r.q_range_copurchase, osql.RANGE_COPURCHASE_SQL
     )
     register("lineitem_cube", r.q_lineitem_cube, osql.LINEITEM_CUBE_SQL)
+    register("merge_upsert", r.q_merge_upsert, osql.MERGE_UPSERT_SQL)
+    register(
+        "top_orders_per_customer",
+        r.q_top_orders_per_customer,
+        osql.TOP_ORDERS_PER_CUSTOMER_SQL,
+    )
     register(
         "customer_value_bands",
         r.q_customer_value_bands,

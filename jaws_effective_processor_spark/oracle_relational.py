@@ -334,3 +334,55 @@ JOIN nation ON c_nationkey = n_nationkey
 WINDOW w AS (PARTITION BY c_nationkey
              ORDER BY acctbal_cents, c_custkey)
 """
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         0 AS v, FALSE AS del
+  FROM orders
+),
+deletes AS (
+  SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS totalprice_cents,
+         2 AS v, TRUE AS del
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+updates AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) + 10000
+           AS totalprice_cents,
+         1 AS v, FALSE AS del
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT o_orderkey + 3000000000 AS o_orderkey, o_custkey,
+         CAST(0 AS BIGINT) AS totalprice_cents, 1 AS v, FALSE AS del
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM deletes
+  UNION ALL SELECT * FROM updates UNION ALL SELECT * FROM inserts
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC)
+            AS rn
+  FROM merged
+)
+SELECT o_orderkey, o_custkey, totalprice_cents
+FROM ranked WHERE rn = 1 AND NOT del
+"""
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, totalprice_cents,
+       CAST(order_rank AS BIGINT) AS order_rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS order_rank
+  FROM orders
+) t
+WHERE order_rank <= 3
+"""

@@ -702,3 +702,94 @@ def q_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+# deterministic change-set derivation for the MERGE demo: keys
+# hitting these moduli become deletes / updates / inserts
+MERGE_DELETE_MOD = 13
+MERGE_UPDATE_MOD = 10
+MERGE_INSERT_MOD = 17
+MERGE_INSERT_KEY_OFFSET = 3_000_000_000
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE INTO (upsert+delete) applied as changelog
+    compaction: the change set (deletes for key % 13 == 0, updates
+    with +100.00 for key % 10 == 0, inserts under offset keys for
+    key % 17 == 0 — derived deterministically from the base so the
+    oracle regenerates it) is UNIONed onto the base at a higher
+    version and the survivor per key is the latest non-delete row.
+
+    This is the S1 KTable-compaction machinery applied to batch table
+    maintenance — one window pass partitioned by key, no join at all,
+    the same single-exchange shape Delta/Iceberg MERGE compiles to
+    when the change set is not broadcastable. Delete-vs-update
+    precedence falls out of version ordering, not special cases."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        F.lit(0).alias("_v"),
+        F.lit(False).alias("_del"),
+    )
+    key = F.col("o_orderkey")
+    # delete outranks update (v=2 > v=1): a key divisible by both
+    # moduli must deterministically resolve to the delete, as MERGE's
+    # matched-clause order would
+    deletes = orders.filter(key % MERGE_DELETE_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("long").alias("totalprice_cents"),
+        F.lit(2).alias("_v"),
+        F.lit(True).alias("_del"),
+    )
+    updates = (
+        orders.filter((key % MERGE_UPDATE_MOD == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (cents(F.col("o_totalprice")) + 10000).alias("totalprice_cents"),
+            F.lit(1).alias("_v"),
+            F.lit(False).alias("_del"),
+        )
+    )
+    inserts = orders.filter(key % MERGE_INSERT_MOD == 0).select(
+        (key + MERGE_INSERT_KEY_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(0).cast("long").alias("totalprice_cents"),
+        F.lit(1).alias("_v"),
+        F.lit(False).alias("_del"),
+    )
+    merged = base.unionByName(deletes).unionByName(updates).unionByName(
+        inserts
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_v").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("_del"))
+        .select("o_orderkey", "o_custkey", "totalprice_cents")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER = 3
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group: each customer's 3 largest orders by value —
+    the canonical rank-filter window (ONE exchange on the group key;
+    a groupBy+join or per-group sort-limit would shuffle twice).
+    Deterministic total order via the orderkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("totalprice_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        )
+        .withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("order_rank") <= TOP_ORDERS_PER_CUSTOMER)
+    )
