@@ -254,6 +254,11 @@ def _register_llm() -> None:
     register("token_counts", text.q_token_counts, osql.TOKEN_COUNTS_SQL)
     register("quality_score", text.q_quality_score, osql.QUALITY_SCORE_SQL)
     register("language_id", text.q_language_id, osql.LANGUAGE_ID_SQL)
+    register(
+        "language_confusion",
+        text.q_language_confusion,
+        osql.LANGUAGE_CONFUSION_SQL,
+    )
     register("doc_fingerprint", text.q_doc_fingerprint, osql.DOC_FINGERPRINT_SQL)
     register("dedup_exact", dedup.q_dedup_exact, osql.DEDUP_EXACT_SQL)
     register(
@@ -328,6 +333,11 @@ def _register_llm() -> None:
     register("token_rarity", corpus.q_token_rarity, osql.TOKEN_RARITY_SQL)
     register("corpus_mixture", corpus.q_corpus_mixture, osql.CORPUS_MIXTURE_SQL)
     register("corpus_split", corpus.q_corpus_split, osql.CORPUS_SPLIT_SQL)
+    register(
+        "shard_skew_report",
+        corpus.q_shard_skew_report,
+        osql.SHARD_SKEW_REPORT_SQL,
+    )
     register("decontaminate", corpus.q_decontaminate, osql.DECONTAMINATE_SQL)
     register("semdedup_keep", corpus.q_semdedup_keep, osql.SEMDEDUP_KEEP_SQL)
     register(

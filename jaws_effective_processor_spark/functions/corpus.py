@@ -1114,3 +1114,40 @@ def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pack_ids_csv"),
         )
     )
+
+
+def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-layout QA: per split, how evenly token mass spreads over
+    its shards — max/mean shard load in permille of perfect balance
+    plus the min/max shard sizes. A skewed shard becomes the
+    straggler task of every downstream training read, so this is the
+    report a pipeline checks after each landing cycle.
+
+    Same two-level aggregation spine as q_corpus_split (scan-local
+    assignment, groupBy(split, shard) partials, then a tiny
+    groupBy(split)); skew_permille = 1000 * max_shard_tokens *
+    n_shards DIV total_tokens (1000 = perfectly balanced)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = assign_split(docs).select(
+        "split",
+        "shard",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_shard = assigned.groupBy("split", "shard").agg(
+        F.sum("n_tok").alias("shard_tokens"),
+    )
+    return per_shard.groupBy("split").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("shard_tokens").alias("n_tokens"),
+        F.min("shard_tokens").alias("min_shard_tokens"),
+        F.max("shard_tokens").alias("max_shard_tokens"),
+    ).select(
+        "split",
+        "n_shards",
+        "n_tokens",
+        "min_shard_tokens",
+        "max_shard_tokens",
+        F.expr(
+            "(1000 * max_shard_tokens * n_shards) DIV n_tokens"
+        ).alias("skew_permille"),
+    )

@@ -170,3 +170,31 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("bucket"),
     )
+
+
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA: the labeled-vs-predicted language confusion
+    matrix of the stopword-marker language ID, with per-cell share of
+    the labeled language's row (permille). The matrix is at most
+    |langs|^2 cells — the groupBy shuffle carries a handful of rows
+    per task after map-side partials, and the row-total window runs
+    over those same few rows."""
+    from pyspark.sql import Window
+
+    pred = q_language_id(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("1000 * n_docs").alias("_scaled"),
+        F.sum("n_docs").over(w).alias("_row_total"),
+    ).select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("_scaled DIV _row_total").alias("row_share_permille"),
+    )

@@ -1460,3 +1460,47 @@ PII_REDACT_SQL = (
     f"CAST({' + '.join(_count_cols)} AS BIGINT) AS n_redactions "
     f"FROM s{len(PII_REDACTIONS)}"
 )
+
+LANGUAGE_CONFUSION_SQL = f"""
+WITH pred AS (
+  {LANGUAGE_ID_SQL}
+),
+cells AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       (1000 * n_docs) //
+         (sum(n_docs) OVER (PARTITION BY labeled_lang))
+         AS row_share_permille
+FROM cells
+"""
+
+SHARD_SKEW_REPORT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN h16 < {SPLIT_TRAIN_64K} THEN 'train'
+              WHEN h16 < {SPLIT_VAL_64K} THEN 'val'
+              ELSE 'test' END AS split,
+         hshard % {N_SPLIT_SHARDS} AS shard,
+         n_tok
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) AS h16,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+                AS BIGINT) AS hshard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+),
+per_shard AS (
+  SELECT split, shard, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+  FROM assigned GROUP BY split, shard
+)
+SELECT split, count(*) AS n_shards,
+       CAST(sum(shard_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
+       CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+       (1000 * max(shard_tokens) * count(*)) // sum(shard_tokens)
+         AS skew_permille
+FROM per_shard GROUP BY split
+"""

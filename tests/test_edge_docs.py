@@ -74,6 +74,8 @@ EDGE_QUERIES = (
     "bloom_dedup_gate",
     "bm25_search",
     "bpe_pair_counts",
+    "language_confusion",
+    "shard_skew_report",
 )
 
 
