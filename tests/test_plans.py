@@ -218,3 +218,57 @@ def test_retention_sets_no_extra_corpus_shuffle(spark):
     for name in ("dedup_keep", "semdedup_keep"):
         df = QUERIES[name](spark, SF_SMOKE)
         assert not has_cartesian(df), name
+
+
+def test_gopher_quality_zero_shuffle(spark):
+    """The rule filter is pure per-row expression work — the max token
+    multiplicity comes from an array fold, not a groupBy — so the plan
+    must contain NO exchange at all."""
+    from jaws_effective_processor_spark.plans import shuffle_count
+
+    assert shuffle_count(QUERIES["gopher_quality"](spark, SF_SMOKE)) == 0
+
+
+def test_pii_redact_zero_shuffle(spark):
+    from jaws_effective_processor_spark.plans import shuffle_count
+
+    assert shuffle_count(QUERIES["pii_redact"](spark, SF_SMOKE)) == 0
+
+
+def test_block_dedup_single_winner_exchange(spark):
+    """Winner selection is ONE window exchange on the block hash plus
+    the per-doc aggregation — never a groupBy+join-back that shuffles
+    the block key twice."""
+    from jaws_effective_processor_spark.plans import shuffle_count
+
+    df = QUERIES["block_dedup"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 3, explain_str(df)
+
+
+def test_bm25_no_posting_explode(spark):
+    """tf comes from per-row array counts: the plan must not contain a
+    Generate (explode) node, and the only aggregations are the one-row
+    stats fold and TakeOrdered."""
+    df = QUERIES["bm25_search"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" not in plan, plan
+
+
+def test_embedding_outliers_centroids_broadcast(spark):
+    """The labels x dims centroid table must come back as a broadcast
+    join — shuffling the exploded vector table against it would be a
+    corpus-sized exchange for a tiny dimension side."""
+    df = QUERIES["embedding_outliers"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merge_upsert_single_key_exchange(spark):
+    """MERGE-as-compaction: union + one latest-wins window on the key;
+    no join operator anywhere in the plan."""
+    df = QUERIES["merge_upsert"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    from jaws_effective_processor_spark.plans import shuffle_count
+
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
