@@ -390,6 +390,11 @@ def _register_llm() -> None:
         osql.BPE_PAIR_COUNTS_SQL,
     )
     register(
+        "bpe_merge_round",
+        tokenizer.q_bpe_merge_round,
+        osql.BPE_MERGE_ROUND_SQL,
+    )
+    register(
         "embedding_outliers",
         similarity.q_embedding_outliers,
         osql.EMBEDDING_OUTLIERS_SQL,

@@ -58,3 +58,84 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right",
         "n_pairs",
     )
+
+
+def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL BPE training round, corpus-level: pick the most
+    frequent adjacent pair and report the effect of merging it —
+    total merges, token mass before/after — as the single-row
+    artifact a trainer logs per round.
+
+    The winning pair is restricted to left != right, which makes the
+    greedy non-overlapping merge count EQUAL the plain occurrence
+    count (a length-2 pattern can only self-overlap when both tokens
+    are equal), so both engines count with the same simple adjacent
+    scan — no sequential fold needed. The pair is selected IN-QUERY
+    (1-row broadcast from the pair aggregate), never hard-coded, so
+    the operator is a genuine training step, not a fixture.
+
+    Scale shape: pair counting is the q_bpe_pair_counts aggregate;
+    the apply pass is a second scan with the 1-row winner broadcast
+    into a per-row array count. Each BPE round at 100 TB = two scans
+    + one small aggregation — the canonical distributed-BPE cost.
+    """
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    pairs = docs.filter(F.size(tk) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("left"),
+                    F.element_at(tk, i + 1).alias("right"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.left", "p.right")
+    winner = (
+        pairs.filter(F.col("left") != F.col("right"))
+        .groupBy("left", "right")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("left"), F.col("right"))
+        .limit(1)
+    )
+    staged = docs.select(
+        F.size(tk).cast("long").alias("_n_tok"), tk.alias("_tk")
+    ).crossJoin(F.broadcast(winner))
+    matches = F.size(
+        F.filter(
+            # int bounds: element_at requires an INT index and a long
+            # upper bound silently promotes the whole sequence
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("_n_tok") - 1, F.lit(1)).cast("int"),
+            ),
+            lambda i: (F.col("_n_tok") >= 2)
+            & (F.element_at(F.col("_tk"), i) == F.col("left"))
+            & (
+                F.element_at(
+                    F.col("_tk"),
+                    F.least(i + 1, F.col("_n_tok").cast("int")),
+                )
+                == F.col("right")
+            ),
+        )
+    ).cast("long")
+    return (
+        staged.select(
+            "left",
+            "right",
+            "n_pairs",
+            "_n_tok",
+            matches.alias("_n_merges"),
+        )
+        .groupBy("left", "right", "n_pairs")
+        .agg(
+            F.sum((F.col("_n_merges") > 0).cast("long")).alias(
+                "n_docs_touched"
+            ),
+            F.sum("_n_merges").alias("n_merges"),
+            F.sum("_n_tok").alias("tokens_before"),
+            (F.sum("_n_tok") - F.sum("_n_merges")).alias("tokens_after"),
+        )
+    )

@@ -1504,3 +1504,35 @@ SELECT split, count(*) AS n_shards,
          AS skew_permille
 FROM per_shard GROUP BY split
 """
+
+BPE_MERGE_ROUND_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+  FROM t WHERE len(tk) >= 2
+),
+winner AS (
+  SELECT pr.l AS lft, pr.r AS rgt, count(*) AS n_pairs
+  FROM p WHERE pr.l <> pr.r
+  GROUP BY pr.l, pr.r
+  ORDER BY n_pairs DESC, lft, rgt LIMIT 1
+),
+m AS (
+  SELECT w.lft, w.rgt, w.n_pairs,
+         CAST(len(t.tk) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(range(1, len(t.tk)),
+                i -> t.tk[i] = w.lft AND t.tk[i + 1] = w.rgt))
+              AS BIGINT) AS n_merges
+  FROM t CROSS JOIN winner w
+)
+SELECT lft AS "left", rgt AS "right", n_pairs,
+       CAST(sum(CASE WHEN n_merges > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_touched,
+       CAST(sum(n_merges) AS BIGINT) AS n_merges,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(n_tok) - sum(n_merges) AS BIGINT) AS tokens_after
+FROM m GROUP BY lft, rgt, n_pairs
+"""

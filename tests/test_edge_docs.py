@@ -74,6 +74,7 @@ EDGE_QUERIES = (
     "bloom_dedup_gate",
     "bm25_search",
     "bpe_pair_counts",
+    "bpe_merge_round",
     "language_confusion",
     "shard_skew_report",
 )
