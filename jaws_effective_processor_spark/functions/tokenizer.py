@@ -21,6 +21,42 @@ from ..tables import load_table, spread_if_undersplit
 BPE_TOP_PAIRS = 30
 
 
+def _pair_count_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated (left, right, n_pairs) table — the expensive
+    half of a BPE round (explode + one partial-aggregation shuffle),
+    session-cached like the dedup signature frames since both the
+    pair report and the merge round read it. Bounded by the observed
+    pair vocabulary, not the corpus.
+
+    One-token docs have no pairs — and F.sequence(1, 0) would DESCEND
+    (Spark generates step -1 when stop < start), walking off the
+    array, hence the size >= 2 filter."""
+
+    def _build() -> DataFrame:
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        pairs = docs.filter(F.size(tk) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("left"),
+                        F.element_at(tk, i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.left", "p.right")
+        return pairs.groupBy("left", "right").agg(
+            F.count("*").alias("n_pairs")
+        )
+
+    from .dedup import _cached_frame
+
+    return _cached_frame(spark, sf_dir, "bpe_pair_counts", _build)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top adjacent-token-pair frequencies — one BPE counting round.
 
@@ -30,24 +66,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition heads, k-row driver merge — never a global sort),
     then ranked with a window over just the k survivors.
     """
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
-    # one-token docs have no pairs — and F.sequence(1, 0) would DESCEND
-    # (Spark generates step -1 when stop < start), walking off the array
-    pairs = docs.filter(F.size(tk) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.struct(
-                    F.element_at(tk, i).alias("left"),
-                    F.element_at(tk, i + 1).alias("right"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.left", "p.right")
-    counts = pairs.groupBy("left", "right").agg(
-        F.count("*").alias("n_pairs")
-    )
+    counts = _pair_count_table(spark, sf_dir)
     top = counts.orderBy(
         F.col("n_pairs").desc(), F.col("left"), F.col("right")
     ).limit(BPE_TOP_PAIRS)
@@ -81,21 +100,9 @@ def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = F.split(F.col("text"), " ")
-    pairs = docs.filter(F.size(tk) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.struct(
-                    F.element_at(tk, i).alias("left"),
-                    F.element_at(tk, i + 1).alias("right"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.left", "p.right")
     winner = (
-        pairs.filter(F.col("left") != F.col("right"))
-        .groupBy("left", "right")
-        .agg(F.count("*").alias("n_pairs"))
+        _pair_count_table(spark, sf_dir)
+        .filter(F.col("left") != F.col("right"))
         .orderBy(F.col("n_pairs").desc(), F.col("left"), F.col("right"))
         .limit(1)
     )
