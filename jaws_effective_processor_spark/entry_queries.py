@@ -399,6 +399,11 @@ def _register_llm() -> None:
         similarity.q_embedding_outliers,
         osql.EMBEDDING_OUTLIERS_SQL,
     )
+    register(
+        "doc_embedding_norms",
+        similarity.q_doc_embedding_norms,
+        osql.DOC_EMBEDDING_NORMS_SQL,
+    )
 
 
 _register_rules()

@@ -472,3 +472,43 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "dist_sq",
     )
+
+
+def q_doc_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature join: documents x their embeddings (doc_id
+    = vec_id, the feature-store identity), reduced to a per-language
+    report crossing a text feature (token mass) with a vector feature
+    (mean squared norm, exact fixed-point micro^2 units DIV count).
+
+    Scale shape: both sides are corpus-sized, so the equi-join on the
+    id shuffles both — the one LLM-side operator where a large-large
+    join is intrinsic. On a real deployment both tables land bucketed
+    on the id (sources/io.write_bucketed), making this join
+    zero-exchange; here it pins the sort-merge/AQE path. Everything
+    after the join is map-side partial aggregation into |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * OUTLIER_MICRO).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x * x,
+        ).alias("norm_sq"),
+    )
+    return (
+        docs.join(emb, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.expr("sum(norm_sq) DIV count(*)").alias("mean_norm_sq_micro2"),
+        )
+    )

@@ -1536,3 +1536,26 @@ SELECT lft AS "left", rgt AS "right", n_pairs,
        CAST(sum(n_tok) - sum(n_merges) AS BIGINT) AS tokens_after
 FROM m GROUP BY lft, rgt, n_pairs
 """
+
+DOC_EMBEDDING_NORMS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+e AS (
+  SELECT vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                           * {OUTLIER_MICRO}) AS BIGINT)
+                * CAST(floor(CAST(embedding[i] AS DOUBLE)
+                             * {OUTLIER_MICRO}) AS BIGINT)))
+           AS norm_sq
+  FROM embeddings
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(norm_sq) AS BIGINT) // count(*) AS mean_norm_sq_micro2
+FROM d JOIN e USING (doc_id)
+GROUP BY lang
+"""

@@ -597,3 +597,122 @@ def test_contam_grams_match_python_reference(spark, docs):
         # split(' ') of the joined text: empty doc -> one '' token
         tokens = " ".join(toks).split(" ")
         assert got[i] == py_grams(tokens), (i, toks)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_block_dedup_matches_python_reference(spark, docs, tmp_path_factory):
+    """Block dedup on arbitrary corpora equals the Python spec: split
+    tokens into 16-token blocks, first (doc_id, idx) occurrence of a
+    block's token tuple is kept, later copies dropped."""
+    import collections
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        BLOCK_TOKENS,
+        q_block_dedup,
+    )
+
+    d = tmp_path_factory.mktemp("blk")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [" ".join(toks) for toks in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["t"] * len(docs), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    seen = set()
+    expect = collections.defaultdict(lambda: [0, 0])  # doc -> [blocks, kept]
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        for b in range(0, len(toks), BLOCK_TOKENS):
+            blk = tuple(toks[b : b + BLOCK_TOKENS])
+            expect[i][0] += 1
+            if blk not in seen:
+                seen.add(blk)
+                expect[i][1] += 1
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"])
+        for r in q_block_dedup(spark, str(d)).collect()
+    }
+    assert got == {i: tuple(v) for i, v in expect.items()}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=3,
+        max_size=9,
+    )
+)
+def test_bloom_gate_sound_on_arbitrary_corpora(spark, docs, tmp_path_factory):
+    """On ANY corpus: every probe doc whose exact text appears on the
+    ingested side is Bloom-flagged (no false negatives, the filter's
+    defining guarantee)."""
+    from jaws_effective_processor_spark.functions.filtering import (
+        BLOOM_INGESTED_MOD,
+        q_bloom_dedup_gate,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("bloomprop")
+    texts = [" ".join(toks) for toks in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["t"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    ingested = {
+        t
+        for i, t in enumerate(texts)
+        if i % BLOOM_INGESTED_MOD != 0
+    }
+    rows = q_bloom_dedup_gate(spark, str(d)).collect()
+    for r in rows:
+        truly_dup = texts[r["doc_id"]] in ingested
+        assert r["is_dup"] == truly_dup
+        assert r["sound"]
+        if truly_dup:
+            assert r["bloom_hit"]
