@@ -235,6 +235,9 @@ def _register_relational() -> None:
     register("lineitem_cube", r.q_lineitem_cube, osql.LINEITEM_CUBE_SQL)
     register("merge_upsert", r.q_merge_upsert, osql.MERGE_UPSERT_SQL)
     register(
+        "fuzzy_name_pairs", r.q_fuzzy_name_pairs, osql.FUZZY_NAME_PAIRS_SQL
+    )
+    register(
         "top_orders_per_customer",
         r.q_top_orders_per_customer,
         osql.TOP_ORDERS_PER_CUSTOMER_SQL,

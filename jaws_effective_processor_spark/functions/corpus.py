@@ -145,14 +145,11 @@ PII_REDACTIONS = (
 )
 
 
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The redaction pass q_pii_scan triages for: emit each document
-    with every PII-shaped span replaced by a typed placeholder, plus
-    the total replacement count (the auditing column). Same character-
-    class-only patterns as the scan — they behave identically in Java
-    regex and RE2-style engines — applied to the same lowercased view.
-    Pure scan-local string work: zero shuffle at any scale."""
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+def pii_redact_exprs() -> tuple[F.Column, F.Column]:
+    """(redacted_text, n_redactions) expression pair — the sequential
+    replace chain shared VERBATIM between the batch report and the
+    streaming gate (streaming/ingest.pii_redact_stream), so a doc
+    redacts byte-identically whichever path saw it."""
     redacted = F.lower(F.col("text"))
     total = F.lit(0).cast("long")
     for name, placeholder in PII_REDACTIONS:
@@ -162,6 +159,18 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted = F.regexp_replace(
             redacted, PII_PATTERNS[name], placeholder
         )
+    return redacted, total
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction pass q_pii_scan triages for: emit each document
+    with every PII-shaped span replaced by a typed placeholder, plus
+    the total replacement count (the auditing column). Same character-
+    class-only patterns as the scan — they behave identically in Java
+    regex and RE2-style engines — applied to the same lowercased view.
+    Pure scan-local string work: zero shuffle at any scale."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    redacted, total = pii_redact_exprs()
     return docs.select(
         "doc_id",
         redacted.alias("redacted_text"),

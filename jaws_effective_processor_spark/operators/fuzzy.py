@@ -1,0 +1,68 @@
+"""Approximate string self-join (edit distance <= 1) via deletion-
+neighborhood blocking — the fuzzy-matching counterpart of the
+MinHash/SimHash banding families in functions/dedup.py, for the
+entity-resolution passes (near-identical names, typo'd identifiers)
+a curation pipeline runs on metadata columns.
+
+Blocking theorem (FastSS / SymSpell family): lev(a, b) <= 1 implies
+D(a) ∩ D(b) != Ø, where D(s) = {s} ∪ {s with one char deleted}.
+(Substitution at i: both delete i to the same string; insertion:
+deleting the inserted char from the longer side yields the shorter.)
+The converse only bounds lev <= 2, so the shared-variant equi-join is
+CANDIDATE GENERATION and an exact `levenshtein` verify runs on the
+candidate pairs only — the same block-then-verify discipline as every
+dedup operator here, never an all-pairs comparison.
+
+Scale shape: |D(s)| = len(s) + 1, so the exploded variant table is
+(avg_len + 1) x rows — a linear blowup, shuffled once on the variant
+hash; candidates are join-local; the verify is a per-row integer DP
+on short strings. At 100 TB of names this is the only known
+all-pairs-free exact-threshold shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame, key: str, col: str
+) -> DataFrame:
+    """All unordered pairs of rows whose `col` values are within
+    Levenshtein distance 1 (including exact equals of distinct keys).
+    Returns (key_a, key_b, name_a, name_b, distance), key_a < key_b.
+    """
+    variants = F.array_union(
+        F.array(F.col(col)),
+        F.transform(
+            F.sequence(F.lit(1), F.length(col).cast("int")),
+            lambda i: F.concat(
+                F.substring(F.col(col), 1, i - 1),
+                F.col(col).substr(i + 1, F.length(col).cast("int")),
+            ),
+        ),
+    )
+    v = df.select(
+        F.col(key).alias("_k"), F.col(col).alias("_s"),
+        F.explode(variants).alias("_var"),
+    )
+    a = v.select(
+        F.col("_k").alias("key_a"), F.col("_s").alias("name_a"), "_var"
+    )
+    b = v.select(
+        F.col("_k").alias("key_b"), F.col("_s").alias("name_b"), "_var"
+    )
+    cands = (
+        a.join(b, "_var")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cands.select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+    ).filter(F.col("distance") <= 1)

@@ -386,3 +386,22 @@ FROM (
 ) t
 WHERE order_rank <= 3
 """
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH v AS (
+  SELECT c_custkey AS k, c_name AS s,
+         unnest(list_distinct(list_append(
+           list_transform(range(1, len(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+           c_name))) AS var
+  FROM customer
+),
+c AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                  a.s AS name_a, b.s AS name_b
+  FROM v a JOIN v b USING (var) WHERE a.k < b.k
+)
+SELECT key_a, key_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+FROM c WHERE levenshtein(name_a, name_b) <= 1
+"""

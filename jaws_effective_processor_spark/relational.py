@@ -793,3 +793,16 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("order_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("order_rank") <= TOP_ORDERS_PER_CUSTOMER)
     )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all customer-name pairs
+    within Levenshtein distance 1, via deletion-neighborhood
+    candidate blocking + exact verify (operators/fuzzy.py) — never
+    an all-pairs comparison."""
+    from .operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return edit_distance_pairs(cust, "c_custkey", "c_name")

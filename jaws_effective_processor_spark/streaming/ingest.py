@@ -212,3 +212,17 @@ def token_threshold_stream(docs: DataFrame, threshold: int) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def pii_redact_stream(docs: DataFrame) -> DataFrame:
+    """Streaming PII redaction: rewrite arriving documents with the
+    IDENTICAL sequential replace chain as the batch q_pii_redact
+    (shared PII_REDACTIONS order + patterns), so a doc redacts
+    byte-identically whichever path saw it. Stateless per-row string
+    work — composes anywhere in a streaming plan."""
+    from ..functions.corpus import pii_redact_exprs
+
+    redacted, total = pii_redact_exprs()
+    return docs.withColumn("n_redactions", total).withColumn(
+        "text", redacted
+    )

@@ -716,3 +716,53 @@ def test_bloom_gate_sound_on_arbitrary_corpora(spark, docs, tmp_path_factory):
         assert r["sound"]
         if truly_dup:
             assert r["bloom_hit"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_edit_distance_pairs_matches_bruteforce(spark, names):
+    """Deletion-neighborhood blocking + verify finds EXACTLY the
+    lev<=1 pairs a brute-force all-pairs scan finds — the blocking
+    never loses a true pair (theorem) and the verify kills every
+    lev-2 candidate."""
+    from jaws_effective_processor_spark.operators.fuzzy import (
+        edit_distance_pairs,
+    )
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+        return d[n]
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "k long, name string"
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["distance"])
+        for r in edit_distance_pairs(df, "k", "name").collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want

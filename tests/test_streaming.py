@@ -582,3 +582,33 @@ def test_token_threshold_stream_emits_once(spark, tmpdir):
         for r in _memory_table(spark, name).collect()
     }
     assert got == {("hot", 3), ("warm", 3)}
+
+
+def test_pii_redact_stream_matches_batch(spark, tmpdir):
+    """Streamed redaction output equals the batch operator's on the
+    same docs (shared pattern chain)."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "email bob@x.co and url https://a.b/c plus 42", "en", "c", t0),
+        (2, "clean text only", "en", "c", t0),
+    ]
+    src = os.path.join(tmpdir, "pr_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"pr_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.pii_redact_stream(stream),
+        name,
+        os.path.join(tmpdir, "pr_ckpt"),
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_redactions"])
+        for r in _memory_table(spark, name).collect()
+    }
+    assert got[1] == ("email <email> and url <url> plus <num>", 3)
+    assert got[2] == ("clean text only", 0)
