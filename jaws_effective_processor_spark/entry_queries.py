@@ -506,7 +506,12 @@ _CHECK_FIRST = [
     # report as its inner sub-query — and semdedup_keep exercises the
     # same connected-components core as dedup_clusters over the
     # embedding pair set, so the swapped-out names stay transitively
-    # driver-covered)
+    # driver-covered). Late round-5 swap: lineitem_rollup ->
+    # merge_upsert and customer_order_windows -> fuzzy_name_pairs —
+    # the cube subsumes the rollup family and the value-bands entry
+    # reps ranking windows, freeing slots for the two operator
+    # families the window did not yet represent (MERGE maintenance,
+    # fuzzy join)
     "corpus_split",
     "semdedup_keep",
     "decontaminate",
