@@ -384,6 +384,11 @@ def _register_llm() -> None:
         osql.BLOOM_DEDUP_GATE_SQL,
     )
     register("bm25_search", retrieval.q_bm25_search, osql.BM25_SEARCH_SQL)
+    register(
+        "rag_bucket_report",
+        retrieval.q_rag_bucket_report,
+        osql.RAG_BUCKET_REPORT_SQL,
+    )
 
     from .functions import tokenizer
 

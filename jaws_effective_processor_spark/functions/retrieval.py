@@ -117,3 +117,66 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "score_micro",
     )
+
+
+RAG_EMBED_DIMS = 8  # deterministic hash-embedding dimensions
+RAG_SIGN_BITS = 8  # LSH bucket = sign bits of the first 8 dims
+
+
+def q_rag_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG index build, reported per LSH bucket: chunk the
+    corpus (the q_doc_chunks windows), embed each chunk with a
+    deterministic hash embedding (one md5 per (dim, chunk), mapped to
+    [-1000, 1000] — the stand-in for a real encoder, exercising the
+    REAL pipeline shape), route chunks to axis-aligned hyperplane
+    buckets (sign bit per dim), and report each bucket's population —
+    the cell-size QA view of the servable index, the retrieval-side
+    analog of shard_skew_report.
+
+    Scale shape: chunking is posexplode inside codegen; embedding +
+    bucketing are scan-local md5/integer expressions (the expensive
+    encoder would be an Arrow-batched mapInPandas in production, same
+    downstream plan); the only wide operation is the per-bucket
+    aggregation with map-side partials into at most 2^RAG_SIGN_BITS
+    rows."""
+    from .corpus import q_doc_chunks
+
+    chunks = q_doc_chunks(spark, sf_dir)
+    dims = F.transform(
+        F.sequence(F.lit(0), F.lit(RAG_EMBED_DIMS - 1)),
+        lambda d: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d.cast("string"),
+                            F.lit(":"),
+                            F.col("chunk_text"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+        )
+        - 1000,
+    )
+    staged = chunks.select("doc_id", dims.alias("_e"))
+    # RAG_SIGN_BITS is a compile-time constant, so the bit sum unrolls
+    # in Python (shiftleft needs a literal shift anyway)
+    bucket = F.lit(0).cast("long")
+    for i in range(RAG_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at(F.col("_e"), i + 1) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return (
+        staged.select("doc_id", bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+    )

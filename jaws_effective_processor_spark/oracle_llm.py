@@ -1559,3 +1559,31 @@ SELECT lang, count(*) AS n_docs,
 FROM d JOIN e USING (doc_id)
 GROUP BY lang
 """
+
+from .functions.retrieval import RAG_EMBED_DIMS, RAG_SIGN_BITS  # noqa: E402
+
+_RAG_DIM = (
+    "(CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || chunk_text),"
+    " 1, 7)) AS BIGINT) % 2001) - 1000"
+)
+_RAG_BITS = " + ".join(
+    f"CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(RAG_SIGN_BITS)
+)
+
+RAG_BUCKET_REPORT_SQL = f"""
+WITH chunks AS (
+  {DOC_CHUNKS_SQL}
+),
+emb AS (
+  SELECT doc_id,
+         list_transform(range(0, {RAG_EMBED_DIMS}), d -> {_RAG_DIM}) AS e
+  FROM chunks
+),
+routed AS (
+  SELECT doc_id, CAST({_RAG_BITS} AS BIGINT) AS bucket_id FROM emb
+)
+SELECT bucket_id, count(*) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM routed GROUP BY bucket_id
+"""

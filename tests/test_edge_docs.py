@@ -75,6 +75,7 @@ EDGE_QUERIES = (
     "bm25_search",
     "bpe_pair_counts",
     "bpe_merge_round",
+    "rag_bucket_report",
     "language_confusion",
     "shard_skew_report",
 )
