@@ -43,26 +43,54 @@ def edit_distance_pairs(
             ),
         ),
     )
+    # shuffle the 64-bit hash of the variant, not the string: the
+    # equi-join is candidate GENERATION, so a hash collision only adds
+    # a candidate the levenshtein verify kills — and the exchange
+    # carries longs instead of name-length text (hash inside the
+    # array: a generator can't nest under an expression)
     v = df.select(
         F.col(key).alias("_k"), F.col(col).alias("_s"),
-        F.explode(variants).alias("_var"),
+        F.explode(
+            F.transform(variants, lambda s: F.xxhash64(s))
+        ).alias("_var"),
     )
-    a = v.select(
-        F.col("_k").alias("key_a"), F.col("_s").alias("name_a"), "_var"
-    )
-    b = v.select(
-        F.col("_k").alias("key_b"), F.col("_s").alias("name_b"), "_var"
-    )
+    a = v.select(F.col("_k").alias("key_a"), "_var")
+    b = v.select(F.col("_k").alias("key_b"), "_var")
+    # dedup candidate pairs as BARE KEY PAIRS (16 bytes/row) before
+    # re-attaching names — the distinct is the widest shuffle here and
+    # must not carry the strings. Name re-attach broadcasts the
+    # (key, name) projection at bench scale; on a corpus too large to
+    # broadcast it becomes two key-partitioned joins, still narrow.
+    names = df.select(F.col(key).alias("_k"), F.col(col).alias("_s"))
     cands = (
         a.join(b, "_var")
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "name_a", "name_b")
+        .select("key_a", "key_b")
         .distinct()
     )
-    return cands.select(
-        "key_a",
-        "key_b",
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
-    ).filter(F.col("distance") <= 1)
+    return (
+        cands.join(
+            F.broadcast(
+                names.select(
+                    F.col("_k").alias("key_a"), F.col("_s").alias("name_a")
+                )
+            ),
+            "key_a",
+        )
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("_k").alias("key_b"), F.col("_s").alias("name_b")
+                )
+            ),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+        )
+        .filter(F.col("distance") <= 1)
+    )
