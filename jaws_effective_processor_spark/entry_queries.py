@@ -472,8 +472,8 @@ _CHECK_FIRST = [
     "pricing_summary",
     "revenue_by_nation",
     "parts_without_orders",
-    "lineitem_rollup",
-    "customer_order_windows",
+    "merge_upsert",
+    "fuzzy_name_pairs",
     "segment_custkeys_setops",
     "approx_distinct",
     "events_sessionization",

@@ -88,7 +88,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = staged.filter(any_match).crossJoin(F.broadcast(stats))
 
     # exact integer DIV end-to-end — a float division truncated to
-    # long can land one off the floored quotient at exact boundaries
+    # long can land one off the floored quotient at exact boundaries.
+    # The naive (idf * num) DIV den overflows int64 at web scale
+    # (idf_micro ~ 1e6 * n_docs for a rare term; times tf*2200 passes
+    # 2^63 around 1e9 docs), so the quotient-remainder decomposition
+    # (idf DIV den)*num + ((idf % den)*num) DIV den computes the
+    # IDENTICAL value with every intermediate bounded by
+    # ~idf*(k1+1) — safe past 1e12 docs. The DuckDB twin keeps the
+    # naive form: its // promotes through 128-bit, and both reduce to
+    # the same exact integer.
     def term_score(i: int) -> F.Column:
         idf = (
             f"(1000000 * (n_docs - df_{i}) + 500000) DIV (df_{i} + 1)"
@@ -100,7 +108,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.expr(
             f"CASE WHEN tf_{i} > 0"
-            f" THEN (({idf}) * ({num})) DIV ({den})"
+            f" THEN (({idf}) DIV ({den})) * ({num})"
+            f" + ((({idf}) % ({den})) * ({num})) DIV ({den})"
             f" ELSE 0 END"
         )
 

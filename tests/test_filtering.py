@@ -124,11 +124,15 @@ def test_bm25_ranking_contract(spark):
 
 
 def test_bm25_filters_before_shuffle(spark):
-    """The posting scan must filter to the query terms below the
-    aggregation exchange — at scale this is the difference between
-    reading a posting list and shuffling the whole corpus."""
-    plan = explain_str(q_bm25_search(spark, SF_SMOKE))
-    assert "Filter" in plan and "Exchange" in plan
+    """BM25 must never shuffle the corpus: tf is per-row array work
+    and corpus stats fold to one broadcast row, so the only
+    exchanges allowed are the single-row stats aggregation (and
+    nothing corpus-wide — TakeOrdered is exchange-free)."""
+    from jaws_effective_processor_spark.plans import shuffle_count
+
+    df = q_bm25_search(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 2, plan
     # term df and corpus totals ride broadcasts, not shuffles
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
@@ -157,8 +161,13 @@ def test_bpe_pair_counts_contract(spark):
     counts = [r.n_pairs for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r.n_pairs > 0 for r in rows)
-    # total pair mass conservation: sum over ALL pairs == sum(n_tok - 1)
+    # total pair mass conservation: the OPERATOR's aggregate must sum
+    # to sum(max(n_tok - 1, 0)) over the corpus — read the aggregate
+    # under test, not a re-derivation of the same transform
     from pyspark.sql import functions as SF
+    from jaws_effective_processor_spark.functions.tokenizer import (
+        _pair_count_table,
+    )
     from jaws_effective_processor_spark.tables import load_table
 
     docs = load_table(spark, SF_ORACLE, "documents")
@@ -167,14 +176,10 @@ def test_bpe_pair_counts_contract(spark):
             SF.size(SF.split("text", " ")) - 1, SF.lit(0)
         ).alias("n")
     ).agg(SF.sum("n")).collect()[0][0]
-    tk = SF.split(SF.col("text"), " ")
     total = (
-        docs.filter(SF.size(tk) >= 2)
-        .select(SF.explode(SF.transform(
-            SF.sequence(SF.lit(1), SF.size(tk) - 1),
-            lambda i: SF.element_at(tk, i),
-        )).alias("t"))
-        .count()
+        _pair_count_table(spark, SF_ORACLE)
+        .agg(SF.sum("n_pairs"))
+        .collect()[0][0]
     )
     assert total == expected
 
