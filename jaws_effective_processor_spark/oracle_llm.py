@@ -576,7 +576,8 @@ per_shard AS (
   SELECT split, shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
   FROM assigned GROUP BY split, shard
 )
-SELECT split, sum(n_docs) AS n_docs, sum(n_tokens) AS n_tokens,
+SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        count(*) AS n_shards
 FROM per_shard GROUP BY split
 """
@@ -704,7 +705,8 @@ FROM c, UNNEST(range(1, n_chunks + 1)) AS u(i)
 
 PACK_SEQUENCES_SQL = f"""
 SELECT doc_id, lang, n_tokens,
-       (cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS pack_id
+       CAST((cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT)
+           AS pack_id
 FROM (
   SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -807,11 +809,13 @@ FROM top
 CORPUS_MIXTURE_SQL = """
 WITH per_lang AS (
   SELECT lang, count(*) AS n_docs,
-         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
   FROM documents GROUP BY lang
 )
 SELECT lang, n_docs, n_tokens,
-       (1000 * n_tokens) // (sum(n_tokens) OVER ()) AS token_share_permille
+       CAST((1000 * n_tokens) // (sum(n_tokens) OVER ()) AS BIGINT)
+         AS token_share_permille
 FROM per_lang
 """
 
@@ -871,7 +875,7 @@ freq AS (SELECT token, count(*) AS tok_count FROM tok GROUP BY token)
 SELECT tok.doc_id,
        count(*) AS n_tokens,
        min(freq.tok_count) AS min_tok_count,
-       sum(freq.tok_count) // count(*) AS avg_tok_count
+       CAST(sum(freq.tok_count) // count(*) AS BIGINT) AS avg_tok_count
 FROM tok JOIN freq USING (token)
 GROUP BY tok.doc_id
 """
@@ -1160,7 +1164,8 @@ per_doc AS (
 ),
 packs AS (
   SELECT doc_id, lang, n_tokens,
-         (cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS pack_id
+         CAST((cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT)
+           AS pack_id
   FROM (
     SELECT doc_id, lang,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1273,8 +1278,8 @@ SELECT doc_id,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dropped,
-       (1000 * (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)))
-         // count(*) AS drop_permille
+       CAST((1000 * (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)))
+         // count(*) AS BIGINT) AS drop_permille
 FROM flagged GROUP BY doc_id
 """
 
@@ -1286,8 +1291,8 @@ SELECT e.doc_id,
        count(*) AS n_grams,
        CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_grams,
-       (1000 * sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)) // count(*)
-         AS dup_permille
+       CAST((1000 * sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END))
+         // count(*) AS BIGINT) AS dup_permille
 FROM e JOIN c USING (gram_h)
 GROUP BY e.doc_id
 """
@@ -1470,8 +1475,8 @@ cells AS (
   FROM pred GROUP BY labeled_lang, predicted_lang
 )
 SELECT labeled_lang, predicted_lang, n_docs,
-       (1000 * n_docs) //
-         (sum(n_docs) OVER (PARTITION BY labeled_lang))
+       CAST((1000 * n_docs) //
+         (sum(n_docs) OVER (PARTITION BY labeled_lang)) AS BIGINT)
          AS row_share_permille
 FROM cells
 """
@@ -1500,8 +1505,8 @@ SELECT split, count(*) AS n_shards,
        CAST(sum(shard_tokens) AS BIGINT) AS n_tokens,
        CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
        CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
-       (1000 * max(shard_tokens) * count(*)) // sum(shard_tokens)
-         AS skew_permille
+       CAST((1000 * max(shard_tokens) * count(*)) // sum(shard_tokens)
+         AS BIGINT) AS skew_permille
 FROM per_shard GROUP BY split
 """
 
