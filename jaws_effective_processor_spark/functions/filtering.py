@@ -58,6 +58,9 @@ QUALITY_MAX_TOP_TOKEN_PERMILLE = 200  # no token > 20% of the doc
 
 # ------------------------------------------------------ block dedup
 BLOCK_TOKENS = 16  # non-overlapping block width, in tokens
+# second-stream multiplier for the 64-bit block fingerprint (the
+# first stream reuses CONTAM_MULT); any small prime != CONTAM_MULT
+BLOCK_MULT2 = 137
 
 # -------------------------------------------------------- bloom gate
 BLOOM_BITS = 1 << 16  # m: filter positions
@@ -168,26 +171,47 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _block_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, block_idx, block_h): rolling-hash of each
     non-overlapping BLOCK_TOKENS-token block. One md5 per TOKEN
-    (28-bit half) then an integer fold per block — the same
-    hash-once-fold-cheap discipline as `with_contam_grams`, so only
-    narrow longs ever shuffle."""
+    (two independent 28-bit halves) then two integer folds per block
+    — the same hash-once-fold-cheap discipline as
+    `with_contam_grams`, so only narrow longs ever shuffle.
+
+    Block identity is a ~62-bit fingerprint: two independent rolling
+    folds mod CONTAM_P (multipliers CONTAM_MULT / BLOCK_MULT2 over
+    the md5[1:7] / md5[8:14] token-hash streams) packed as
+    f1 * 2^31 + f2. A single 31-bit fold birthday-collides at ~1e5
+    blocks — far below corpus scale — while the packed pair pushes
+    the 50% birthday bound to ~2^31 (~2e9) blocks. The oracle twin
+    computes the identical fingerprint, so the hash check spans the
+    full geometry."""
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     tk = _toks()
-    tkh = F.transform(
+    tkh1 = F.transform(
         tk,
         lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
     )
+    tkh2 = F.transform(
+        tk,
+        lambda t: F.conv(F.substring(F.md5(t), 8, 7), 16, 10).cast("long"),
+    )
     staged = docs.select(
-        "doc_id", F.size(tk).alias("_n_tok"), tkh.alias("_tkh")
+        "doc_id",
+        F.size(tk).alias("_n_tok"),
+        tkh1.alias("_tkh"),
+        tkh2.alias("_tkh2"),
     )
     n_blocks = F.expr(f"(_n_tok + {BLOCK_TOKENS - 1}) DIV {BLOCK_TOKENS}")
+
+    def _fold(col: str, i, mult: int):
+        return F.aggregate(
+            F.slice(F.col(col), i * BLOCK_TOKENS + 1, BLOCK_TOKENS),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * mult + x) % CONTAM_P,
+        )
+
     blocks = F.transform(
         F.sequence(F.lit(0), n_blocks - 1),
-        lambda i: F.aggregate(
-            F.slice(F.col("_tkh"), i * BLOCK_TOKENS + 1, BLOCK_TOKENS),
-            F.lit(0).cast("long"),
-            lambda a, x: (a * CONTAM_MULT + x) % CONTAM_P,
-        ),
+        lambda i: _fold("_tkh", i, CONTAM_MULT) * F.lit(2147483648)
+        + _fold("_tkh2", i, BLOCK_MULT2),
     )
     return staged.select(
         "doc_id", F.posexplode(blocks).alias("block_idx", "block_h")

@@ -7,10 +7,12 @@ Why fixed point: classic BM25 uses ln() in the idf term; IEEE
 transcendentals are not guaranteed to round identically across
 engines, which would make the oracle hash flaky. We keep the
 Robertson tf saturation exactly (k1=1.2, b=0.75 in milli-units,
-integer DIV) and replace ln((N-df+0.5)/(df+0.5)) with its argument
-in micro-units — monotone in the true idf, so per-term ordering is
-preserved, and every intermediate is a 64-bit integer both engines
-compute identically.
+integer DIV) and replace the ln((N-df+0.5)/(df+0.5)) idf with the
+all-integer surrogate (1e6*(N-df) + 5e5) DIV (df+1) — NOT the exact
+micro-scaled ln argument (that would need (df+0.5) denominators),
+but strictly monotone decreasing in df like the true idf, so
+per-term ordering is preserved, and every intermediate is a 64-bit
+integer both engines compute identically.
 
 Scale shape: the exploded token scan filters to the query's terms
 BEFORE any shuffle (predicate on the token value — at 100 TB this is

@@ -58,9 +58,14 @@ def edit_distance_pairs(
     b = v.select(F.col("_k").alias("key_b"), "_var")
     # dedup candidate pairs as BARE KEY PAIRS (16 bytes/row) before
     # re-attaching names — the distinct is the widest shuffle here and
-    # must not carry the strings. Name re-attach broadcasts the
-    # (key, name) projection at bench scale; on a corpus too large to
-    # broadcast it becomes two key-partitioned joins, still narrow.
+    # must not carry the strings. The name re-attach joins carry NO
+    # broadcast hint on purpose: a hint overrides the planner's size
+    # thresholds and would OOM the driver on a corpus-scale name
+    # table, so the (key, name) projection is left to Catalyst/AQE —
+    # broadcast when it fits (its parquet-scan size estimate is
+    # available), key-partitioned shuffle joins when it doesn't, with
+    # identical output either way (pinned by
+    # test_entry_contract.test_fuzzy_pairs_parity_without_broadcast).
     names = df.select(F.col(key).alias("_k"), F.col(col).alias("_s"))
     cands = (
         a.join(b, "_var")
@@ -70,18 +75,14 @@ def edit_distance_pairs(
     )
     return (
         cands.join(
-            F.broadcast(
-                names.select(
-                    F.col("_k").alias("key_a"), F.col("_s").alias("name_a")
-                )
+            names.select(
+                F.col("_k").alias("key_a"), F.col("_s").alias("name_a")
             ),
             "key_a",
         )
         .join(
-            F.broadcast(
-                names.select(
-                    F.col("_k").alias("key_b"), F.col("_s").alias("name_b")
-                )
+            names.select(
+                F.col("_k").alias("key_b"), F.col("_s").alias("name_b")
             ),
             "key_b",
         )

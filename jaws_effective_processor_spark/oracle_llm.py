@@ -1188,6 +1188,7 @@ GROUP BY lang, pack_id
 # functions/retrieval.py) — thresholds and hash geometry imported from the
 # Spark modules so the dialects cannot drift
 from .functions.filtering import (  # noqa: E402
+    BLOCK_MULT2,
     BLOCK_TOKENS,
     BLOOM_BITS,
     BLOOM_HASHES,
@@ -1248,7 +1249,9 @@ BLOCK_DEDUP_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-           tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS th
+           tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS th,
+         list_transform(string_split(text, ' '),
+           tk -> CAST(('0x' || substr(md5(tk), 8, 7)) AS BIGINT)) AS th2
   FROM documents
 ),
 b AS (
@@ -1261,7 +1264,12 @@ b AS (
              block_h := list_reduce(
                th[i * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}
                   + {BLOCK_TOKENS}],
-               (a, x) -> (a * {CONTAM_MULT} + x) % {CONTAM_P})))) AS blk
+               (a, x) -> (a * {CONTAM_MULT} + x) % {CONTAM_P})
+               * 2147483648
+               + list_reduce(
+               th2[i * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}
+                  + {BLOCK_TOKENS}],
+               (a, x) -> (a * {BLOCK_MULT2} + x) % {CONTAM_P})))) AS blk
   FROM t
 ),
 blocks AS (

@@ -29,3 +29,39 @@ def test_oracle_parity(spark, name):
         assert df.count() >= 0  # rows-only check for non-SQL ops
     else:
         compare(df, sql, SF_ORACLE)
+
+
+def test_fuzzy_pairs_parity_without_broadcast(spark):
+    """edit_distance_pairs carries no broadcast hint, so on a corpus
+    too large to broadcast the name re-attach degrades to shuffle
+    joins instead of OOMing the driver. Prove the degraded plan is
+    result-identical: run the fuzzy query with every broadcast path
+    disabled and compare against its DuckDB oracle (which the hinted
+    plan matched in round 5)."""
+    from jaws_effective_processor_spark.session import pin_session_conf
+
+    q = entry_mod.queries()["fuzzy_name_pairs"]
+    sql = entry_mod.oracle_sql()["fuzzy_name_pairs"]
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (
+            "broadcast joins survived disabled thresholds — a hint is "
+            "overriding the planner again"
+        )
+        compare(df, sql, SF_ORACLE)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        pin_session_conf(spark)
