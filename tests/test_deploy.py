@@ -227,3 +227,115 @@ def test_deploy_settles_reference_scenarios(spark, tmpdir):
     )
     fb_names = {json.loads(r["k"]).get("name") for r in fb}
     assert {"al_latch", "al_delay"} <= fb_names
+
+
+def test_deploy_oneshot_race_no_spurious_tombstone(spark, tmpdir):
+    """The reference's oneshotABunch race (OneShotRuleTest.java:148-168):
+    a oneshot-shelved alarm that keeps REPEATING its current side of
+    the activation stream must not consume the shelve. Two live
+    activations (no normal transition) -> zero tombstones and the
+    alarm settles NormalOneShotShelved; then two repeated normals ->
+    exactly ONE tombstone (the first normal's transition), never a
+    second from the repeat, and the alarm settles Normal."""
+    broker = FakeBroker(spark, os.path.join(tmpdir, "broker"))
+    transport = deploy.FakeBrokerTransport(broker)
+
+    inst = spark.createDataFrame(
+        [("al_osrace", "cls_plain")], "name string, action string"
+    )
+    broker.write(
+        inst.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("action")).alias("value"),
+        ),
+        "alarm-instances",
+    )
+    act = spark.createDataFrame(
+        [(19, "al_osrace", "Activation"), (20, "al_osrace", "Activation")],
+        "seq long, name string, union_type string",
+    )
+    broker.write(
+        act.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("seq", "name", "union_type")).alias("value"),
+        ),
+        "alarm-activations",
+    )
+    ovr = spark.createDataFrame(
+        [("al_osrace", "Shelved", False, None, True)],
+        "name string, type string, tombstone boolean, "
+        "expiration long, oneshot boolean",
+    )
+    broker.write(
+        ovr.select(
+            F.to_json(F.struct("name", "type")).alias("key"),
+            F.to_json(
+                F.struct("type", "tombstone", "expiration", "oneshot")
+            ).alias("value"),
+        ),
+        "alarm-overrides",
+    )
+
+    import jaws_effective_processor_spark.adapters as adapters
+
+    actions = spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA)
+    orig = adapters.actions_dim
+    adapters.actions_dim = lambda _spark: actions
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def _tombstones() -> list:
+        return (
+            broker.raw_batch("alarm-overrides")
+            .filter(F.col("value").isNull())
+            .select(F.col("key").cast("string").alias("k"))
+            .collect()
+        )
+
+    try:
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        # live + oneshot-shelved, NO normal transition yet: the shelve
+        # must survive both activations — zero tombstones on the wire
+        assert _tombstones() == []
+        assert _effective_states(spark, broker)["al_osrace"] == (
+            True,
+            "NormalOneShotShelved",
+        )
+
+        # repeated normals: only the FIRST is a transition
+        wave = spark.createDataFrame(
+            [(31, "al_osrace", "NoActivation"),
+             (32, "al_osrace", "NoActivation")],
+            "seq long, name string, union_type string",
+        )
+        broker.write(
+            wave.select(
+                F.col("name").alias("key"),
+                F.to_json(F.struct("seq", "name", "union_type")).alias(
+                    "value"
+                ),
+            ),
+            "alarm-activations",
+        )
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        tombs = _tombstones()
+        assert [json.loads(t["k"])["name"] for t in tombs] == ["al_osrace"]
+        assert _effective_states(spark, broker)["al_osrace"] == (
+            False,
+            "Normal",
+        )
+    finally:
+        adapters.actions_dim = orig
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)

@@ -20,6 +20,14 @@ from jaws_effective_processor_spark.tables import load_table
 from tests.conftest import SF_SMOKE
 
 
+# Install impossibility verified round 6 (2026-08-14): `pip install
+# protobuf` fails — the container's only index
+# (artifactory...pypi-approved-virtual) is unreachable (DNS NewConnectionError
+# on every retry), `pip download` likewise, and a filesystem sweep finds only
+# typeshed STUBS of google.protobuf (jedi third_party) plus pyspark's
+# generated pb2 modules, no runtime package to vendor. The
+# applyInPandasWithState twins in streaming/processors.py carry the tested
+# semantics for T1/W1/W2 until an environment with protobuf exists.
 pytestmark = pytest.mark.skipif(
     not tws.tws_available(),
     reason="transformWithState driver worker needs google.protobuf, "
