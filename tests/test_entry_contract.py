@@ -37,10 +37,18 @@ def test_fuzzy_pairs_parity_without_broadcast(spark):
     joins instead of OOMing the driver. Prove the degraded plan is
     result-identical: run the fuzzy query with every broadcast path
     disabled and compare against its DuckDB oracle (which the hinted
-    plan matched in round 5)."""
+    plan matched in round 5).
+
+    Builds the plan from the RAW query function, not queries():
+    the registry's prepared-plan cache would hand back the DataFrame
+    the parametrized oracle test already executed, whose AQE final
+    plan was decided while broadcast was still enabled — the plan
+    assert below would then inspect that stale (finalized) plan
+    instead of one planned under the disabled thresholds."""
+    from jaws_effective_processor_spark import relational
     from jaws_effective_processor_spark.session import pin_session_conf
 
-    q = entry_mod.queries()["fuzzy_name_pairs"]
+    q = relational.q_fuzzy_name_pairs
     sql = entry_mod.oracle_sql()["fuzzy_name_pairs"]
     old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_aqe = spark.conf.get(
