@@ -413,6 +413,39 @@ def _register_llm() -> None:
         osql.DOC_EMBEDDING_NORMS_SQL,
     )
 
+    # round-6 additions (never driver-checked yet — round-7 window
+    # candidates, tracked in COVERAGE.md's driver-verification ledger)
+    from .functions import clustering
+
+    register(
+        "kmeans_assign",
+        clustering.q_kmeans_assign,
+        osql.KMEANS_ASSIGN_SQL,
+    )
+    register(
+        "quality_logit",
+        filtering.q_quality_logit,
+        osql.QUALITY_LOGIT_SQL,
+    )
+    register(
+        "split_leakage", corpus.q_split_leakage, osql.SPLIT_LEAKAGE_SQL
+    )
+    register(
+        "context_length_report",
+        corpus.q_context_length_report,
+        osql.CONTEXT_LENGTH_REPORT_SQL,
+    )
+    register(
+        "mixture_temperature",
+        corpus.q_mixture_temperature,
+        osql.MIXTURE_TEMPERATURE_SQL,
+    )
+    register(
+        "phrase_search",
+        retrieval.q_phrase_search,
+        osql.PHRASE_SEARCH_SQL,
+    )
+
 
 _register_rules()
 _register_nested()

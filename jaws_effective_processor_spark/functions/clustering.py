@@ -1,0 +1,113 @@
+"""Embedding-space clustering — the corpus-organization pass a
+training-data pipeline runs between embedding and curation (topic
+balancing, cluster-aware sampling, SemDeDup's cluster stage all
+consume a k-means partition of the embedding space).
+
+Deterministic fixed-point Lloyd's algorithm: components floor to
+integer micro-units, centroids are integer means, distances exact
+integer sums of squared differences — both engines evaluate the
+identical integer expressions (the same discipline as
+functions/similarity.py's q_embedding_outliers), so the DuckDB twin
+is bit-exact with no float summation-order hazard. Seeding is the K
+smallest vec_ids (k-means++ trades determinism for quality; a
+fixed-seed variant belongs in a follow-up, not under an exact
+oracle).
+
+Scale shape per Lloyd iteration: the centroid table is K x dims rows
+— broadcast by construction — so assignment is a broadcast join on
+dim with map-side partial aggregation down to (vec, cid), then a
+per-vec argmin window over K rows; the centroid update is one
+(cid, dim) aggregation with map-side partials. Nothing all-pairs,
+nothing driver-side; iterations chain as narrow dependencies on the
+exploded micro table, which is session-cached like the dedup
+signature frames so the explode runs once per session, not once per
+iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KMEANS_K = 8
+KMEANS_MICRO = 1_000_000
+
+
+def _emb_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, xm): embeddings exploded to fixed-point
+    micro-units, session-cached — every Lloyd pass reads it."""
+    from ..tables import load_table
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        ).select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("x") * KMEANS_MICRO).cast("long").alias("xm"),
+        )
+
+    return _cached_frame(spark, sf_dir, "kmeans_emb_micro", _build)
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cid, dist_sq), ties
+    broken toward the smallest cid. cent is (cid, dim, cm) — K x dims
+    rows, broadcast."""
+    d = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations over the embedding table:
+    seed centroids = the KMEANS_K smallest vec_ids' vectors (cid in
+    vec_id order), assign, recompute integer-mean centroids, assign
+    again. Output one row per vector: (vec_id, cluster_id, dist_sq)
+    under the refreshed centroids — the partition table every
+    cluster-aware curation step joins against."""
+    e = _emb_micro(spark, sf_dir)
+
+    seed_w = Window.orderBy("vec_id")
+    seeds = (
+        e.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(seed_w) - 1).cast("long").alias("cid"),
+        )
+    )
+    c0 = seeds.join(e, "vec_id").select(
+        "cid", "dim", F.col("xm").alias("cm")
+    )
+    a1 = _assign(e, c0)
+    c1 = (
+        a1.select("vec_id", "cid")
+        .join(e, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.sum("xm").alias("_s"), F.count("*").alias("_c"))
+        .select("cid", "dim", F.expr("_s DIV _c").alias("cm"))
+    )
+    a2 = _assign(e, c1)
+    return a2.select(
+        "vec_id", F.col("cid").alias("cluster_id"), "dist_sq"
+    )

@@ -1167,3 +1167,150 @@ def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * max_shard_tokens * n_shards) DIV n_tokens"
         ).alias("skew_permille"),
     )
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture re-weighting (alpha = 0.5): per
+    language, the sampling rate proportional to sqrt(token mass) —
+    the standard up-weighting of tail languages / domains
+    (multilingual LM mixtures sample p_l ∝ m_l^alpha with alpha<1;
+    alpha=1/2 is the one exactly expressible in integers: for
+    m < 2^52, sqrt is correctly rounded in IEEE double and an
+    integer crossing would require m within half an ulp of a perfect
+    square, impossible for exact integers — so floor(sqrt(m)) is
+    engine-exact where a general m^alpha would diverge in libm).
+
+    One aggregation shuffle on lang; the normalizing window runs over
+    the per-language rows (bounded by #languages, not data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    weighted = per_lang.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("weight"),
+    )
+    return weighted.select(
+        "lang",
+        "n_tokens",
+        "weight",
+        F.expr("(1000 * weight) DIV (sum(weight) OVER ())").alias(
+            "sample_permille"
+        ),
+        F.expr(
+            "(n_tokens * ((1000 * weight) DIV (sum(weight) OVER ())))"
+            " DIV 1000"
+        ).alias("expected_tokens"),
+    )
+
+
+CONTEXT_BUCKETS = (16, 24, 32, 48, 64, 96, 128)
+
+
+def q_context_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length distribution: docs and token mass per token-
+    length bucket — the report that sizes packing budgets, padding
+    waste, and long-context data supply before training.
+
+    Buckets are a fixed CASE ladder (engine-exact; floor(log2) would
+    ride on libm rounding at power boundaries). ZERO wide operations
+    beyond one bounded aggregation: the bucket is a per-row
+    expression, the aggregate has map-side partials, and the permille
+    window runs over at most len(CONTEXT_BUCKETS)+1 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    lo = F.lit(0).cast("long")
+    for b in CONTEXT_BUCKETS:
+        lo = F.when(n_tok >= b, F.lit(b).cast("long")).otherwise(lo)
+    per = (
+        docs.select(lo.alias("bucket_lo"), n_tok.alias("_n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "bucket_lo",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * n_docs) DIV (sum(n_docs) OVER ())").alias(
+            "doc_permille"
+        ),
+        F.expr("(1000 * n_tokens) DIV (sum(n_tokens) OVER ())").alias(
+            "token_permille"
+        ),
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination matrix: for each ordered pair of
+    corpus splits (train/val/test), how many distinct CONTAM_K-gram
+    hashes the two sides share, and that overlap in permille of the
+    smaller side's gram vocabulary — the leakage audit run after
+    every split assignment (a val set sharing most of its n-grams
+    with train measures memorization, not generalization).
+
+    Scale shape: reuses the session-cached contamination gram table
+    (doc_id, grams) + the scan-local split assignment; ONE shuffle
+    aggregates (gram_h -> bitmask of splits seen) via bit_or with
+    map-side partials, a second bounded aggregation folds the at most
+    7 mask values into one row of conditional sums, and stack() emits
+    the 3 pair rows — grams move once, as narrow longs."""
+    g = assign_split(_contam_gram_table(spark, sf_dir))
+    bit = (
+        F.when(F.col("split") == "train", F.lit(1))
+        .when(F.col("split") == "val", F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    per_gram = (
+        g.select(F.explode("grams").alias("gram_h"), bit.alias("b"))
+        .groupBy("gram_h")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+    )
+    masks = per_gram.groupBy("mask").agg(F.count("*").alias("n"))
+
+    def _tot(b: int) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.expr(f"mask & {b}") != 0, F.col("n"))),
+            F.lit(0),
+        ).cast("long")
+
+    def _shared(b1: int, b2: int) -> F.Column:
+        both = F.expr(f"(mask & {b1}) != 0 AND (mask & {b2}) != 0")
+        return F.coalesce(
+            F.sum(F.when(both, F.col("n"))), F.lit(0)
+        ).cast("long")
+
+    one = masks.agg(
+        _tot(1).alias("g_train"),
+        _tot(2).alias("g_val"),
+        _tot(4).alias("g_test"),
+        _shared(1, 2).alias("s_tv"),
+        _shared(1, 4).alias("s_tt"),
+        _shared(2, 4).alias("s_vt"),
+    )
+    pairs = one.select(
+        F.expr(
+            "stack(3,"
+            " 'train', 'val',  s_tv, g_train, g_val,"
+            " 'train', 'test', s_tt, g_train, g_test,"
+            " 'val',   'test', s_vt, g_val,   g_test)"
+            " AS (split_a, split_b, shared_grams, a_grams, b_grams)"
+        )
+    )
+    return pairs.select(
+        "split_a",
+        "split_b",
+        "shared_grams",
+        "a_grams",
+        "b_grams",
+        F.expr(
+            "CASE WHEN least(a_grams, b_grams) > 0 THEN"
+            " (1000 * shared_grams) DIV least(a_grams, b_grams)"
+            " ELSE 0 END"
+        ).alias("leak_permille"),
+    )

@@ -377,3 +377,45 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_hit") | ~F.col("is_dup")).alias("sound"),
         )
     )
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the linear-classifier gate
+    (fastText-style, as used for FineWeb-Edu / LLaMA quality
+    filtering) that complements the rule-based Gopher pass: a per-doc
+    logit from per-token weights, thresholded into keep/drop.
+
+    The weight table is a DETERMINISTIC STAND-IN for learned weights
+    (w(token) = md5-derived integer in [-1000, 1000]; training a real
+    classifier is out of scope and non-reproducible across engines) —
+    the Spark-side shape is the real one: per-token weights reduce
+    over the session-cached token_tf artifact (w folds into the same
+    (doc, token) rows, weighted by tf), one aggregation back to the
+    doc key, integer milli-units end-to-end so the oracle is exact.
+
+    At 100 TB with a real model the weight table is a broadcast join
+    instead of an inline hash expression; everything else is
+    identical — one scan of the tf artifact, one doc-key aggregation,
+    zero driver involvement."""
+    from .corpus import token_tf
+
+    tf = token_tf(spark, sf_dir)
+    w = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % 2001
+        - 1000
+    )
+    per = (
+        tf.select("doc_id", "tf", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("_s"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000 * _s) DIV n_tokens").alias("logit_milli"),
+        (F.expr("(1000 * _s) DIV n_tokens") >= 0).alias("keep"),
+    )

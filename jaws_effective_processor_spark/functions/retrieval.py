@@ -191,3 +191,47 @@ def q_rag_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("doc_id")).alias("n_docs"),
         )
     )
+
+
+PHRASE_TERMS = ("table", "hash")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval: every document containing the fixed
+    query phrase as CONTIGUOUS tokens, with its occurrence count —
+    the positional-index operation BM25's bag-of-words scoring cannot
+    express (and the verify step behind "quoted" search).
+
+    Physical shape, same discipline as q_bm25_search: the occurrence
+    count is a PER-ROW expression — size(filter(...)) over the token
+    start positions, entirely inside codegen — so there is no
+    posting-list explode, no (doc, token) shuffle, no join at all;
+    the only non-scan work is the final filter. A production
+    positional index replaces the scan with a pre-built
+    (token -> (doc, positions)) table; the per-doc verify here is
+    exactly its candidate-check kernel. Guards the size < phrase-len
+    case explicitly (Spark's sequence(1, 0) is DESCENDING, not
+    empty)."""
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    n = len(PHRASE_TERMS)
+
+    def match_at(i: F.Column) -> F.Column:
+        cond = F.lit(True)
+        for o, term in enumerate(PHRASE_TERMS):
+            cond = cond & (F.element_at(tk, i + o) == term)
+        return cond
+
+    occ = F.when(
+        F.size(tk) >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                match_at,
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id", occ.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

@@ -1600,3 +1600,176 @@ SELECT bucket_id, count(*) AS n_chunks,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM routed GROUP BY bucket_id
 """
+
+from .functions.clustering import KMEANS_K, KMEANS_MICRO  # noqa: E402
+from .functions.corpus import CONTEXT_BUCKETS  # noqa: E402
+from .functions.retrieval import PHRASE_TERMS  # noqa: E402
+
+_KM_ASSIGN = """
+  SELECT vec_id, cid, dist_sq FROM (
+    SELECT vec_id, cid, dist_sq,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist_sq, cid) AS rn
+    FROM (
+      SELECT x.vec_id, c.cid,
+             CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist_sq
+      FROM x JOIN {cent} c ON x.dim = c.dim
+      GROUP BY x.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+"""
+
+KMEANS_ASSIGN_SQL = f"""
+WITH x AS (
+  SELECT vec_id, u.dim AS dim, u.xm AS xm FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+             i -> struct_pack(dim := i - 1,
+                  xm := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                   * {KMEANS_MICRO}) AS BIGINT)))) AS u
+    FROM embeddings
+  )
+),
+seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT {KMEANS_K})
+),
+c0 AS (
+  SELECT s.cid, x.dim, x.xm AS cm
+  FROM seeds s JOIN x ON s.vec_id = x.vec_id
+),
+a1 AS ({_KM_ASSIGN.format(cent="c0")}),
+c1 AS (
+  SELECT a1.cid, x.dim, CAST(sum(x.xm) AS BIGINT) // count(*) AS cm
+  FROM a1 JOIN x ON a1.vec_id = x.vec_id
+  GROUP BY a1.cid, x.dim
+),
+a2 AS ({_KM_ASSIGN.format(cent="c1")})
+SELECT vec_id, cid AS cluster_id, dist_sq FROM a2
+"""
+
+QUALITY_LOGIT_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                  % 2001 - 1000) AS BIGINT) AS s
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       (1000 * s) // n_tokens AS logit_milli,
+       (1000 * s) // n_tokens >= 0 AS keep
+FROM p
+"""
+
+_CTX_CASE = "CASE " + " ".join(
+    f"WHEN n_tok >= {b} THEN {b}"
+    for b in sorted(CONTEXT_BUCKETS, reverse=True)
+) + " ELSE 0 END"
+
+CONTEXT_LENGTH_REPORT_SQL = f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT CAST({_CTX_CASE} AS BIGINT) AS bucket_lo,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+)
+SELECT bucket_lo, n_docs, n_tokens,
+       (1000 * n_docs) // CAST(sum(n_docs) OVER () AS BIGINT)
+         AS doc_permille,
+       (1000 * n_tokens) // CAST(sum(n_tokens) OVER () AS BIGINT)
+         AS token_permille
+FROM per
+"""
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+  FROM per_lang
+)
+SELECT lang, n_tokens, weight,
+       (1000 * weight) // CAST(sum(weight) OVER () AS BIGINT)
+         AS sample_permille,
+       (n_tokens * ((1000 * weight)
+                    // CAST(sum(weight) OVER () AS BIGINT))) // 1000
+         AS expected_tokens
+FROM weighted
+"""
+
+_PHRASE_COND = " AND ".join(
+    f"tk[i + {o}] = '{t}'" for o, t in enumerate(PHRASE_TERMS)
+)
+
+PHRASE_SEARCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(tk) - {len(PHRASE_TERMS) - 2}),
+                i -> {_PHRASE_COND})) AS BIGINT) AS n_occurrences
+FROM d
+WHERE len(list_filter(range(1, len(tk) - {len(PHRASE_TERMS) - 2}),
+          i -> {_PHRASE_COND})) > 0
+"""
+
+# Twin of q_split_leakage: same cached gram artifact CTEs
+# (_CONTAM_BASE's g), same md5 split assignment as CORPUS_SPLIT_SQL,
+# gram -> split bitmask via bit_or, 3 pair rows via UNION ALL.
+_SL_H16 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+)
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {_CONTAM_BASE},
+sg AS (
+  SELECT CASE WHEN {_SL_H16} < {SPLIT_TRAIN_64K} THEN 1
+              WHEN {_SL_H16} < {SPLIT_VAL_64K} THEN 2
+              ELSE 4 END AS b,
+         unnest(grams) AS gram_h
+  FROM g
+),
+pm AS (SELECT gram_h, bit_or(b) AS mask FROM sg GROUP BY gram_h),
+mc AS (SELECT mask, count(*) AS n FROM pm GROUP BY mask),
+one AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN (mask & 1) <> 0 THEN n END), 0)
+         AS BIGINT) AS g_train,
+    CAST(coalesce(sum(CASE WHEN (mask & 2) <> 0 THEN n END), 0)
+         AS BIGINT) AS g_val,
+    CAST(coalesce(sum(CASE WHEN (mask & 4) <> 0 THEN n END), 0)
+         AS BIGINT) AS g_test,
+    CAST(coalesce(sum(CASE WHEN (mask & 1) <> 0 AND (mask & 2) <> 0
+                      THEN n END), 0) AS BIGINT) AS s_tv,
+    CAST(coalesce(sum(CASE WHEN (mask & 1) <> 0 AND (mask & 4) <> 0
+                      THEN n END), 0) AS BIGINT) AS s_tt,
+    CAST(coalesce(sum(CASE WHEN (mask & 2) <> 0 AND (mask & 4) <> 0
+                      THEN n END), 0) AS BIGINT) AS s_vt
+  FROM mc
+),
+pairs AS (
+  SELECT 'train' AS split_a, 'val' AS split_b, s_tv AS shared_grams,
+         g_train AS a_grams, g_val AS b_grams FROM one
+  UNION ALL
+  SELECT 'train', 'test', s_tt, g_train, g_test FROM one
+  UNION ALL
+  SELECT 'val', 'test', s_vt, g_val, g_test FROM one
+)
+SELECT split_a, split_b, shared_grams, a_grams, b_grams,
+       CASE WHEN least(a_grams, b_grams) > 0
+            THEN (1000 * shared_grams) // least(a_grams, b_grams)
+            ELSE 0 END AS leak_permille
+FROM pairs
+"""

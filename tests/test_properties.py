@@ -766,3 +766,119 @@ def test_edit_distance_pairs_matches_bruteforce(spark, names):
         if i < j and lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_kmeans_assign_is_nearest_centroid_partition(spark):
+    """kmeans_assign's output is a genuine Lloyd partition: every
+    vector assigned exactly once, cluster ids within [0, K), each
+    dist_sq nonneg, and the round-2 assignment is nearest-centroid
+    optimal — recomputing distances to the round-2 centroids in
+    Python finds no strictly closer cluster for any vector."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.functions.clustering import (
+        KMEANS_K,
+        KMEANS_MICRO,
+        q_kmeans_assign,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+    import math
+
+    out = {r["vec_id"]: r for r in q_kmeans_assign(spark, SF_ORACLE).collect()}
+    emb = {
+        r["vec_id"]: [math.floor(x * KMEANS_MICRO) for x in r["embedding"]]
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    assert set(out) == set(emb)  # exactly one row per vector
+    assert all(0 <= r["cluster_id"] < KMEANS_K for r in out.values())
+    assert all(r["dist_sq"] >= 0 for r in out.values())
+
+    # rebuild the round-1 assignment + round-2 centroids in Python
+    seeds = sorted(emb)[:KMEANS_K]
+    c0 = {cid: emb[v] for cid, v in enumerate(seeds)}
+
+    def nearest(v, cents):
+        return min(
+            (sum((a - b) * (a - b) for a, b in zip(v, cm)), cid)
+            for cid, cm in cents.items()
+        )
+
+    a1 = {vid: nearest(v, c0)[1] for vid, v in emb.items()}
+    c1 = {}
+    for cid in set(a1.values()):
+        members = [emb[v] for v in a1 if a1[v] == cid]
+        # Spark's `sum DIV count` truncates toward zero, like int()
+        c1[cid] = [
+            int(sum(col) / len(members)) for col in zip(*members)
+        ]
+    for vid, v in emb.items():
+        best_d, best_c = nearest(v, c1)
+        assert out[vid]["dist_sq"] == best_d
+        assert out[vid]["cluster_id"] == best_c
+
+
+def test_split_leakage_bounds_and_masks(spark):
+    """split_leakage's matrix is internally consistent: shared counts
+    never exceed either side's gram vocabulary, permilles stay in
+    [0, 1000], and the per-split totals agree with an independently
+    computed gram->splits map."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.functions.corpus import (
+        assign_split,
+        _contam_gram_table,
+        q_split_leakage,
+    )
+    import pyspark.sql.functions as F
+
+    rows = {
+        (r["split_a"], r["split_b"]): r
+        for r in q_split_leakage(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {
+        ("train", "val"), ("train", "test"), ("val", "test")
+    }
+    for r in rows.values():
+        assert 0 <= r["shared_grams"] <= min(r["a_grams"], r["b_grams"])
+        assert 0 <= r["leak_permille"] <= 1000
+
+    # independent reference: gram -> set of splits via plain collect
+    g = assign_split(_contam_gram_table(spark, SF_ORACLE)).select(
+        "split", F.explode("grams").alias("g")
+    )
+    seen: dict[int, set] = {}
+    for rec in g.collect():
+        seen.setdefault(rec["g"], set()).add(rec["split"])
+    for (a, b), r in rows.items():
+        assert r["a_grams"] == sum(1 for s in seen.values() if a in s)
+        assert r["b_grams"] == sum(1 for s in seen.values() if b in s)
+        assert r["shared_grams"] == sum(
+            1 for s in seen.values() if a in s and b in s
+        )
+
+
+def test_phrase_search_matches_python_scan(spark):
+    """phrase_search's per-doc occurrence counts equal a plain Python
+    sliding-window count over the same tokenization, and docs with
+    zero occurrences are absent."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.functions.retrieval import (
+        PHRASE_TERMS,
+        q_phrase_search,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in q_phrase_search(spark, SF_ORACLE).collect()
+    }
+    n = len(PHRASE_TERMS)
+    expect = {}
+    for r in load_table(spark, SF_ORACLE, "documents").collect():
+        tk = r["text"].split(" ")
+        c = sum(
+            1
+            for i in range(len(tk) - n + 1)
+            if tuple(tk[i : i + n]) == PHRASE_TERMS
+        )
+        if c:
+            expect[r["doc_id"]] = c
+    assert out == expect
