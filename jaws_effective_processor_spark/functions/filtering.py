@@ -379,6 +379,41 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_weight(token: F.Column) -> F.Column:
+    """Deterministic per-token classifier weight in [-1000, 1000]
+    (md5-derived stand-in for learned weights) — shared VERBATIM by
+    the batch q_quality_logit reduction and the streaming
+    logit_gate_stream's per-row fold, so a doc scores identically
+    whichever path saw it."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % 2001
+        - 1000
+    )
+
+
+LOGIT_MILLI_EXPR = "(1000 * _logit_s) DIV _logit_n"
+
+
+def logit_stat_columns() -> list[F.Column]:
+    """(_logit_s, _logit_n): per-row weight sum + token count as pure
+    expressions over `text` — the scan-local (streaming-composable)
+    form of the logit. The batch path instead folds weights over the
+    shared token_tf artifact (one md5 per distinct (doc, token),
+    weighted by tf) — per-occurrence-sum-equivalent by construction,
+    and pinned so by the DuckDB twin, which computes THIS unnest form
+    against the batch query's tf reduction."""
+    tk = F.split(F.col("text"), " ")
+    return [
+        F.aggregate(
+            F.transform(tk, _token_weight),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_logit_s"),
+        F.size(tk).cast("long").alias("_logit_n"),
+    ]
+
+
 def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring — the linear-classifier gate
     (fastText-style, as used for FineWeb-Edu / LLaMA quality
@@ -400,13 +435,8 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import token_tf
 
     tf = token_tf(spark, sf_dir)
-    w = (
-        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-        % 2001
-        - 1000
-    )
     per = (
-        tf.select("doc_id", "tf", w.alias("w"))
+        tf.select("doc_id", "tf", _token_weight(F.col("token")).alias("w"))
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("tf") * F.col("w")).alias("_s"),

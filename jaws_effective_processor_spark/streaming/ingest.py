@@ -157,6 +157,23 @@ def gopher_gate_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def logit_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming model-based quality gate: drop arriving documents
+    whose classifier logit is negative — the live-ingest half of
+    functions/filtering.q_quality_logit. The per-token weight is the
+    SAME _token_weight expression the batch reduction folds over the
+    token_tf artifact; here it folds per row over the split tokens
+    (aggregate over transform — scan-local, stateless), so a doc is
+    kept or dropped identically whichever path saw it."""
+    from ..functions.filtering import LOGIT_MILLI_EXPR, logit_stat_columns
+
+    staged = docs.select("*", *logit_stat_columns())
+    return (
+        staged.filter(F.expr(LOGIT_MILLI_EXPR) >= 0)
+        .drop("_logit_s", "_logit_n")
+    )
+
+
 def bloom_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
     """Streaming Bloom dedup gate: drop arriving documents whose k
     filter positions are ALL set in the Bloom filter built from the

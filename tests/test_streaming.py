@@ -612,3 +612,45 @@ def test_pii_redact_stream_matches_batch(spark, tmpdir):
     }
     assert got[1] == ("email <email> and url <url> plus <num>", 3)
     assert got[2] == ("clean text only", 0)
+
+
+def test_logit_gate_stream_matches_batch(spark, tmpdir):
+    """Streaming logit gate keeps exactly the docs whose per-row
+    classifier logit is >= 0 — same _token_weight expression as the
+    batch q_quality_logit reduction, so the verdict sets must be
+    identical on the same feed."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        LOGIT_MILLI_EXPR,
+        logit_stat_columns,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(12)), "en", "crawl", t0)
+        for i in range(30)
+    ]
+    src = os.path.join(tmpdir, "lg_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    batch_kept = {
+        r["doc_id"]
+        for r in feed.select("doc_id", *logit_stat_columns())
+        .filter(F.expr(LOGIT_MILLI_EXPR) >= 0)
+        .collect()
+    }
+    # the hash-weighted feed must split both ways or the gate is vacuous
+    assert 0 < len(batch_kept) < len(rows)
+
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"lg_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.logit_gate_stream(stream),
+        name,
+        os.path.join(tmpdir, "lg_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == batch_kept
