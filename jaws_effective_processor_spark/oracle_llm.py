@@ -1709,20 +1709,22 @@ SELECT lang, n_tokens, weight,
 FROM weighted
 """
 
-_PHRASE_COND = " AND ".join(
-    f"tk[i + {o}] = '{t}'" for o, t in enumerate(PHRASE_TERMS)
-)
+# identical replace-trick formula as the Spark side: double-spaced
+# padding makes token-boundary matches non-overlapping, so plain
+# substring counting is exact
+_PHRASE_NEEDLE = " " + "  ".join(PHRASE_TERMS) + " "
 
 PHRASE_SEARCH_SQL = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  SELECT doc_id,
+         ' ' || replace(text, ' ', '  ') || ' ' AS p
+  FROM documents
 )
 SELECT doc_id,
-       CAST(len(list_filter(range(1, len(tk) - {len(PHRASE_TERMS) - 2}),
-                i -> {_PHRASE_COND})) AS BIGINT) AS n_occurrences
+       CAST((length(p) - length(replace(p, '{_PHRASE_NEEDLE}', '')))
+            / {len(_PHRASE_NEEDLE)} AS BIGINT) AS n_occurrences
 FROM d
-WHERE len(list_filter(range(1, len(tk) - {len(PHRASE_TERMS) - 2}),
-          i -> {_PHRASE_COND})) > 0
+WHERE length(p) <> length(replace(p, '{_PHRASE_NEEDLE}', ''))
 """
 
 # Twin of q_split_leakage: same cached gram artifact CTEs
