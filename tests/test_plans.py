@@ -272,3 +272,51 @@ def test_merge_upsert_single_key_exchange(spark):
 
     assert "Join" not in plan, plan
     assert shuffle_count(df) == 1, plan
+
+
+def test_phrase_search_zero_exchange_scan(spark):
+    """phrase_search is scan-shaped: the occurrence count is a
+    whole-stage-codegen string expression and the > 0 filter pushes
+    to the scan stage — no exchange beyond the local-parallelism
+    spread, no Generate, no join."""
+    df = QUERIES["phrase_search"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    # sequence/element_at higher-order forms are CodegenFallback —
+    # the shipped expression must not reintroduce them
+    assert "lambdafunction" not in plan, plan
+
+
+def test_quality_logit_reuses_tf_artifact_single_scan(spark):
+    """quality_logit folds weights over the session-cached token_tf
+    artifact: after any unigram-family query has run, its plan reads
+    the cache, not a second documents scan."""
+    QUERIES["keyword_topk"](spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()  # materialize the shared tf cache
+    df = QUERIES["quality_logit"](spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_split_leakage_grams_move_once(spark):
+    """split_leakage's only data-sized exchange is the gram-keyed
+    bit_or aggregation (the mask and pair folds run over <= 7 rows);
+    the cached gram-table build's exchanges don't count against the
+    per-execution plan."""
+    df = QUERIES["split_leakage"](spark, SF_SMOKE)
+    assert shuffle_count(df) <= 3, explain_str(df)
+    assert not has_cartesian(df)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """kmeans_assign's per-execution plan joins the (K x dims)
+    centroid table onto the cached vector table as a broadcast —
+    never a shuffled join keyed on dim — and ends in one vec-keyed
+    exchange for the argmin window."""
+    df = QUERIES["kmeans_assign"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()  # AQE final
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert not has_cartesian(df)
