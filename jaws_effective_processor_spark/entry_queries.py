@@ -39,6 +39,13 @@ def _wrap(
     the driver hands us a session we didn't build."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # purge plans of stopped sessions: a plain dict keyed on the
+        # session would otherwise pin every stopped SparkSession (and
+        # its whole py4j plan graph) for the process lifetime — same
+        # hygiene as cache.SessionFrameCache, which documents why
+        # weak keying alone cannot free these entries
+        for k in [k for k in _PLAN_CACHE if k[0]._jsc is None]:
+            del _PLAN_CACHE[k]
         key = (spark, sf_dir, name)
         df = _PLAN_CACHE.get(key)
         if df is None:
@@ -421,6 +428,11 @@ def _register_llm() -> None:
         "kmeans_assign",
         clustering.q_kmeans_assign,
         osql.KMEANS_ASSIGN_SQL,
+    )
+    register(
+        "kmeans_report",
+        clustering.q_kmeans_report,
+        osql.KMEANS_REPORT_SQL,
     )
     register(
         "quality_logit",

@@ -129,3 +129,31 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_frame(spark, sf_dir, "kmeans_centroids", _build)
+
+
+def q_kmeans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report over the k-means partition: per cluster,
+    member count, total and mean squared distance to the centroid
+    (exact integer micro^2 units) — the balance/tightness QA view
+    (a mega-cluster or an empty cell flags a bad seed or a collapsed
+    embedding space, the clustering analog of dedup_cluster_sizes).
+
+    Reuses the SAME cached artifacts as q_kmeans_assign (exploded
+    vectors + trained centroid table), so per-execution work is one
+    assignment pass and one K-row aggregation — nothing new shuffles
+    beyond the vec-keyed argmin exchange."""
+    e = _emb_micro(spark, sf_dir)
+    a2 = _assign(e, _trained_centroids(spark, sf_dir))
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist_sq").alias("total_dist_sq"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            "total_dist_sq",
+            F.expr("total_dist_sq DIV n_vectors").alias("mean_dist_sq"),
+        )
+    )

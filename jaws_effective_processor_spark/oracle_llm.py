@@ -1619,8 +1619,7 @@ _KM_ASSIGN = """
   ) WHERE rn = 1
 """
 
-KMEANS_ASSIGN_SQL = f"""
-WITH x AS (
+_KMEANS_CTES = f"""x AS (
   SELECT vec_id, u.dim AS dim, u.xm AS xm FROM (
     SELECT vec_id,
            unnest(list_transform(range(1, len(embedding) + 1),
@@ -1645,7 +1644,10 @@ c1 AS (
   FROM a1 JOIN x ON a1.vec_id = x.vec_id
   GROUP BY a1.cid, x.dim
 ),
-a2 AS ({_KM_ASSIGN.format(cent="c1")})
+a2 AS ({_KM_ASSIGN.format(cent="c1")})"""
+
+KMEANS_ASSIGN_SQL = f"""
+WITH {_KMEANS_CTES}
 SELECT vec_id, cid AS cluster_id, dist_sq FROM a2
 """
 
@@ -1774,4 +1776,17 @@ SELECT split_a, split_b, shared_grams, a_grams, b_grams,
             THEN (1000 * shared_grams) // least(a_grams, b_grams)
             ELSE 0 END AS leak_permille
 FROM pairs
+"""
+
+# same CTE chain as the assignment twin, folded per cluster
+KMEANS_REPORT_SQL = f"""
+WITH {_KMEANS_CTES},
+rep AS (
+  SELECT cid AS cluster_id, count(*) AS n_vectors,
+         CAST(sum(dist_sq) AS BIGINT) AS total_dist_sq
+  FROM a2 GROUP BY cid
+)
+SELECT cluster_id, n_vectors, total_dist_sq,
+       total_dist_sq // n_vectors AS mean_dist_sq
+FROM rep
 """
