@@ -44,7 +44,9 @@ def _wrap(
         # its whole py4j plan graph) for the process lifetime — same
         # hygiene as cache.SessionFrameCache, which documents why
         # weak keying alone cannot free these entries
-        for k in [k for k in _PLAN_CACHE if k[0]._jsc is None]:
+        from .cache import _is_stopped
+
+        for k in [k for k in _PLAN_CACHE if _is_stopped(k[0])]:
             del _PLAN_CACHE[k]
         key = (spark, sf_dir, name)
         df = _PLAN_CACHE.get(key)

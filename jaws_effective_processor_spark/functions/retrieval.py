@@ -218,6 +218,12 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping substring counting — (len(p) - len(replace(p,
     needle, ''))) / len(needle), pure whole-stage-codegen string ops
     evaluated identically by DuckDB — counts every start position.
+    Precondition: the phrase must be BORDER-FREE in token space (no
+    proper prefix equal to a suffix, true of the fixed query
+    phrase); a periodic phrase like (a, b, a) can self-overlap, and
+    left-to-right non-overlapping counting would then undercount
+    per-position matches (pinned against a Python sliding-window
+    count in test_properties.test_phrase_search_matches_python_scan).
     The first cut filtered per-position element_at over the split
     array instead: Spark's higher-order functions (ArrayFilter /
     ArrayAggregate) are CodegenFallback, i.e. interpreted per row,
