@@ -140,6 +140,49 @@ def _minhash_cols(hp: F.Column) -> list[F.Column]:
     ]
 
 
+def with_band_buckets(df: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """Add a `bands` column (array<struct<band:long, key:string>>) to
+    a frame carrying a shingle array. The hp struct and the minhash
+    values each get their OWN projection: they are referenced 16x /
+    N_BANDS x downstream, and CollapseProject keeps non-cheap
+    multi-referenced expressions materialized instead of inlining 16
+    md5 passes per reference. Works identically on batch and
+    streaming DataFrames (pure column stages)."""
+    hp = df.withColumn("_hp", _hash_pairs(F.col(sh_col)))
+    sig = hp.select("*", *_minhash_cols(F.col("_hp"))).drop("_hp")
+    # band bucket key: the band's minhash values joined as text —
+    # decimal longs render identically in Spark and DuckDB, and the
+    # composite is already uniform; no need to re-digest it
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{ROWS_PER_BAND * b + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.withColumn("bands", bands).drop(
+        *[f"m{i}" for i in range(N_MINHASH)]
+    )
+
+
+def explode_band_buckets(shing: DataFrame) -> DataFrame:
+    """(doc_id, band, key) band table from a (doc_id, sh) shingle
+    frame — the batch exploded form of with_band_buckets."""
+    return (
+        with_band_buckets(shing)
+        .select("doc_id", F.explode("bands").alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band-bucket
     join -> exact-Jaccard verify.
@@ -162,34 +205,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build_bands():
         shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
-        # hp in its own projection: it's referenced 16x by the minhash
-        # columns, and CollapseProject keeps non-cheap multi-referenced
-        # expressions materialized instead of inlining 16 md5 passes
-        hp = shing.select("doc_id", _hash_pairs(F.col("sh")).alias("hp"))
-        sig = hp.select("doc_id", *_minhash_cols(F.col("hp")))
-        # band bucket key: the band's 4 minhash values joined as text —
-        # decimal longs render identically in Spark and DuckDB, and the
-        # composite is already uniform; no need to re-digest it
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).cast("long").alias("band"),
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"m{ROWS_PER_BAND * b + r}")
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            ).alias("key"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.band", "bk.key")
+        return explode_band_buckets(shing)
 
     bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
     # the verify stage re-joins candidates to the shingle table (cache

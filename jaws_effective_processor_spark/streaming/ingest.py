@@ -174,6 +174,60 @@ def logit_gate_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def neardup_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup gate: drop arriving documents that share a
+    MinHash-LSH band bucket with any already-ingested document — the
+    live half of functions/dedup.q_dedup_minhash_lsh's candidate
+    stage, computed from the SAME shingle -> hash-pair -> minhash ->
+    band expressions, so an arriving doc lands in exactly the buckets
+    its batch twin would.
+
+    Economics mirror bloom_gate_stream: a bucket collision may drop a
+    non-duplicate (false positive — cheap at ingest), but a doc
+    passing the gate shares NO band with the corpus, i.e. nothing the
+    batch LSH pass would even consider — no false negatives within
+    LSH recall. The exact-Jaccard verify is deliberately NOT here:
+    verification needs the matched doc's shingles (a data-sized
+    stream-static join + per-doc re-aggregation); the batch pass owns
+    exactness, the gate owns cheap early rejection.
+
+    The ingested side collapses to a ONE-ROW broadcast array of
+    distinct bucket fingerprints (xxhash64 of band|key — longs, not
+    key text). Unlike the Bloom gate's geometry-bounded bit set, this
+    set grows with the corpus (N_BANDS longs per doc); when it
+    outgrows broadcast range the deployment shape is the shuffled
+    stream-static equi-join on the exploded band table instead —
+    same verdicts, one exchange per micro-batch."""
+    from ..functions.dedup import _shingles, with_band_buckets
+
+    def bucket_fps(df: DataFrame) -> DataFrame:
+        staged = df.withColumn(
+            "_sh", _shingles(F.split(F.col("text"), " "))
+        )
+        banded = with_band_buckets(staged, sh_col="_sh")
+        return banded.withColumn(
+            "_fps",
+            F.transform(
+                F.col("bands"),
+                lambda bk: F.xxhash64(
+                    F.concat_ws("|", bk["band"], bk["key"])
+                ),
+            ),
+        ).drop("_sh", "bands")
+
+    seen = (
+        bucket_fps(ingested)
+        .select(F.explode("_fps").alias("fp"))
+        .agg(F.collect_set("fp").alias("_seen"))
+    )
+    return (
+        bucket_fps(docs)
+        .crossJoin(F.broadcast(seen))
+        .filter(F.size(F.array_intersect(F.col("_fps"), F.col("_seen"))) == 0)
+        .drop("_fps", "_seen")
+    )
+
+
 def bloom_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
     """Streaming Bloom dedup gate: drop arriving documents whose k
     filter positions are ALL set in the Bloom filter built from the

@@ -654,3 +654,64 @@ def test_logit_gate_stream_matches_batch(spark, tmpdir):
     )
     got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
     assert got == batch_kept
+
+
+def test_neardup_gate_stream_matches_batch_candidates(spark, tmpdir):
+    """Streaming LSH near-dup gate drops exactly the arriving docs
+    that share a band bucket with the ingested corpus — the same
+    candidate set the batch MinHash-LSH pass would generate, computed
+    from the shared shingle/minhash/band expressions. A verbatim copy
+    of an ingested doc shares every band and must always be dropped."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.dedup import (
+        _shingles,
+        explode_band_buckets,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    seen = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    ingested = spark.createDataFrame(
+        [(100, seen)], "doc_id long, text string"
+    )
+    rows = [
+        (1, seen, "en", "crawl", t0),  # verbatim copy: every band hits
+        (2, near, "en", "crawl", t0),  # near-dup: gate follows batch bands
+        (3, "completely unrelated words about spark shuffles", "en",
+         "crawl", t0),
+        (4, "another novel document with fresh vocabulary", "en",
+         "crawl", t0),
+    ]
+    src = os.path.join(tmpdir, "nd_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    def bands_of(df):
+        shing = df.select(
+            "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
+        )
+        return explode_band_buckets(shing)
+
+    corpus_buckets = {
+        (r["band"], r["key"]) for r in bands_of(ingested).collect()
+    }
+    batch_kept = set()
+    feed_bands: dict[int, set] = {}
+    for r in bands_of(feed.select("doc_id", "text")).collect():
+        feed_bands.setdefault(r["doc_id"], set()).add((r["band"], r["key"]))
+    for doc_id, bks in feed_bands.items():
+        if not (bks & corpus_buckets):
+            batch_kept.add(doc_id)
+    assert 1 not in batch_kept  # the verbatim copy always collides
+
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"nd_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.neardup_gate_stream(stream, ingested),
+        name,
+        os.path.join(tmpdir, "nd_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == batch_kept
