@@ -78,6 +78,12 @@ EDGE_QUERIES = (
     "rag_bucket_report",
     "language_confusion",
     "shard_skew_report",
+    # round-6 operators
+    "quality_logit",
+    "phrase_search",
+    "context_length_report",
+    "mixture_temperature",
+    "split_leakage",
 )
 
 
@@ -113,7 +119,8 @@ def test_edge_docs_oracle_parity(spark, edge_dir, name):
 EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
-               "embedding_quantize", "ann_recall", "embedding_outliers")
+               "embedding_quantize", "ann_recall", "embedding_outliers",
+               "kmeans_assign", "kmeans_report")
 
 
 @pytest.fixture(scope="module")
@@ -152,3 +159,31 @@ def edge_emb_dir(tmp_path_factory):
 def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
     df = QUERIES[name](spark, edge_emb_dir)
     compare(df, ORACLE_SQL[name], edge_emb_dir)
+
+
+def test_kmeans_fewer_vectors_than_k(spark, tmp_path_factory):
+    """k-means on a corpus SMALLER than K (with exact-duplicate seed
+    vectors): every vector seeds its own centroid, duplicates share a
+    cluster (smallest cid wins the tie), and the oracle twin agrees —
+    the degenerate-corpus shape a pipeline hits on a fresh partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_kmeans")
+    dim = 8
+    vecs = [
+        [0.1] * dim,
+        [0.1] * dim,  # duplicate of vec 0: a seed collapses
+        [-0.3] * dim,
+        [0.5] + [0.0] * (dim - 1),
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    for name in ("kmeans_assign", "kmeans_report"):
+        compare(QUERIES[name](spark, str(d)), ORACLE_SQL[name], str(d))
