@@ -715,3 +715,94 @@ def test_neardup_gate_stream_matches_batch_candidates(spark, tmpdir):
     )
     got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
     assert got == batch_kept
+
+
+def test_full_gate_chain_stream_matches_batch(spark, tmpdir):
+    """The whole stateless ingest-gate chain composed as ONE streaming
+    plan — gopher rules -> model logit -> Bloom exact gate -> LSH
+    near-dup gate -> decontamination -> PII redaction -> split
+    assignment — produces row-identical output to the same shared
+    expressions applied in batch to the same feed. This is the
+    composition claim behind every individual streamed==batch pin:
+    the gates are pure column stages, so chaining them cannot change
+    any verdict."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.corpus import (
+        assign_split,
+        with_contam_grams,
+    )
+    from jaws_effective_processor_spark.functions.filtering import (
+        LOGIT_MILLI_EXPR,
+        logit_stat_columns,
+        with_gopher_stats,
+        GOPHER_STAT_COLS,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox jumps over a lazy sleeping dog while "
+        "seven wizards of oxford brew giant black quartz potions "
+        "and judge every vexing word of substance"
+    )
+    ingested = spark.createDataFrame(
+        [(900, good + " exactly as previously ingested")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(0, "a held out benchmark sentence with eight distinct "
+             "tokens for the contamination gate to key on plus "
+             "several more filler words to clear the gram width")],
+        "doc_id long, text string",
+    )
+    holdout_grams = (
+        with_contam_grams(holdout).select(
+            F.explode("grams").alias("gram_h")
+        ).distinct()
+    )
+
+    rows = [
+        (i, f"{good} variant token{i} appended here", "en", "crawl", t0)
+        for i in range(12)
+    ] + [
+        (100, "too short", "en", "crawl", t0),  # gopher drop
+        (101, good + " exactly as previously ingested", "en", "crawl", t0),
+    ]
+    src = os.path.join(tmpdir, "chain_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    def chain(df):
+        out = with_gopher_stats(df).filter(F.col("keep")).drop(
+            *GOPHER_STAT_COLS
+        )
+        out = out.select("*", *logit_stat_columns()).filter(
+            F.expr(LOGIT_MILLI_EXPR) >= 0
+        ).drop("_logit_s", "_logit_n")
+        out = ingest.bloom_gate_stream(out, ingested)
+        out = ingest.neardup_gate_stream(out, ingested)
+        out = ingest.decontaminate_stream(out, holdout_grams)
+        out = ingest.pii_redact_stream(out)
+        return assign_split(out).select(
+            "doc_id", "text", "split", "shard", "n_redactions"
+        )
+
+    batch_rows = {tuple(r) for r in chain(feed).collect()}
+    # the feed must be non-trivially split by the chain
+    assert 0 < len(batch_rows) < len(rows)
+    batch_ids = {r[0] for r in batch_rows}
+    assert 100 not in batch_ids and 101 not in batch_ids
+
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        chain(stream), name, os.path.join(tmpdir, "chain_ckpt")
+    )
+    got = {
+        tuple(r)
+        for r in _memory_table(spark, name)
+        .select("doc_id", "text", "split", "shard", "n_redactions")
+        .collect()
+    }
+    assert got == batch_rows
