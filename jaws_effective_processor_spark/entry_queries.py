@@ -437,6 +437,16 @@ def _register_llm() -> None:
         osql.KMEANS_REPORT_SQL,
     )
     register(
+        "kmeans_label_purity",
+        clustering.q_kmeans_label_purity,
+        osql.KMEANS_LABEL_PURITY_SQL,
+    )
+    register(
+        "unigram_surprisal",
+        corpus.q_unigram_surprisal,
+        osql.UNIGRAM_SURPRISAL_SQL,
+    )
+    register(
         "quality_logit",
         filtering.q_quality_logit,
         osql.QUALITY_LOGIT_SQL,

@@ -157,3 +157,45 @@ def q_kmeans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("total_dist_sq DIV n_vectors").alias("mean_dist_sq"),
         )
     )
+
+
+def q_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label agreement: per k-means cluster, the member
+    count, the majority label (smallest label on ties), and purity in
+    permille — the standard external clustering evaluation, and the
+    report that decides whether cluster-aware sampling can stand in
+    for label-aware sampling when labels are scarce.
+
+    Reuses the cached assignment artifacts; the only new work is the
+    vec-keyed join to the label column (scan-local projection of the
+    embeddings table) and a (cluster, label) aggregation whose
+    cardinality is K x #labels — bounded by geometry, not data."""
+    from ..tables import load_table
+
+    e = _emb_micro(spark, sf_dir)
+    a2 = _assign(e, _trained_centroids(spark, sf_dir))
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    per = (
+        a2.join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("n").desc(), F.col("label")
+    )
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_vectors",
+            F.sum("n").over(Window.partitionBy("cid")).cast("long"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            F.col("label").alias("majority_label"),
+            F.expr("(1000 * n) DIV n_vectors").alias("purity_permille"),
+        )
+    )

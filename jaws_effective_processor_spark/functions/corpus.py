@@ -1314,3 +1314,46 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("leak_permille"),
     )
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document, in exact integer floor-log2
+    bits: surprisal(doc) = sum over occurrences of
+    (L(total_tokens) - L(count(token))) where L(x) = floor(log2 x)+1
+    = length(bin(x)) — the perplexity-style fluency signal (high
+    surprisal = rare-token-heavy doc) computed WITHOUT floating-point
+    logs, so both engines agree bit-for-bit where ln()-based
+    cross-entropy would drift in libm.
+
+    Scale shape: zero new scans — the per-(doc, token) tf rows and
+    the corpus unigram table are the session-cached token_tf /
+    token_freq artifacts shared with the rest of the unigram family;
+    the corpus total folds to a ONE-ROW broadcast (the BM25-stats
+    pattern) and the join is the same token-keyed equi-join
+    token_rarity pays. One aggregation back to the doc key."""
+    tf = token_tf(spark, sf_dir)
+    freq = token_freq(spark, sf_dir)
+    total = freq.agg(
+        F.sum("tok_count").cast("long").alias("_total")
+    )
+    bits = F.length(F.bin(F.col("tok_count"))).cast("long")
+    total_bits = F.length(F.bin(F.col("_total"))).cast("long")
+    return (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * (total_bits - bits))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_bits",
+            F.expr("(1000 * surprisal_bits) DIV n_tokens").alias(
+                "mean_millibits"
+            ),
+        )
+    )

@@ -1790,3 +1790,56 @@ SELECT cluster_id, n_vectors, total_dist_sq,
        total_dist_sq // n_vectors AS mean_dist_sq
 FROM rep
 """
+
+# Twin of q_unigram_surprisal: same integer floor-log2 bit lengths
+# (length(bin(x)) in both engines), same tf-weighted reduction.
+UNIGRAM_SURPRISAL_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+freq AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS tok_count
+  FROM tf GROUP BY token
+),
+tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS total FROM freq),
+per AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * (CAST(length(bin(tot.total)) AS BIGINT)
+                           - CAST(length(bin(freq.tok_count)) AS BIGINT)))
+              AS BIGINT) AS surprisal_bits
+  FROM tf JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, surprisal_bits,
+       (1000 * surprisal_bits) // n_tokens AS mean_millibits
+FROM per
+"""
+
+# Twin of q_kmeans_label_purity: the assignment CTE chain joined to
+# the label column, majority via the same (count desc, label) order.
+KMEANS_LABEL_PURITY_SQL = f"""
+WITH {_KMEANS_CTES},
+lab AS (
+  SELECT a2.vec_id, a2.cid, CAST(e.label AS BIGINT) AS label
+  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+),
+per AS (
+  SELECT cid, label, CAST(count(*) AS BIGINT) AS n
+  FROM lab GROUP BY cid, label
+),
+ranked AS (
+  SELECT cid, label, n,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY n DESC, label) AS rn,
+         CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_vectors
+  FROM per
+)
+SELECT cid AS cluster_id, n_vectors, label AS majority_label,
+       (1000 * n) // n_vectors AS purity_permille
+FROM ranked WHERE rn = 1
+"""

@@ -84,6 +84,7 @@ EDGE_QUERIES = (
     "context_length_report",
     "mixture_temperature",
     "split_leakage",
+    "unigram_surprisal",
 )
 
 
@@ -120,7 +121,7 @@ EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
                "embedding_quantize", "ann_recall", "embedding_outliers",
-               "kmeans_assign", "kmeans_report")
+               "kmeans_assign", "kmeans_report", "kmeans_label_purity")
 
 
 @pytest.fixture(scope="module")
