@@ -161,3 +161,107 @@ def start_vector_shards(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+QUERY_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("query_ts", T.TimestampType()),
+    ]
+)
+
+KNN_STATE_WATERMARK = "10 minutes"
+
+
+def knn_query_stream(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    watermark: str = KNN_STATE_WATERMARK,
+) -> DataFrame:
+    """Serving side of the ANN stack: arriving query vectors answered
+    with their cosine top-k from the (static) indexed corpus — the
+    continuous complement of vector_ingest_stream (which builds the
+    store) and the batch knn_* queries (which define the semantics).
+
+    Routing is the SAME hyperplane-LSH bucket expression as the batch
+    q_knn_lsh (functions/similarity.bucket_of), so a query probes
+    exactly the bucket its batch twin would: scan-local signature on
+    the stream side, one stream-static equi-join on the bucket key —
+    never a cross product against the corpus. The per-query top-k is
+    a streaming aggregation (collect_list folded to a sorted slice —
+    sorted on the raw float cosine with vec_id tie-break, matching
+    the batch window's ORDER BY exactly), watermarked on query_ts so
+    per-query state expires once a query's bucket has drained.
+
+    At 100 TB the corpus side is the cell-partitioned store
+    start_vector_shards lands (bucket -> partition pruning instead of
+    a join against the full table); the semantics here are identical.
+    """
+    from ..functions.similarity import bucket_of
+
+    v = F.col("embedding").cast("array<double>")
+
+    def staged(df: DataFrame, id_col: str, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out),
+                *[c for c in df.columns if c not in (id_col, "embedding")],
+                v.alias("v"),
+                F.sqrt(dot(v, v)).alias("norm"),
+            )
+            .filter(F.col("norm") > 0)
+            .withColumn("bucket", bucket_of(F.col("v")))
+        )
+
+    c = staged(corpus, "vec_id", "neighbor_id").select(
+        "neighbor_id",
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    q = staged(queries, "query_id", "query_id").withWatermark(
+        "query_ts", watermark
+    )
+    cos = dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "query_ts",
+            F.col("neighbor_id"),
+            cos.alias("cos"),
+        )
+    )
+    # top-k as a sorted slice: struct sort on (-cos, neighbor_id)
+    # replicates the batch window's (cos DESC, neighbor_id ASC)
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("_top"),
+                lambda s: F.struct(
+                    s["neighbor_id"].alias("neighbor_id"),
+                    F.floor(-s["neg_cos"] * 10000)
+                    .cast("long")
+                    .alias("cos_permyriad"),
+                ),
+            ).alias("topk"),
+        )
+    )

@@ -806,3 +806,56 @@ def test_full_gate_chain_stream_matches_batch(spark, tmpdir):
         .collect()
     }
     assert got == batch_rows
+
+
+def test_knn_query_stream_matches_batch(spark, tmpdir):
+    """Serving-side streaming kNN: arriving query vectors get the
+    same LSH-bucket top-k (same routing, same float cosine order,
+    same tie-breaks) as the identical expressions applied in batch
+    to the same feed."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    dim = 64
+    corpus_rows = [
+        (100 + i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)])
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    q_rows = [
+        (i, [((i * 17 + j * 5) % 11 - 5) / 5.0 for j in range(dim)], t0)
+        for i in range(6)
+    ]
+    src = os.path.join(tmpdir, "knnq_feed")
+    feed = spark.createDataFrame(q_rows, sv.QUERY_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    batch = {
+        (r["query_id"], tuple((s["neighbor_id"], s["cos_permyriad"])
+                              for s in r["topk"]))
+        for r in sv.knn_query_stream(feed, corpus, k=3).collect()
+    }
+    assert len(batch) > 0 and all(len(t) > 0 for _, t in batch)
+
+    stream = rules.dir_stream(spark, f"{src}/*", sv.QUERY_FEED_SCHEMA)
+    name = f"knnq_{uuid.uuid4().hex[:8]}"
+    q = (
+        sv.knn_query_stream(stream, corpus, k=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir, "knnq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["query_id"], tuple((s["neighbor_id"], s["cos_permyriad"])
+                              for s in r["topk"]))
+        for r in _memory_table(spark, name).collect()
+    }
+    assert got == batch
