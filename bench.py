@@ -128,7 +128,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ORACLE_SWEEP", "1") != "0":
         try:
             oracle_total = _oracle_sweep_total()
-        except Exception:
+        except Exception as e:  # keep the bench alive, but VISIBLY:
+            # a null oracle_total must be distinguishable from an
+            # intentional SPARK_GRAFT_ORACLE_SWEEP=0 skip
+            print(f"oracle sweep failed: {e!r}", file=sys.stderr)
             oracle_total = None
 
     # Output discipline (round 5: the driver records only a ~4 KB tail
@@ -182,7 +185,10 @@ def _oracle_sweep_total() -> float:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     t0 = time.perf_counter()
     for name in sorted(sqls):
-        con.sql(sqls[name]).fetchall()
+        try:
+            con.sql(sqls[name]).fetchall()
+        except Exception as e:
+            raise RuntimeError(f"oracle twin {name!r} failed: {e}") from e
     total = time.perf_counter() - t0
     con.close()
     return round(total, 3)

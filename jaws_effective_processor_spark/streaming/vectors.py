@@ -192,8 +192,16 @@ def knn_query_stream(
     never a cross product against the corpus. The per-query top-k is
     a streaming aggregation (collect_list folded to a sorted slice —
     sorted on the raw float cosine with vec_id tie-break, matching
-    the batch window's ORDER BY exactly), watermarked on query_ts so
-    per-query state expires once a query's bucket has drained.
+    the batch window's ORDER BY exactly), grouped on
+    (query_id, window(query_ts)) so the watermark actually EVICTS
+    per-query aggregation state — Spark only cleans streaming-agg
+    state when the grouping keys carry the event-time column, so a
+    bare groupBy(query_id) under a watermark would retain every
+    query's collect_list forever. Query ids are their OWN id domain
+    (unlike the batch knn_* queries, whose query set IS a corpus
+    slice), so no self-exclusion filter: a corpus vector whose
+    vec_id happens to equal a query_id is still a legitimate
+    neighbor.
 
     At 100 TB the corpus side is the cell-partitioned store
     start_vector_shards lands (bucket -> partition pruning instead of
@@ -225,15 +233,11 @@ def knn_query_stream(
         "query_ts", watermark
     )
     cos = dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "query_ts",
-            F.col("neighbor_id"),
-            cos.alias("cos"),
-        )
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "query_ts",
+        F.col("neighbor_id"),
+        cos.alias("cos"),
     )
     # top-k as a sorted slice: struct sort on (-cos, neighbor_id)
     # replicates the batch window's (cos DESC, neighbor_id ASC)
@@ -250,7 +254,9 @@ def knn_query_stream(
         k,
     )
     return (
-        scored.groupBy("query_id")
+        scored.groupBy(
+            "query_id", F.window("query_ts", watermark)
+        )
         .agg(topk.alias("_top"))
         .select(
             "query_id",

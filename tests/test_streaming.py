@@ -819,8 +819,11 @@ def test_knn_query_stream_matches_batch(spark, tmpdir):
 
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     dim = 64
+    # corpus ids OVERLAP the query-id range (ids 0-5) on purpose:
+    # query and corpus ids are independent domains, so a corpus
+    # vector sharing a query's id must still be a legal neighbor
     corpus_rows = [
-        (100 + i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)])
+        (i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)])
         for i in range(30)
     ]
     corpus = spark.createDataFrame(
@@ -840,6 +843,11 @@ def test_knn_query_stream_matches_batch(spark, tmpdir):
         for r in sv.knn_query_stream(feed, corpus, k=3).collect()
     }
     assert len(batch) > 0 and all(len(t) > 0 for _, t in batch)
+    # at least one result set must contain a neighbor with the same id
+    # as SOME query (the id-collision legality claim); weaker than
+    # per-query because bucket routing decides who meets whom
+    returned_ids = {n for _, t in batch for n, _ in t}
+    assert returned_ids & {q[0] for q in q_rows}
 
     stream = rules.dir_stream(spark, f"{src}/*", sv.QUERY_FEED_SCHEMA)
     name = f"knnq_{uuid.uuid4().hex[:8]}"
