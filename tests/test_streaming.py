@@ -867,3 +867,66 @@ def test_knn_query_stream_matches_batch(spark, tmpdir):
         for r in _memory_table(spark, name).collect()
     }
     assert got == batch
+
+
+def test_ingest_restart_recovers_dedup_state(spark, tmpdir):
+    """Checkpoint recovery: stop the ingest query, land a new feed
+    batch containing a re-fetch of PRE-restart content, start a NEW
+    query on the same checkpoint — the duplicate is still dropped
+    (dedup state restored from the state store, since nothing in the
+    new batch alone identifies it as a dup) and the pre-restart rows
+    are not re-emitted (file-sink exactly-once via the commit log)."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox jumps over a lazy sleeping dog while "
+        "seven wizards of oxford brew giant black quartz potions "
+        "and judge every vexing word"
+    )
+    good2 = (
+        "a misty harbor town wakes early in cold light as fishing "
+        "boats drift past stone piers carrying nets ropes lanterns "
+        "and the patient hopes of sailors"
+    )
+
+    def doc(i, text, minute):
+        return (i, text, "en", "crawl",
+                t0 + datetime.timedelta(minutes=minute))
+
+    src = os.path.join(tmpdir, "rfeed")
+    sink = os.path.join(tmpdir, "rsink")
+    ckpt = os.path.join(tmpdir, "rckpt")
+    spark.createDataFrame(
+        [doc(1, good, 0), doc(2, good2, 1)], ingest.DOC_FEED_SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    def run_once():
+        stream = rules.dir_stream(
+            spark, f"{src}/*", ingest.DOC_FEED_SCHEMA, max_files=1
+        )
+        q = ingest.start_ingest_shards(
+            stream, sink, ckpt, available_now=True
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert first == {1, 2}
+
+    # restart with a re-fetch of doc 1's content + one new doc
+    good3 = (
+        "under desert stars an old caravan rests beside red dunes "
+        "while traders share warm bread salted olives and long "
+        "stories of distant rainy kingdoms"
+    )
+    spark.createDataFrame(
+        [doc(3, good, 5), doc(4, good3, 6)], ingest.DOC_FEED_SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 4], ids  # dup 3 dropped, nothing re-emitted
