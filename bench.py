@@ -95,6 +95,8 @@ def main() -> None:
     ):
         time.sleep(5)
     sweep_loads: list[float] = []
+    oracle_sweeps: list[float] = []
+    do_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SWEEP", "1") != "0"
     sweeps_t0 = time.perf_counter()
     sweeps_done = 0
     for sweep in range(BENCH_N):
@@ -104,6 +106,18 @@ def main() -> None:
             force(queries[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
         sweeps_done = sweep + 1
+        # one DuckDB oracle sweep INTERLEAVED after each Spark sweep:
+        # DuckDB totals on this box swing +-40% with co-tenant load,
+        # so a single end-of-run oracle pass can make the ratio drift
+        # 1.1x-1.6x on identical plans; medians over sweeps taken in
+        # the SAME load windows as the Spark sweeps keep the paired
+        # ratio honest under drift
+        if do_oracle:
+            try:
+                oracle_sweeps.append(_oracle_sweep_total())
+            except Exception as e:
+                print(f"oracle sweep failed: {e!r}", file=sys.stderr)
+                do_oracle = False
         # soft wall-clock budget: under heavy co-tenant load the extra
         # robustness sweeps must not run the whole bench into a driver
         # timeout — medians of >=3 completed sweeps are still sound
@@ -120,19 +134,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Paired DuckDB-oracle sweep (one timed pass over every twin on
-    # the same machine state) so the engine-vs-oracle ratio is
-    # machine-readable in the round record without a separate
-    # bench_oracle.py run. Skippable via SPARK_GRAFT_ORACLE_SWEEP=0.
-    oracle_total = None
-    if os.environ.get("SPARK_GRAFT_ORACLE_SWEEP", "1") != "0":
-        try:
-            oracle_total = _oracle_sweep_total()
-        except Exception as e:  # keep the bench alive, but VISIBLY:
-            # a null oracle_total must be distinguishable from an
-            # intentional SPARK_GRAFT_ORACLE_SWEEP=0 skip
-            print(f"oracle sweep failed: {e!r}", file=sys.stderr)
-            oracle_total = None
+    # median of the interleaved DuckDB sweeps (same machine state AND
+    # same load windows as the Spark sweeps) — the paired denominator
+    oracle_total = (
+        round(statistics.median(oracle_sweeps), 3)
+        if oracle_sweeps
+        else None
+    )
 
     # Output discipline (round 5: the driver records only a ~4 KB tail
     # of stdout and parses the LAST line — a single fat JSON line got
@@ -150,6 +158,7 @@ def main() -> None:
         "n": sweeps_done,
         "loadavg_per_sweep": sweep_loads,
         "oracle_total_sec": oracle_total,
+        "oracle_sweeps_sec": [round(t, 2) for t in oracle_sweeps],
         "ratio_vs_oracle": (
             round(total / oracle_total, 3) if oracle_total else None
         ),
