@@ -1,0 +1,60 @@
+"""Deployment conf sizing (scale.py): the shuffle-partition formula
+must hold across the whole envelope from the local fixtures to the
+advertised 100 TB / 1000-executor deployment."""
+
+from __future__ import annotations
+
+import pytest
+
+from jaws_effective_processor_spark.scale import (
+    MAX_SHUFFLE_PARTITIONS,
+    PARTITION_TARGET_BYTES,
+    recommended_conf,
+    shuffle_partitions,
+)
+
+TB = 1024**4
+
+
+def test_local_floor_is_core_count():
+    # sf0.1 (~100 MB) on 32 cores: size-based count is 1; the floor
+    # keeps every core busy
+    assert shuffle_partitions(100 * 1024 * 1024, 32) == 32
+
+
+def test_100tb_sizing_is_spill_safe_and_bounded():
+    parts = shuffle_partitions(100 * TB, 1000 * 8)
+    # every partition at or under the per-reducer target...
+    assert (100 * TB) / parts <= PARTITION_TARGET_BYTES
+    # ...while staying inside the task-overhead backstop
+    assert 8000 <= parts < MAX_SHUFFLE_PARTITIONS  # cap not engaged at target scale
+
+
+def test_monotone_in_data_never_fewer_partitions():
+    cores = 256
+    prev = 0
+    for b in (0, 1, 10**9, 10**12, 10 * TB, 100 * TB, 1000 * TB):
+        cur = shuffle_partitions(b, cores)
+        assert cur >= prev, (b, cur, prev)
+        prev = cur
+
+
+def test_cap_engages_only_at_extreme_scale():
+    assert shuffle_partitions(10**18, 1000) == MAX_SHUFFLE_PARTITIONS
+
+
+def test_conf_block_shape():
+    conf = recommended_conf(100 * TB, 8000)
+    assert set(conf) == {
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.files.maxPartitionBytes",
+    }
+    assert all(isinstance(v, str) and int(v) > 0 for v in conf.values())
+
+
+def test_invalid_inputs_rejected():
+    with pytest.raises(ValueError):
+        shuffle_partitions(-1, 8)
+    with pytest.raises(ValueError):
+        shuffle_partitions(10, 0)
