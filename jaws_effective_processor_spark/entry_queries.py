@@ -442,6 +442,11 @@ def _register_llm() -> None:
         osql.KMEANS_LABEL_PURITY_SQL,
     )
     register(
+        "kmeans_balanced_sample",
+        clustering.q_kmeans_balanced_sample,
+        osql.KMEANS_BALANCED_SAMPLE_SQL,
+    )
+    register(
         "unigram_surprisal",
         corpus.q_unigram_surprisal,
         osql.UNIGRAM_SURPRISAL_SQL,

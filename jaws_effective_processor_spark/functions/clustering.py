@@ -199,3 +199,56 @@ def q_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n) DIV n_vectors").alias("purity_permille"),
         )
     )
+
+
+CLUSTER_CAP_64K = 19660  # ~300 permille of the vector mass in 1/65536
+
+
+def q_kmeans_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced downsampling — the curation ACTION the k-means
+    partition feeds (SemDeDup-style diversity selection caps
+    over-represented regions of embedding space the way
+    q_mixture_rebalance caps over-represented languages): any cluster
+    holding more than ~300 permille of the vectors is hash-sampled
+    down to the cap, the rest keep rate 65536/65536. Emits the
+    retained vectors with the applied per-cluster rate.
+
+    The keep decision is a pure function of vec_id (md5 16-bit
+    fingerprint vs the cluster's rate) — reproducible across
+    engines/runs, stable under corpus growth, same machinery as
+    q_mixture_rebalance with the OBSERVED cluster census in place of
+    the language census (one-pass pre-sampling rates, same
+    documented approximation).
+
+    Scale shape: the census is a K-row aggregate over the cached
+    assignment, window-totaled and joined back (AQE broadcasts it);
+    the vec side never shuffles beyond the assignment's own argmin
+    exchange and the filter is scan-local."""
+    e = _emb_micro(spark, sf_dir)
+    a2 = _assign(e, _trained_centroids(spark, sf_dir)).select(
+        "vec_id", F.col("cid").alias("cluster_id")
+    )
+    census = a2.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    rates = census.select(
+        "cluster_id",
+        F.least(
+            F.lit(65536).cast("long"),
+            F.expr(
+                f"({CLUSTER_CAP_64K} * sum(n_members) OVER ())"
+                " DIV n_members"
+            ),
+        ).alias("rate_64k"),
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        a2.join(rates, "cluster_id")
+        .select("vec_id", "cluster_id", "rate_64k", h16.alias("h16"))
+        .filter(F.col("h16") < F.col("rate_64k"))
+        .select("vec_id", "cluster_id", "rate_64k")
+    )

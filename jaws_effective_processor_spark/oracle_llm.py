@@ -1843,3 +1843,27 @@ SELECT cid AS cluster_id, n_vectors, label AS majority_label,
        (1000 * n) // n_vectors AS purity_permille
 FROM ranked WHERE rn = 1
 """
+
+from .functions.clustering import CLUSTER_CAP_64K  # noqa: E402
+
+# Twin of q_kmeans_balanced_sample: assignment CTEs + K-row census +
+# the same integer rate and md5 16-bit keep decision.
+KMEANS_BALANCED_SAMPLE_SQL = f"""
+WITH {_KMEANS_CTES},
+census AS (
+  SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM a2 GROUP BY cid
+),
+rates AS (
+  SELECT cluster_id,
+         least(CAST(65536 AS BIGINT),
+               ({CLUSTER_CAP_64K}
+                * CAST(sum(n_members) OVER () AS BIGINT))
+               // n_members) AS rate_64k
+  FROM census
+)
+SELECT a2.vec_id, a2.cid AS cluster_id, rates.rate_64k
+FROM a2 JOIN rates ON a2.cid = rates.cluster_id
+WHERE CAST(('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 4))
+           AS BIGINT) < rates.rate_64k
+"""

@@ -121,7 +121,8 @@ EDGE_VECS = 40
 EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
                "embedding_quantize", "ann_recall", "embedding_outliers",
-               "kmeans_assign", "kmeans_report", "kmeans_label_purity")
+               "kmeans_assign", "kmeans_report", "kmeans_label_purity",
+               "kmeans_balanced_sample")
 
 
 @pytest.fixture(scope="module")
