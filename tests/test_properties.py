@@ -882,3 +882,114 @@ def test_phrase_search_matches_python_scan(spark):
         if c:
             expect[r["doc_id"]] = c
     assert out == expect
+
+
+def test_round6_ops_match_python_references(spark):
+    """unigram_surprisal, mixture_temperature, context_length_report
+    and kmeans_balanced_sample against pure-Python reimplementations —
+    a third implementation independent of both the Spark expressions
+    and their DuckDB twins, so a shared-idiom bug (e.g. a wrong
+    common formula pasted into both engines) cannot hide."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.tables import load_table
+
+    docs = [
+        (r["doc_id"], r["text"].split(" "), r["lang"])
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    ]
+
+    # --- unigram_surprisal
+    freq = Counter(t for _, tk, _ in docs for t in tk)
+    total = sum(freq.values())
+
+    def bits(x):
+        return x.bit_length()  # == len(bin(x)) - 2 == floor(log2)+1
+
+    expect = {}
+    for doc_id, tk, _ in docs:
+        s = sum(bits(total) - bits(freq[t]) for t in tk)
+        expect[doc_id] = (len(tk), s, (1000 * s) // len(tk))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"], r["mean_millibits"])
+        for r in QUERIES["unigram_surprisal"](spark, SF_ORACLE).collect()
+    }
+    assert got == expect
+
+    # --- mixture_temperature
+    mass = Counter()
+    for _, tk, lang in docs:
+        mass[lang] += len(tk)
+    w = {lang: math.floor(math.sqrt(m)) for lang, m in mass.items()}
+    tot_w = sum(w.values())
+    got_m = {
+        r["lang"]: (r["n_tokens"], r["weight"], r["sample_permille"],
+                    r["expected_tokens"])
+        for r in QUERIES["mixture_temperature"](spark, SF_ORACLE).collect()
+    }
+    for lang, m in mass.items():
+        rate = (1000 * w[lang]) // tot_w
+        assert got_m[lang] == (m, w[lang], rate, (m * rate) // 1000)
+
+    # --- context_length_report
+    from jaws_effective_processor_spark.functions.corpus import (
+        CONTEXT_BUCKETS,
+    )
+
+    def bucket(n):
+        return max([0] + [b for b in CONTEXT_BUCKETS if n >= b])
+
+    per = Counter()
+    toks = Counter()
+    for _, tk, _ in docs:
+        per[bucket(len(tk))] += 1
+        toks[bucket(len(tk))] += len(tk)
+    n_docs_total, n_tok_total = sum(per.values()), sum(toks.values())
+    got_c = {
+        r["bucket_lo"]: (r["n_docs"], r["n_tokens"], r["doc_permille"],
+                         r["token_permille"])
+        for r in QUERIES["context_length_report"](spark, SF_ORACLE).collect()
+    }
+    assert set(got_c) == set(per)
+    for b in per:
+        assert got_c[b] == (
+            per[b], toks[b],
+            (1000 * per[b]) // n_docs_total,
+            (1000 * toks[b]) // n_tok_total,
+        )
+
+    # --- kmeans_balanced_sample: rates from the observed census,
+    # md5 keep decision, using the engine's own assignment as input
+    # (the assignment itself is pinned by its dedicated test)
+    from jaws_effective_processor_spark.functions.clustering import (
+        CLUSTER_CAP_64K,
+    )
+
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in QUERIES["kmeans_assign"](spark, SF_ORACLE).collect()
+    }
+    census = Counter(assign.values())
+    n_total = sum(census.values())
+    rates = {
+        c: min(65536, (CLUSTER_CAP_64K * n_total) // n)
+        for c, n in census.items()
+    }
+
+    def h16(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16)
+
+    expect_s = {
+        (vid, cid, rates[cid])
+        for vid, cid in assign.items()
+        if h16(vid) < rates[cid]
+    }
+    got_s = {
+        (r["vec_id"], r["cluster_id"], r["rate_64k"])
+        for r in QUERIES["kmeans_balanced_sample"](spark, SF_ORACLE).collect()
+    }
+    assert got_s == expect_s
