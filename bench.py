@@ -95,36 +95,44 @@ def main() -> None:
     ):
         time.sleep(5)
     sweep_loads: list[float] = []
+    oracle_runs: dict[str, list[float]] = {}
     oracle_sweeps: list[float] = []
     do_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SWEEP", "1") != "0"
-    sweeps_t0 = time.perf_counter()
+    spark_elapsed = 0.0
     sweeps_done = 0
     for sweep in range(BENCH_N):
         sweep_loads.append(round(os.getloadavg()[0], 1))
+        sweep_t0 = time.perf_counter()
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
+        spark_elapsed += time.perf_counter() - sweep_t0
         sweeps_done = sweep + 1
         # one DuckDB oracle sweep INTERLEAVED after each Spark sweep:
         # DuckDB totals on this box swing +-40% with co-tenant load,
         # so a single end-of-run oracle pass can make the ratio drift
-        # 1.1x-1.6x on identical plans; medians over sweeps taken in
-        # the SAME load windows as the Spark sweeps keep the paired
-        # ratio honest under drift
+        # 1.1x-1.6x on identical plans. The oracle is timed PER QUERY
+        # so both sides of the ratio aggregate the same way (sum of
+        # per-query medians) — a sweep-total median on one side only
+        # would keep co-tenant spikes in the oracle denominator that
+        # the Spark side's per-query medians discard. A failed sweep
+        # costs only that sweep's samples, never the remaining sweeps.
         if do_oracle:
             try:
-                oracle_sweeps.append(_oracle_sweep_total())
+                per_q = _oracle_sweep_query_secs()
             except Exception as e:
                 print(f"oracle sweep failed: {e!r}", file=sys.stderr)
-                do_oracle = False
-        # soft wall-clock budget: under heavy co-tenant load the extra
-        # robustness sweeps must not run the whole bench into a driver
-        # timeout — medians of >=3 completed sweeps are still sound
-        if (
-            sweep + 1 >= 3
-            and time.perf_counter() - sweeps_t0 > BENCH_BUDGET_S
-        ):
+            else:
+                for name, sec in per_q.items():
+                    oracle_runs.setdefault(name, []).append(sec)
+                oracle_sweeps.append(round(sum(per_q.values()), 3))
+        # soft wall-clock budget on the SPARK sweeps only (oracle time
+        # must not eat the sample count BENCH_N=5 exists to provide):
+        # under heavy co-tenant load the extra robustness sweeps must
+        # not run the whole bench into a driver timeout — medians of
+        # >=3 completed sweeps are still sound
+        if sweep + 1 >= 3 and spark_elapsed > BENCH_BUDGET_S:
             break
     timings = {
         name: round(statistics.median(rs), 3)
@@ -134,11 +142,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # median of the interleaved DuckDB sweeps (same machine state AND
-    # same load windows as the Spark sweeps) — the paired denominator
+    # sum of per-query medians across the interleaved DuckDB sweeps —
+    # the SAME aggregation as the Spark numerator, on the same machine
+    # state and load windows
     oracle_total = (
-        round(statistics.median(oracle_sweeps), 3)
-        if oracle_sweeps
+        round(
+            sum(
+                statistics.median(rs) for rs in oracle_runs.values()
+            ),
+            3,
+        )
+        if oracle_runs
         else None
     )
 
@@ -167,40 +181,46 @@ def main() -> None:
     spark.stop()
 
 
-def _oracle_sweep_total() -> float:
-    """One timed DuckDB pass over every oracle twin at SF_DIR.
-    Parquet is already page-cached by the Spark sweeps, so this is a
-    warm single-sweep number — noisier than bench_oracle.py's
-    interleaved medians, but taken on the identical machine state as
-    the Spark totals above, which is what makes the ratio honest."""
+def _oracle_sweep_query_secs() -> dict[str, float]:
+    """One DuckDB pass over every oracle twin at SF_DIR, timed PER
+    QUERY (so medians aggregate symmetrically with the Spark side).
+    Parquet is already page-cached by the Spark sweeps — warm
+    numbers, on the identical machine state as the Spark sweeps."""
     import duckdb
 
     import __spark_entry__ as entry_mod
 
     sqls = entry_mod.oracle_sql()
     con = duckdb.connect()
-    for t in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    t0 = time.perf_counter()
-    for name in sorted(sqls):
-        try:
-            con.sql(sqls[name]).fetchall()
-        except Exception as e:
-            raise RuntimeError(f"oracle twin {name!r} failed: {e}") from e
-    total = time.perf_counter() - t0
-    con.close()
-    return round(total, 3)
+    try:
+        for t in (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        ):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        per_q: dict[str, float] = {}
+        for name in sorted(sqls):
+            t0 = time.perf_counter()
+            try:
+                con.sql(sqls[name]).fetchall()
+            except Exception as e:
+                raise RuntimeError(
+                    f"oracle twin {name!r} failed: {e}"
+                ) from e
+            per_q[name] = time.perf_counter() - t0
+        return per_q
+    finally:
+        con.close()
 
 
 if __name__ == "__main__":

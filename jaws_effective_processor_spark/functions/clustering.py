@@ -230,22 +230,18 @@ def q_kmeans_balanced_sample(
     a2 = _assign(e, _trained_centroids(spark, sf_dir)).select(
         "vec_id", F.col("cid").alias("cluster_id")
     )
+    from .corpus import capped_rate_64k_expr, h16_of
+
     census = a2.groupBy("cluster_id").agg(
         F.count("*").alias("n_members")
     )
     rates = census.select(
         "cluster_id",
-        F.least(
-            F.lit(65536).cast("long"),
-            F.expr(
-                f"({CLUSTER_CAP_64K} * sum(n_members) OVER ())"
-                " DIV n_members"
-            ),
-        ).alias("rate_64k"),
+        capped_rate_64k_expr(CLUSTER_CAP_64K, "n_members").alias(
+            "rate_64k"
+        ),
     )
-    h16 = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
+    h16 = h16_of(F.col("vec_id"))
     return (
         a2.join(rates, "cluster_id")
         .select("vec_id", "cluster_id", "rate_64k", h16.alias("h16"))

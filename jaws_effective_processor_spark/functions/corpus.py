@@ -103,15 +103,38 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def h16_of(id_col: F.Column) -> F.Column:
+    """The engine's ONE 16-bit sampling fingerprint: md5 of the id's
+    decimal string, first 4 hex chars as an integer in [0, 65536).
+    Every deterministic hash-threshold sampler (stratified sample,
+    mixture rebalance, the k-means balanced sample, split_leakage's
+    split bits via assign_split) keys on this expression, and the
+    DuckDB twins mirror it as CAST(('0x' || substr(md5(x),1,4)) AS
+    BIGINT) — change it in lockstep everywhere or nowhere."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+    ).cast("long")
+
+
+def capped_rate_64k_expr(cap_64k: int, count_col: str) -> F.Column:
+    """Per-group keep rate in 1/65536 units capping any group at
+    ~cap_64k/65536 of the window total: least(65536, cap * total DIV
+    group_count), evaluated over an unpartitioned window on the
+    (tiny, already-aggregated) census frame. Shared by the language
+    and cluster rebalancers so the rate arithmetic cannot drift."""
+    return F.least(
+        F.lit(65536).cast("long"),
+        F.expr(f"({cap_64k} * sum({count_col}) OVER ()) DIV {count_col}"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sample: keep a doc iff the 16-bit
     value of md5(doc_id)'s first 4 hex chars falls under the
     language's rate. Reproducible across engines and runs (no RNG),
     and at 100 TB it is a scan-local filter — no shuffle at all."""
     docs = load_table(spark, sf_dir, "documents")
-    h16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
+    h16 = h16_of(F.col("doc_id"))
     rate = F.lit(SAMPLE_DEFAULT_64K)
     for lang, r in SAMPLE_RATES_64K.items():
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
@@ -777,17 +800,11 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_lang = base.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
     rates = per_lang.select(
         "lang",
-        F.least(
-            F.lit(65536).cast("long"),
-            F.expr(
-                f"({REBALANCE_CAP_64K} * sum(lang_tokens) OVER ())"
-                " DIV lang_tokens"
-            ),
-        ).alias("rate_64k"),
+        capped_rate_64k_expr(REBALANCE_CAP_64K, "lang_tokens").alias(
+            "rate_64k"
+        ),
     )
-    h16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
+    h16 = h16_of(F.col("doc_id"))
     # No explicit broadcast hint: rates is tiny but DERIVED (agg +
     # window), and forcing an eager broadcast exchange of a computed
     # subplan intermittently stalled on a busy driver (measured on
