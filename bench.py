@@ -32,8 +32,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # full sweeps
 BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
 # stop starting new sweeps (after the 3rd) once this much wall time
-# has gone into timed sweeps
+# has gone into timed SPARK sweeps
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+# hard ceiling on COMBINED Spark+oracle elapsed: each interleaved
+# DuckDB sweep costs real wall time too, and under co-tenant load the
+# oracle passes alone can push the bench past the driver timeout the
+# soft budget exists to avoid. Once combined elapsed crosses this,
+# remaining ORACLE sweeps are skipped (medians of the completed
+# interleaved oracle sweeps stay symmetric with the Spark side —
+# each completed oracle sweep was sampled in the same load window as
+# the Spark sweep it followed).
+BENCH_HARD_BUDGET_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "480")
+)
 # co-tenant load guard: before the FIRST timed sweep (the only moment
 # the 1-min loadavg is not confounded by our own just-finished sweep),
 # wait for loadavg to drop below this before timing anything — a
@@ -100,6 +111,7 @@ def main() -> None:
     do_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SWEEP", "1") != "0"
     spark_elapsed = 0.0
     sweeps_done = 0
+    bench_t0 = time.perf_counter()
     for sweep in range(BENCH_N):
         sweep_loads.append(round(os.getloadavg()[0], 1))
         sweep_t0 = time.perf_counter()
@@ -109,6 +121,14 @@ def main() -> None:
             runs[name].append(time.perf_counter() - t0)
         spark_elapsed += time.perf_counter() - sweep_t0
         sweeps_done = sweep + 1
+        # progress to stderr (stdout stays two-lines-at-end clean for
+        # the driver tail): a mid-run kill still leaves evidence
+        print(
+            f"sweep {sweeps_done}/{BENCH_N}: spark "
+            f"{time.perf_counter() - sweep_t0:.1f}s, combined elapsed "
+            f"{time.perf_counter() - bench_t0:.1f}s",
+            file=sys.stderr,
+        )
         # one DuckDB oracle sweep INTERLEAVED after each Spark sweep:
         # DuckDB totals on this box swing +-40% with co-tenant load,
         # so a single end-of-run oracle pass can make the ratio drift
@@ -118,6 +138,12 @@ def main() -> None:
         # would keep co-tenant spikes in the oracle denominator that
         # the Spark side's per-query medians discard. A failed sweep
         # costs only that sweep's samples, never the remaining sweeps.
+        if do_oracle and time.perf_counter() - bench_t0 > BENCH_HARD_BUDGET_S:
+            print(
+                "hard budget reached: skipping remaining oracle sweeps",
+                file=sys.stderr,
+            )
+            do_oracle = False
         if do_oracle:
             try:
                 per_q = _oracle_sweep_query_secs()
@@ -156,18 +182,19 @@ def main() -> None:
         else None
     )
 
-    # Output discipline (round 5: the driver records only a ~4 KB tail
-    # of stdout and parses the LAST line — a single fat JSON line got
-    # front-truncated and machine-unreadable). So: full 3-decimal
-    # per-query detail on its own line FIRST, then the contract JSON
-    # line LAST, compact separators + 2-decimal per-query values to
-    # stay inside the tail window.
+    # Output discipline (rounds 5-6: the driver records only a ~2-4 KB
+    # tail of stdout and parses the LAST line — any fat JSON last line
+    # gets FRONT-truncated and machine-unreadable; r5 and r6 both
+    # recorded `parsed: null` because the summary embedded the full
+    # 114-entry per-query map). So: full 3-decimal per-query detail on
+    # its own line FIRST, then a ~300-byte summary WITHOUT the
+    # per-query map as the LAST line.
     print(json.dumps({"detail_queries_sec": timings}))
     summary = {
         "metric": "total_wall_time_all_queries",
         "value": total,
         "unit": "sec",
-        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "n_queries": len(timings),
         "sf": float(sf) if sf else None,
         "n": sweeps_done,
         "loadavg_per_sweep": sweep_loads,

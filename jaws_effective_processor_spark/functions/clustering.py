@@ -55,10 +55,27 @@ def _emb_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_frame(spark, sf_dir, "kmeans_emb_micro", _build)
 
 
+# _assign's dim-keyed broadcast join materializes vecs x dims x K rows
+# before the map-side partial aggregation — the plan is LINEAR IN K.
+# That is the right trade for routing-scale K (tens to ~a thousand):
+# the join stays whole-stage-codegen, exact-integer, and oracle-
+# twinnable. At a production curation K (10^3-10^5 clusters,
+# SemDeDup-style), K x the exploded corpus per iteration is the wrong
+# plan — use assign_arrow below, which keeps the K x dims codebook in
+# one Arrow-side matrix and never row-expands.
+KMEANS_BROADCAST_K_MAX = 1024
+
+
 def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, cid, dist_sq), ties
     broken toward the smallest cid. cent is (cid, dim, cm) — K x dims
-    rows, broadcast."""
+    rows, broadcast.
+
+    Scale bound: materializes vecs x dims x K rows pre-aggregation
+    (see KMEANS_BROADCAST_K_MAX above); for K beyond that use
+    assign_arrow, parity-pinned in
+    tests/test_properties.py::test_assign_arrow_matches_broadcast_join.
+    """
     d = (
         e.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "cid")
@@ -76,6 +93,91 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def assign_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """Large-K nearest-centroid assignment: the Arrow-batched distance
+    kernel _assign's docstring points to for K > KMEANS_BROADCAST_K_MAX.
+
+    `emb` is the raw (vec_id, embedding array<double>) table;
+    `cent_rows` is the collected (cid, dim, cm) centroid table (K x
+    dims values — a bounded pipeline artifact, like the IVF codebook
+    at streaming/vectors.py). The codebook ships to executors once in
+    the task closure as a K x dims int64 matrix; each Arrow batch
+    computes exact-integer squared distances blockwise over K (block
+    size caps the n x K_block x dims intermediate, so memory is
+    bounded by the batch, not by K) and keeps a running (min, argmin).
+    No row expansion, no shuffle — scan-local, one output row per
+    vector, ties toward the smallest cid exactly like _assign.
+    """
+    import numpy as np
+
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = int(r["cm"])
+    cids = sorted(by_cid)
+    dims = sorted(by_cid[cids[0]])
+    C = np.array(
+        [[by_cid[c][d] for d in dims] for c in cids], dtype=np.int64
+    )
+    cid_arr = np.array(cids, dtype=np.int64)
+    k_block = 256
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()) * KMEANS_MICRO
+            ).astype(np.int64)
+            best_d = None
+            best_c = None
+            for lo in range(0, len(cid_arr), k_block):
+                diff = X[:, None, :] - C[None, lo : lo + k_block, :]
+                d = (diff * diff).sum(axis=2)
+                am = d.argmin(axis=1)
+                dm = d[np.arange(len(am)), am]
+                cm_ = cid_arr[lo + am]
+                if best_d is None:
+                    best_d, best_c = dm, cm_
+                else:
+                    # strict <: earlier blocks hold smaller cids, so
+                    # ties keep the smallest cid, matching _assign
+                    take = dm < best_d
+                    best_d = np.where(take, dm, best_d)
+                    best_c = np.where(take, cm_, best_c)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": best_c,
+                    "dist_sq": best_d,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _batches, "vec_id long, cid long, dist_sq long"
+    )
+
+
+def _assignment_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 assignment (vec_id, cid, dist_sq), session-cached
+    under tag 'kmeans_assign_r2': like the trained centroids it is a
+    persisted pipeline artifact — every consumer (the partition table,
+    the quality report, label purity, balanced sampling) reads the
+    SAME materialized assignment instead of re-running the argmin
+    exchange, and plans that use it twice (balanced_sample's census +
+    join-back) scan the cache instead of evaluating the assignment
+    subtree twice."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        return _assign(
+            _emb_micro(spark, sf_dir), _trained_centroids(spark, sf_dir)
+        )
+
+    return _cached_frame(spark, sf_dir, "kmeans_assign_r2", _build)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two deterministic Lloyd iterations over the embedding table:
     seed centroids = the KMEANS_K smallest vec_ids' vectors (cid in
@@ -83,9 +185,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     again. Output one row per vector: (vec_id, cluster_id, dist_sq)
     under the refreshed centroids — the partition table every
     cluster-aware curation step joins against."""
-    e = _emb_micro(spark, sf_dir)
-    c1 = _trained_centroids(spark, sf_dir)
-    a2 = _assign(e, c1)
+    a2 = _assignment_r2(spark, sf_dir)
     return a2.select(
         "vec_id", F.col("cid").alias("cluster_id"), "dist_sq"
     )
@@ -138,12 +238,10 @@ def q_kmeans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a mega-cluster or an empty cell flags a bad seed or a collapsed
     embedding space, the clustering analog of dedup_cluster_sizes).
 
-    Reuses the SAME cached artifacts as q_kmeans_assign (exploded
-    vectors + trained centroid table), so per-execution work is one
-    assignment pass and one K-row aggregation — nothing new shuffles
-    beyond the vec-keyed argmin exchange."""
-    e = _emb_micro(spark, sf_dir)
-    a2 = _assign(e, _trained_centroids(spark, sf_dir))
+    Reads the SAME cached round-2 assignment as q_kmeans_assign, so
+    per-execution work is one K-row aggregation over the cached
+    frame — no new argmin exchange."""
+    a2 = _assignment_r2(spark, sf_dir)
     return (
         a2.groupBy("cid")
         .agg(
@@ -166,14 +264,13 @@ def q_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     report that decides whether cluster-aware sampling can stand in
     for label-aware sampling when labels are scarce.
 
-    Reuses the cached assignment artifacts; the only new work is the
+    Reads the cached round-2 assignment; the only new work is the
     vec-keyed join to the label column (scan-local projection of the
     embeddings table) and a (cluster, label) aggregation whose
     cardinality is K x #labels — bounded by geometry, not data."""
     from ..tables import load_table
 
-    e = _emb_micro(spark, sf_dir)
-    a2 = _assign(e, _trained_centroids(spark, sf_dir))
+    a2 = _assignment_r2(spark, sf_dir)
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
@@ -222,12 +319,11 @@ def q_kmeans_balanced_sample(
     the language census (one-pass pre-sampling rates, same
     documented approximation).
 
-    Scale shape: the census is a K-row aggregate over the cached
-    assignment, window-totaled and joined back (AQE broadcasts it);
-    the vec side never shuffles beyond the assignment's own argmin
-    exchange and the filter is scan-local."""
-    e = _emb_micro(spark, sf_dir)
-    a2 = _assign(e, _trained_centroids(spark, sf_dir)).select(
+    Scale shape: both the census and the join-back read the cached
+    round-2 assignment (one materialization, two scans — not two
+    evaluations of the argmin subtree in one plan); the K-row rate
+    table broadcasts via AQE and the filter is scan-local."""
+    a2 = _assignment_r2(spark, sf_dir).select(
         "vec_id", F.col("cid").alias("cluster_id")
     )
     from .corpus import capped_rate_64k_expr, h16_of

@@ -54,11 +54,13 @@ def shuffle_partitions(input_bytes: int, total_cores: int) -> int:
     """Initial shuffle partition count for a job whose largest shuffle
     moves ~`input_bytes` (pre-aggregation upper bound: the input
     scan). Never below the cluster's core count (idle cores are pure
-    waste), never above MAX_SHUFFLE_PARTITIONS."""
+    waste); the MAX_SHUFFLE_PARTITIONS cap applies only to the
+    size-derived count, so the core floor always wins (a >1M-core
+    cluster gets one partition per core, never fewer)."""
     if input_bytes < 0 or total_cores <= 0:
         raise ValueError("input_bytes >= 0 and total_cores > 0 required")
     by_size = -(-input_bytes // PARTITION_TARGET_BYTES)  # ceil div
-    return int(min(MAX_SHUFFLE_PARTITIONS, max(total_cores, by_size)))
+    return int(max(total_cores, min(MAX_SHUFFLE_PARTITIONS, by_size)))
 
 
 def recommended_conf(

@@ -806,14 +806,47 @@ def test_kmeans_assign_is_nearest_centroid_partition(spark):
     c1 = {}
     for cid in set(a1.values()):
         members = [emb[v] for v in a1 if a1[v] == cid]
-        # Spark's `sum DIV count` truncates toward zero, like int()
+        # Spark's `sum DIV count` truncates toward zero — use exact
+        # integer arithmetic (float division can round across an
+        # integer boundary past 2^53)
+        def _div_trunc(s: int, n: int) -> int:
+            return s // n if (s >= 0) == (n >= 0) or s % n == 0 else -((-s) // n)
+
         c1[cid] = [
-            int(sum(col) / len(members)) for col in zip(*members)
+            _div_trunc(sum(col), len(members)) for col in zip(*members)
         ]
     for vid, v in emb.items():
         best_d, best_c = nearest(v, c1)
         assert out[vid]["dist_sq"] == best_d
         assert out[vid]["cluster_id"] == best_c
+
+
+def test_assign_arrow_matches_broadcast_join(spark):
+    """The large-K Arrow distance kernel (assign_arrow) and the
+    broadcast-join assignment (_assign) produce the identical
+    (vec_id, cid, dist_sq) partition — same exact-integer distances,
+    same smallest-cid tie-break — so switching paths at
+    KMEANS_BROADCAST_K_MAX changes the plan, never the result."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.functions.clustering import (
+        _assign,
+        _emb_micro,
+        _trained_centroids,
+        assign_arrow,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    cent = _trained_centroids(spark, SF_ORACLE)
+    join_rows = {
+        r["vec_id"]: (r["cid"], r["dist_sq"])
+        for r in _assign(_emb_micro(spark, SF_ORACLE), cent).collect()
+    }
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    arrow_rows = {
+        r["vec_id"]: (r["cid"], r["dist_sq"])
+        for r in assign_arrow(emb, cent.collect()).collect()
+    }
+    assert arrow_rows == join_rows
 
 
 def test_split_leakage_bounds_and_masks(spark):
