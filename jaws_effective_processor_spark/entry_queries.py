@@ -501,33 +501,28 @@ _register_llm()
 # knn_ivf_multiprobe), so the driver oracle eventually visits every
 # registered query, not a fixed favored subset.
 #
-# Round 6 rotation — the verification-debt flush. Composition:
+# Round 7 rotation — close the last evidence gaps. Composition:
 #   15 alarm-core keepers: the reference's own operator families
 #      (SURVEY §2 S/P/J/A/T/E/W rows) stay driver-green EVERY round.
-#    3 hash-fix re-checks: block_dedup, dup_gram_coverage,
-#      corpus_split went red in r5 on a DuckDB-HUGEINT-vs-BIGINT
-#      value-hash artifact (values verified identical); their oracles
-#      now cast to BIGINT and must re-green under the driver.
-#    4 nested re-entrants: errored in r2, fixed, never re-checked
-#      (only effective_registrations_nested was, green in r5).
-#   28 first-timers: every remaining registered query that has never
-#      appeared in a driver window (VERDICT r5 item 3's full list).
-# = 50 exactly, so after this round every one of the 104 registered
-# queries has driver evidence. The 33 swapped-out entries are all
-# multi-round driver-green (r3+r5 or earlier) and every §2.9/LLM
-# family keeps in-window representation through siblings: sorts/topk
-# via top_orders_per_customer + keyword_topk + vocab-style ranks in
-# bpe_*, aggregates via corpus_mixture/source_quality_report, sketch
-# aggregates via heavy_hitters, windows via pack_sequences (cumsum)
-# and dedup_keep (rank), pivot via language_confusion (conditional
-# matrix), dedup via dedup_simhash_pairs/dedup_normalized/
-# doc_repetition/dedup_cluster_sizes/dedup_keep, ANN via
-# knn_label_vote/ann_recall/embedding_quantize/embedding_outliers/
-# doc_embedding_norms, multimodal via multimodal_frames, text via
-# pii_scan/pii_redact/token_rarity, retrieval via rag_bucket_report +
-# inverted_index, tokenizer via bpe_pair_counts/bpe_merge_round,
-# reports via shard_skew_report/source_quality_report, curation via
-# mixture_rebalance/packed_token_ids/corpus_split.
+#   10 round-6 additions that registered after the r6 window was
+#      pinned and have NEVER been driver-checked (kmeans family,
+#      quality_logit, split_leakage, context_length_report,
+#      mixture_temperature, phrase_search, unigram_surprisal).
+#    1 stale-fail re-check: events_rollup_multires passed r1, errored
+#      r2 on the testdata ts-encoding change, was rewritten
+#      (relational.py ms_of/ts_of adaptive path) — its LATEST driver
+#      record is still that r2 AnalysisException, so it re-enters.
+#   24 retained r6-greens keeping every family represented in-window.
+# The 11 swapped-out entries are r6-driver-green with siblings
+# staying: nested shapes via effective_alarms_nested (the other 3
+# nested are single-projection variants of the same builder),
+# block/gram dedup via split_leakage + dedup_keep (same cached gram/
+# fingerprint machinery), corpus_split via split_leakage (reads the
+# split assignment), pii via pii_redact, tokenizer via
+# bpe_merge_round (builds ON pair_counts), ANN quantization via
+# embedding_outliers/doc_embedding_norms, normalized dedup via
+# dedup_simhash_pairs/doc_repetition, packing via packed_token_ids
+# (the strictly-stronger ordered reassembly).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -545,48 +540,42 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # nested published shapes (r2 error, fixed, never re-driver-checked)
+    # never-driver-checked round-6 additions
+    "kmeans_assign",
+    "kmeans_report",
+    "kmeans_label_purity",
+    "kmeans_balanced_sample",
+    "quality_logit",
+    "split_leakage",
+    "context_length_report",
+    "mixture_temperature",
+    "phrase_search",
+    "unigram_surprisal",
+    # stale-fail re-check (latest driver record = r2 error; rewritten)
+    "events_rollup_multires",
+    # retained r6-greens — family representation
     "effective_alarms_nested",
-    "effective_notifications_nested",
-    "effective_state_history_nested",
-    "intermediate_monolog_nested",
-    # r5 hash-red re-checks (oracle HUGEINT artifact, now cast)
-    "block_dedup",
-    "dup_gram_coverage",
-    "corpus_split",
-    # never-driver-checked: relational/SQL surface
     "heavy_hitters",
     "top_orders_per_customer",
-    # never-driver-checked: text / quality / reports
     "language_confusion",
-    "pii_scan",
     "pii_redact",
     "token_rarity",
     "corpus_mixture",
     "shard_skew_report",
     "source_quality_report",
-    # never-driver-checked: dedup family
     "dedup_simhash_pairs",
-    "dedup_normalized",
     "doc_repetition",
     "dedup_cluster_sizes",
     "dedup_keep",
-    # never-driver-checked: ANN / embeddings
     "knn_label_vote",
-    "embedding_quantize",
     "ann_recall",
     "embedding_outliers",
     "doc_embedding_norms",
-    # never-driver-checked: multimodal
     "multimodal_frames",
-    # never-driver-checked: retrieval / index artifacts
     "keyword_topk",
     "inverted_index",
     "rag_bucket_report",
-    # never-driver-checked: tokenizer / packing / mixture
-    "bpe_pair_counts",
     "bpe_merge_round",
-    "pack_sequences",
     "packed_token_ids",
     "mixture_rebalance",
 ]
