@@ -174,7 +174,18 @@ def logit_gate_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def neardup_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
+# Above this many ingested documents the near-dup gate's seen-bucket
+# set (N_BANDS longs per doc) stops being broadcast material: 250k
+# docs x 4 bands x 8 B = ~8 MB of array inside ONE row — past that the
+# single-row collect_set aggregation and the per-task array intersect
+# both degrade, and well before corpus scale the broadcast OOMs. The
+# auto switch flips to the shuffled stream-static anti-join shape.
+NEARDUP_BROADCAST_MAX_DOCS = 250_000
+
+
+def neardup_gate_stream(
+    docs: DataFrame, ingested: DataFrame, mode: str = "auto"
+) -> DataFrame:
     """Streaming NEAR-dup gate: drop arriving documents that share a
     MinHash-LSH band bucket with any already-ingested document — the
     live half of functions/dedup.q_dedup_minhash_lsh's candidate
@@ -191,14 +202,36 @@ def neardup_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
     stream-static join + per-doc re-aggregation); the batch pass owns
     exactness, the gate owns cheap early rejection.
 
-    The ingested side collapses to a ONE-ROW broadcast array of
-    distinct bucket fingerprints (xxhash64 of band|key — longs, not
-    key text). Unlike the Bloom gate's geometry-bounded bit set, this
-    set grows with the corpus (N_BANDS longs per doc); when it
-    outgrows broadcast range the deployment shape is the shuffled
-    stream-static equi-join on the exploded band table instead —
-    same verdicts, one exchange per micro-batch."""
+    Two physical shapes, identical verdicts (parity pinned by
+    tests/test_streaming.py::test_neardup_gate_shuffle_parity):
+
+    - ``broadcast`` — the ingested side collapses to a ONE-ROW
+      broadcast array of distinct bucket fingerprints (xxhash64 of
+      band|key — longs, not key text) and the gate is a stateless
+      per-row array intersect. Cheapest while the corpus is small,
+      but the set grows with the corpus (N_BANDS longs per doc).
+    - ``shuffle`` — the deployment shape once the corpus outgrows
+      broadcast range: the distinct seen-fingerprint table stays
+      DISTRIBUTED and the arriving batch anti-joins it once per band
+      (N_BANDS stream-static left-anti equi-joins on a long key —
+      append-mode safe, no streaming aggregation, no regroup of the
+      doc payload; AQE still broadcasts any band join whose build
+      side is small). A doc survives iff every band fingerprint
+      misses, exactly the broadcast predicate.
+
+    ``mode="auto"`` picks broadcast only while the ingested corpus
+    is at most NEARDUP_BROADCAST_MAX_DOCS documents (one count of
+    the static side at plan build)."""
     from ..functions.dedup import _shingles, with_band_buckets
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown neardup gate mode: {mode!r}")
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if ingested.count() <= NEARDUP_BROADCAST_MAX_DOCS
+            else "shuffle"
+        )
 
     def bucket_fps(df: DataFrame) -> DataFrame:
         staged = df.withColumn(
@@ -214,6 +247,23 @@ def neardup_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
                 ),
             ),
         ).drop("_sh", "bands")
+
+    if mode == "shuffle":
+        from ..functions.dedup import N_BANDS
+
+        seen_fps = (
+            bucket_fps(ingested)
+            .select(F.explode("_fps").alias("_seen_fp"))
+            .distinct()
+        )
+        out = bucket_fps(docs)
+        for i in range(N_BANDS):
+            out = out.withColumn("_fp_i", F.col("_fps")[i]).join(
+                seen_fps,
+                F.col("_fp_i") == F.col("_seen_fp"),
+                "left_anti",
+            ).drop("_fp_i")
+        return out.drop("_fps")
 
     seen = (
         bucket_fps(ingested)

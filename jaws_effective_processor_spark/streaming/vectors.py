@@ -163,6 +163,174 @@ def start_vector_shards(
     return writer.start()
 
 
+def _dequant_store(store: DataFrame) -> DataFrame:
+    """Reconstruct servable vectors from the landed quantized layout:
+    v[i] ~= q[i] * scale_micro / 1e6. Both serving paths (pruned and
+    full) run this identical expression tree, so their scores are
+    bit-equal and any top-k difference could only come from WHICH
+    rows were read — which is exactly what the pruning parity test
+    pins."""
+    q_arr = F.transform(
+        F.split(F.col("q_csv"), ","), lambda s: s.cast("double")
+    )
+    v = F.transform(
+        q_arr, lambda x: x * F.col("scale_micro") / F.lit(1000000.0)
+    )
+    return store.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
+        v.alias("cv"),
+    ).withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+
+
+def route_query_cells(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> DataFrame:
+    """(query cols, v, norm, cells): each query's `nprobe` nearest IVF
+    cells, ranked by the SAME (cos DESC, cent_id ASC) ordering as the
+    batch multiprobe's window (q_knn_ivf_multiprobe) and the ingest
+    router's argmax — pure column work over the inlined codebook, so
+    it composes into a streaming plan."""
+    v = F.col("embedding").cast("array<double>")
+    base = queries.select(
+        "*",
+        v.alias("v"),
+        F.sqrt(dot(v, v)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+    candidates = F.array(
+        *[
+            F.struct(
+                (
+                    -dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("norm") * F.lit(_fold_norm(cv)))
+                ).alias("neg_cos"),
+                F.lit(cid).cast("long").alias("cent"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    ranked = F.slice(F.array_sort(candidates), 1, nprobe)
+    return base.withColumn(
+        "cells", F.transform(ranked, lambda s: s["cent"])
+    )
+
+
+def knn_topk_against_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    prune: bool = True,
+) -> DataFrame:
+    """One serving pass of a query BATCH against the landed
+    cell-partitioned store (the micro-batch body of
+    start_knn_store_server, and the scale path knn_query_stream's
+    docstring promises): route each query to its nprobe nearest
+    cells, read ONLY those cell partitions, dequantize, score cosine,
+    top-k.
+
+    The probed-cell list crosses the driver once per micro-batch —
+    bounded by the IVF geometry (at most N_CELLS longs, whatever the
+    batch or corpus size), the same configuration-not-data stance as
+    the codebook itself. With `prune=True` the cell list becomes a
+    PartitionFilter on the store scan, so the probe reads exactly the
+    cell directories it needs (pinned by
+    tests/test_streaming.py::test_knn_store_server_prunes_partitions)
+    instead of joining the full table; `prune=False` is the same
+    logical plan minus the partition filter — identical output, used
+    as the parity baseline."""
+    routed = route_query_cells(queries, centroids, nprobe)
+    cells = [
+        r["c"]
+        for r in routed.select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    ]
+    store = spark.read.parquet(store_path)
+    if prune:
+        store = store.filter(F.col("cell").isin(cells))
+    corpus = _dequant_store(store)
+    q = routed.select(
+        "query_id",
+        F.explode("cells").alias("cell"),
+        "v",
+        "norm",
+    )
+    cos = dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = q.join(corpus, "cell").select(
+        "query_id", "neighbor_id", cos.alias("cos")
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("_top"),
+                lambda s: F.struct(
+                    s["neighbor_id"].alias("neighbor_id"),
+                    F.floor(-s["neg_cos"] * 10000)
+                    .cast("long")
+                    .alias("cos_permyriad"),
+                ),
+            ).alias("topk"),
+        )
+    )
+
+
+def start_knn_store_server(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 2,
+    available_now: bool = False,
+):
+    """Continuous kNN serving against the landed store: each query
+    micro-batch runs knn_topk_against_store (partition-pruned probe)
+    and appends results to `out_path` — the closed loop between
+    start_vector_shards (which lands the index) and the serving
+    path (which reads only the probed shards)."""
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        knn_topk_against_store(
+            spark,
+            batch_df,
+            store_path,
+            centroids,
+            k=k,
+            nprobe=nprobe,
+        ).write.mode("append").parquet(out_path)
+
+    writer = (
+        queries.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 QUERY_FEED_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType()),

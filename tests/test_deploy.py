@@ -339,3 +339,126 @@ def test_deploy_oneshot_race_no_spurious_tombstone(spark, tmpdir):
     finally:
         adapters.actions_dim = orig
         spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+
+def test_deploy_latch_settle_clears_flag(spark, tmpdir):
+    """The reference's latch settle loop (LatchRuleTest.java:119-175)
+    through the REAL feedback topic: a latchable alarm's activation
+    makes the latch stage (T2) emit exactly one Latched override and
+    stamp `latching=true` on the in-transit monolog; the override
+    feeds back onto alarm-overrides, re-enters the activation side as
+    an at-rest monolog (prev == next, both transition flags false),
+    and the re-emitted row clears the flag (`latching=false`) without
+    producing a SECOND override — the settled deployment is a fixed
+    point (further settle passes leave the wire unchanged)."""
+    broker = FakeBroker(spark, os.path.join(tmpdir, "broker"))
+    transport = deploy.FakeBrokerTransport(broker)
+
+    inst = spark.createDataFrame(
+        [("al_lsettle", "cls_latch")], "name string, action string"
+    )
+    broker.write(
+        inst.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("action")).alias("value"),
+        ),
+        "alarm-instances",
+    )
+    act = spark.createDataFrame(
+        [(40, "al_lsettle", "Activation")],
+        "seq long, name string, union_type string",
+    )
+    broker.write(
+        act.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("seq", "name", "union_type")).alias("value"),
+        ),
+        "alarm-activations",
+    )
+
+    import jaws_effective_processor_spark.adapters as adapters
+
+    actions = spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA)
+    orig = adapters.actions_dim
+    adapters.actions_dim = lambda _spark: actions
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def _latched_overrides() -> list:
+        return (
+            broker.raw_batch("alarm-overrides")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.col("key").cast("string").alias("k"),
+                F.col("value").cast("string").alias("v"),
+            )
+            .collect()
+        )
+
+    def _latch_flags() -> list:
+        """(offset, latching) for the alarm on intermediate-latch, in
+        arrival order — the passthrough stream the reference test
+        reads."""
+        rows = (
+            broker.raw_batch("intermediate-latch")
+            .select(
+                "offset",
+                F.get_json_object(
+                    F.col("value").cast("string"), "$.name"
+                ).alias("name"),
+                F.get_json_object(
+                    F.col("value").cast("string"), "$.latching"
+                ).alias("latching"),
+            )
+            .filter(F.col("name") == "al_lsettle")
+            .orderBy("offset")
+            .collect()
+        )
+        return [r["latching"] for r in rows]
+
+    try:
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        ovr1 = _latched_overrides()
+        # exactly ONE Latched override fed back, composite-keyed
+        assert len(ovr1) == 1
+        assert json.loads(ovr1[0]["k"]) == {
+            "name": "al_lsettle",
+            "type": "Latched",
+        }
+        flags = _latch_flags()
+        # first in-transit row latches; the feedback re-entry clears it
+        assert flags[0] == "true"
+        assert flags[-1] == "false"
+        assert _effective_states(spark, broker)["al_lsettle"] == (
+            True,
+            "ActiveLatched",
+        )
+
+        # fixed point: two more settle passes change NOTHING on the wire
+        before = (
+            len(_latched_overrides()),
+            len(flags),
+            broker.raw_batch("effective-alarms").count(),
+        )
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        after = (
+            len(_latched_overrides()),
+            len(_latch_flags()),
+            broker.raw_batch("effective-alarms").count(),
+        )
+        assert after == before
+    finally:
+        adapters.actions_dim = orig
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)

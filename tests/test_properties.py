@@ -1026,3 +1026,82 @@ def test_round6_ops_match_python_references(spark):
         for r in QUERIES["kmeans_balanced_sample"](spark, SF_ORACLE).collect()
     }
     assert got_s == expect_s
+
+
+@st.composite
+def _compaction_log(draw):
+    """A register/tombstone/re-register log over a small key space:
+    (seq, name, op) with op None = tombstone, else the payload —
+    RegistrationRuleTest.java:137-155's single scenario generalized."""
+    ops = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.one_of(
+                    st.none(),
+                    st.sampled_from(["p1", "p2", "p3"]),
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    return [(seq, name, op) for seq, (name, op) in enumerate(ops)]
+
+
+@_SETTINGS
+@given(_compaction_log())
+def test_tombstone_through_compaction_matches_dict_replay(spark, log):
+    """KTable materialization == a Python dict replay of the same
+    log, for BOTH tombstone encodings: (1) nullable payload column
+    where NULL deletes (registration-style compact_table), (2)
+    boolean tombstone flag (override-style filter). And
+    latest_per_key WITHOUT the tombstone filter must still carry the
+    tombstone row — deletes propagate downstream before the consumer
+    drops them (the reference's passthrough-then-drop order)."""
+    from jaws_effective_processor_spark.operators.compaction import (
+        compact_table,
+    )
+
+    # Python replay: last write wins, tombstone deletes
+    replay: dict = {}
+    for _seq, name, op in log:
+        if op is None:
+            replay.pop(name, None)
+        else:
+            replay[name] = op
+
+    # (1) nullable-payload encoding
+    df = spark.createDataFrame(log, "seq long, name string, action string")
+    got = {
+        r["name"]: r["action"]
+        for r in compact_table(df, ["name"], tombstone_col="action").collect()
+    }
+    assert got == replay
+
+    # (2) boolean-flag encoding (payload carried on tombstones too,
+    # like override records; the flag decides)
+    flagged = [
+        (seq, name, op if op is not None else "x", op is None)
+        for seq, name, op in log
+    ]
+    df2 = spark.createDataFrame(
+        flagged, "seq long, name string, action string, tombstone boolean"
+    )
+    got2 = {
+        r["name"]: r["action"]
+        for r in compact_table(
+            df2, ["name"], tombstone_col="tombstone"
+        ).collect()
+    }
+    assert got2 == replay
+
+    # tombstones propagate through bare latest_per_key: every key that
+    # EVER appeared has exactly one latest row, deleted or not
+    latest = {r["name"]: r for r in latest_per_key(df, ["name"]).collect()}
+    assert set(latest) == {name for _s, name, _o in log}
+    last_op = {}
+    for _seq, name, op in log:
+        last_op[name] = op
+    for name, row in latest.items():
+        assert row["action"] == last_op[name]

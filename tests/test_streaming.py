@@ -717,6 +717,73 @@ def test_neardup_gate_stream_matches_batch_candidates(spark, tmpdir):
     assert got == batch_kept
 
 
+def test_neardup_gate_shuffle_parity(spark, tmpdir):
+    """The near-dup gate's two physical shapes — one-row broadcast
+    fingerprint array vs N_BANDS shuffled stream-static left-anti
+    equi-joins — keep or drop the IDENTICAL documents on the same
+    feed and corpus (same discipline as the fuzzy-join
+    no-broadcast parity pin: the at-scale fallback must change the
+    plan, never a verdict). Also pins the auto switch: a corpus
+    larger than NEARDUP_BROADCAST_MAX_DOCS routes to shuffle."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    seen = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    ingested = spark.createDataFrame(
+        [(100, seen), (101, "spark plans shuffle exchanges into stages")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, seen, "en", "crawl", t0),
+        (2, near, "en", "crawl", t0),
+        (3, "completely unrelated words about spark shuffles", "en",
+         "crawl", t0),
+        (4, "another novel document with fresh vocabulary", "en",
+         "crawl", t0),
+        (5, "spark plans shuffle exchanges into stages", "en", "crawl",
+         t0),
+    ]
+    src = os.path.join(tmpdir, "ndp_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    got = {}
+    for mode in ("broadcast", "shuffle"):
+        stream = rules.dir_stream(
+            spark, f"{src}/*", ingest.DOC_FEED_SCHEMA
+        )
+        name = f"ndp_{mode}_{uuid.uuid4().hex[:8]}"
+        rules.run_to_memory(
+            ingest.neardup_gate_stream(stream, ingested, mode=mode),
+            name,
+            os.path.join(tmpdir, f"ndp_ckpt_{mode}"),
+        )
+        got[mode] = {
+            r["doc_id"] for r in _memory_table(spark, name).collect()
+        }
+    assert got["shuffle"] == got["broadcast"]
+    assert 1 not in got["shuffle"]  # verbatim copy always dropped
+    assert 5 not in got["shuffle"]  # second corpus doc's copy too
+
+    # the auto switch: a corpus past the broadcast bound routes to the
+    # anti-join shape (visible as N_BANDS LeftAnti joins in the plan)
+    import unittest.mock as mock
+
+    with mock.patch.object(ingest, "NEARDUP_BROADCAST_MAX_DOCS", 1):
+        gated = ingest.neardup_gate_stream(
+            spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA),
+            ingested,
+            mode="auto",
+        )
+    from jaws_effective_processor_spark.functions.dedup import N_BANDS
+
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == N_BANDS
+
+
 def test_full_gate_chain_stream_matches_batch(spark, tmpdir):
     """The whole stateless ingest-gate chain composed as ONE streaming
     plan — gopher rules -> model logit -> Bloom exact gate -> LSH
@@ -867,6 +934,118 @@ def test_knn_query_stream_matches_batch(spark, tmpdir):
         for r in _memory_table(spark, name).collect()
     }
     assert got == batch
+
+
+def test_knn_store_server_prunes_partitions(spark, tmpdir):
+    """The closed loop between the vector store and the kNN server:
+    start_vector_shards lands the cell-partitioned store, then the
+    serving path answers query micro-batches by reading ONLY the
+    probed cell partitions — pruned file reads (strict subset of the
+    store's files, and a PartitionFilters entry in the scan) with
+    top-k IDENTICAL to the same logical probe over the unpruned
+    store. This is the scale shape knn_query_stream's docstring
+    promises: partition pruning instead of a full-table join."""
+    import datetime
+
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "store_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "knn_store")
+    cents = sv.load_centroids(spark, sf)
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        cents,
+        store,
+        os.path.join(tmpdir, "store_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    # one query vector, nprobe=2: probes at most 2 of the landed cells
+    q_rows = [
+        r
+        for r in load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") >= 50)
+        .limit(1)
+        .collect()
+    ]
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"]), t0) for r in q_rows],
+        sv.QUERY_FEED_SCHEMA,
+    )
+
+    # serve through the streaming server (foreachBatch pruned probe)
+    qsrc = os.path.join(tmpdir, "qfeed")
+    queries.coalesce(1).write.parquet(os.path.join(qsrc, "batch0"))
+    out = os.path.join(tmpdir, "knn_answers")
+    server = sv.start_knn_store_server(
+        spark,
+        rules.dir_stream(spark, f"{qsrc}/*", sv.QUERY_FEED_SCHEMA),
+        store,
+        cents,
+        out,
+        os.path.join(tmpdir, "serve_ckpt"),
+        k=3,
+        nprobe=2,
+        available_now=True,
+    )
+    server.awaitTermination()
+
+    def norm(df):
+        return {
+            (r["query_id"], tuple((s["neighbor_id"], s["cos_permyriad"])
+                                  for s in r["topk"]))
+            for r in df.collect()
+        }
+
+    served = norm(spark.read.parquet(out))
+    assert served and all(len(t) == 3 for _, t in served)
+
+    # parity: the same logical probe without partition pruning
+    baseline = norm(
+        sv.knn_topk_against_store(
+            spark, queries, store, cents, k=3, nprobe=2, prune=False
+        )
+    )
+    assert served == baseline
+
+    # pruning evidence: the probed-cell filter reads strictly fewer
+    # files than the full store, and reaches the scan as a
+    # PartitionFilter (not a post-scan filter)
+    cells = [
+        r["c"]
+        for r in sv.route_query_cells(queries, cents, 2)
+        .select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    ]
+    full = spark.read.parquet(store)
+    n_cells_landed = full.select("cell").distinct().count()
+    assert len(cells) < n_cells_landed  # precondition for strictness
+    pruned = full.filter(F.col("cell").isin(cells))
+
+    def files_read(df):
+        return {
+            r["f"]
+            for r in df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+
+    pruned_files, full_files = files_read(pruned), files_read(full)
+    assert pruned_files and pruned_files < full_files  # strict subset
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
 
 
 def test_ingest_restart_recovers_dedup_state(spark, tmpdir):
