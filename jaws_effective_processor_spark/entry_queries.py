@@ -474,6 +474,35 @@ def _register_llm() -> None:
         retrieval.q_phrase_search,
         osql.PHRASE_SEARCH_SQL,
     )
+    # round-7 additions
+    from .functions import tokenizer
+
+    register(
+        "bigram_pmi", tokenizer.q_bigram_pmi, osql.BIGRAM_PMI_SQL
+    )
+    register(
+        "token_entropy", corpus.q_token_entropy, osql.TOKEN_ENTROPY_SQL
+    )
+    register(
+        "tokenizer_fertility",
+        corpus.q_tokenizer_fertility,
+        osql.TOKENIZER_FERTILITY_SQL,
+    )
+    register(
+        "doc_length_deciles",
+        corpus.q_doc_length_deciles,
+        osql.DOC_LENGTH_DECILES_SQL,
+    )
+    register(
+        "nearest_neighbor_jaccard",
+        dedup.q_nearest_neighbor_jaccard,
+        osql.NEAREST_NEIGHBOR_JACCARD_SQL,
+    )
+    register(
+        "best_of_source",
+        filtering.q_best_of_source,
+        osql.BEST_OF_SOURCE_SQL,
+    )
 
 
 _register_rules()
@@ -512,17 +541,27 @@ _register_llm()
 #      r2 on the testdata ts-encoding change, was rewritten
 #      (relational.py ms_of/ts_of adaptive path) — its LATEST driver
 #      record is still that r2 AnalysisException, so it re-enters.
-#   24 retained r6-greens keeping every family represented in-window.
-# The 11 swapped-out entries are r6-driver-green with siblings
+#    6 round-7 additions (bigram_pmi, token_entropy,
+#      tokenizer_fertility, doc_length_deciles,
+#      nearest_neighbor_jaccard, best_of_source) — pinned in-window
+#      the round they land so they never join a NEVER_CHECKED ledger.
+#   18 retained r6-greens keeping every family represented in-window.
+# The 17 swapped-out entries are r6-driver-green with siblings
 # staying: nested shapes via effective_alarms_nested (the other 3
 # nested are single-projection variants of the same builder),
 # block/gram dedup via split_leakage + dedup_keep (same cached gram/
 # fingerprint machinery), corpus_split via split_leakage (reads the
-# split assignment), pii via pii_redact, tokenizer via
-# bpe_merge_round (builds ON pair_counts), ANN quantization via
-# embedding_outliers/doc_embedding_norms, normalized dedup via
-# dedup_simhash_pairs/doc_repetition, packing via packed_token_ids
-# (the strictly-stronger ordered reassembly).
+# split assignment), pii via pii_scan -> pii_redact, tokenizer via
+# bpe_merge_round (builds ON pair_counts) + bigram_pmi, ANN
+# quantization via embedding_outliers/doc_embedding_norms, ANN
+# recall via knn_label_vote, normalized dedup via
+# dedup_simhash_pairs/doc_repetition + nearest_neighbor_jaccard,
+# cluster sizes via dedup_keep (rank over the same components),
+# packing via packed_token_ids (the strictly-stronger ordered
+# reassembly), unigram rarity via token_entropy + unigram_surprisal,
+# mixture census via mixture_temperature + mixture_rebalance,
+# retrieval ranking via inverted_index + rag_bucket_report, shard
+# skew via source_quality_report (conditional aggregate family).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -553,26 +592,27 @@ _CHECK_FIRST = [
     "unigram_surprisal",
     # stale-fail re-check (latest driver record = r2 error; rewritten)
     "events_rollup_multires",
+    # round-7 additions — driver-checked the round they land
+    "bigram_pmi",
+    "token_entropy",
+    "tokenizer_fertility",
+    "doc_length_deciles",
+    "nearest_neighbor_jaccard",
+    "best_of_source",
     # retained r6-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
     "top_orders_per_customer",
     "language_confusion",
     "pii_redact",
-    "token_rarity",
-    "corpus_mixture",
-    "shard_skew_report",
     "source_quality_report",
     "dedup_simhash_pairs",
     "doc_repetition",
-    "dedup_cluster_sizes",
     "dedup_keep",
     "knn_label_vote",
-    "ann_recall",
     "embedding_outliers",
     "doc_embedding_norms",
     "multimodal_frames",
-    "keyword_topk",
     "inverted_index",
     "rag_bucket_report",
     "bpe_merge_round",

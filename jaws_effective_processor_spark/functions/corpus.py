@@ -1374,3 +1374,112 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the doc-LOCAL
+    diversity signal complementing q_unigram_surprisal's
+    corpus-relative one: a doc repeating one token has ~zero entropy
+    (boilerplate, keyword stuffing), a doc of all-distinct tokens
+    scores L(n) bits. Entropy is the tf-weighted floor-log2 form
+    H_bits = sum(tf * (L(n_tokens) - L(tf))) with L(x) =
+    length(bin(x)) — exact integers, no libm (the
+    q_unigram_surprisal discipline).
+
+    Scale shape: one window + one aggregation over the session-cached
+    token_tf artifact, both keyed on doc_id (a single exchange; the
+    window and the groupBy share it) — no new scan, no join."""
+    from pyspark.sql import Window
+
+    tf = token_tf(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    staged = tf.withColumn("_n", F.sum("tf").over(w).cast("long"))
+    return (
+        staged.groupBy("doc_id")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            F.count("*").cast("long").alias("distinct_tokens"),
+            F.sum(
+                F.col("tf") * (bits(F.col("_n")) - bits(F.col("tf")))
+            )
+            .cast("long")
+            .alias("entropy_bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            "entropy_bits_sum",
+            F.expr("(1000 * entropy_bits_sum) DIV n_tokens").alias(
+                "mean_millibits"
+            ),
+        )
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per (whitespace)
+    token and tokens per document — the coverage report that flags
+    languages a tokenizer segments poorly (high chars/token = long
+    unsplit runs; production swaps the whitespace splitter for the
+    real tokenizer, the aggregation is identical).
+
+    Scale shape: scan-local per-row counts, ONE language-keyed
+    aggregation with map-side partials — cardinality is the language
+    set, so the reduce side is trivially broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("lang", n_tok.alias("_t"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(1000 * n_chars) DIV n_tokens").alias(
+                "chars_per_token_milli"
+            ),
+            F.expr("(1000 * n_tokens) DIV n_docs").alias(
+                "tokens_per_doc_milli"
+            ),
+        )
+    )
+
+
+def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution deciles over n_chars: each decile's
+    doc count, char-length bounds, and char mass — the data-driven
+    complement of q_context_length_report's fixed token buckets
+    (deciles move with the corpus; fixed buckets compare across
+    corpora). Ordering (n_chars, doc_id) makes ntile deterministic,
+    and both engines implement SQL-standard ntile (larger buckets
+    first), so the decile assignment is engine-exact.
+
+    Scale shape: a global ntile needs a total order — ONE range
+    exchange (Spark samples split points; no single-partition
+    collapse) followed by a 10-row aggregation. At 100 TB the same
+    report would come from approx percentiles if the exact decile
+    BOUNDS were not the deliverable; the exact form is the one the
+    oracle can pin."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars")
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

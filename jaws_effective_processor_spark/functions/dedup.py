@@ -579,3 +579,87 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         score, "vec_a long, vec_b long, cos_permyriad long"
     ).distinct()
+
+
+def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest near-duplicate: for every doc with at
+    least one MinHash-LSH band candidate, its closest candidate by
+    exact shingle Jaccard (ties toward the smaller neighbor id) —
+    the "closest duplicate" review table a curation run hands to a
+    human before committing a dedup threshold, where
+    q_dedup_minhash_lsh reports only pairs already past the cut.
+
+    Scale shape: identical machinery to the LSH pass — the cached
+    band table self-joins on (band, key), canonical candidate pairs
+    dedup BEFORE the shingle re-join (verify work is O(candidates)),
+    and each verified pair fans to both orientations with a cheap
+    stack instead of scoring twice; the final per-doc argmax is one
+    window over each doc's candidates only."""
+    from pyspark.sql import Window
+
+    def _build_shingles():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        return docs.select("doc_id", _shingles(tk).alias("sh"))
+
+    def _build_bands():
+        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        return explode_band_buckets(shing)
+
+    bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
+    shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("_inter"),
+            uni.alias("_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(1000 * _inter) DIV _union").alias("jac_permille"),
+        )
+    )
+    both = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jac_permille",
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jac_permille",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jac_permille").desc(), F.col("neighbor_id")
+    )
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

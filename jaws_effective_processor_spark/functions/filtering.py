@@ -449,3 +449,46 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * _s) DIV n_tokens").alias("logit_milli"),
         (F.expr("(1000 * _s) DIV n_tokens") >= 0).alias("keep"),
     )
+
+
+BEST_OF_SOURCE_K = 5
+
+
+def q_best_of_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source best-document selection: the top
+    BEST_OF_SOURCE_K docs of each source by classifier logit — the
+    curation ACTION the quality model feeds when building a
+    high-quality subset with source diversity preserved (cap by
+    source instead of taking a global top slice that one clean
+    source would monopolize). Ties break on doc_id for a
+    deterministic selection.
+
+    Scale shape: the logit reduction is the cached-token_tf
+    aggregation q_quality_logit already pays (shared plan subtree);
+    the source column rides a doc-keyed join against a scan-local
+    projection, and the top-k window runs per source — bounded
+    output (sources x K), one exchange on source for the window."""
+    from ..tables import load_table
+    from .corpus import token_tf
+    from pyspark.sql import Window
+
+    tf = token_tf(spark, sf_dir)
+    per = (
+        tf.select("doc_id", "tf", _token_weight(F.col("token")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("_s"),
+            F.sum("tf").cast("long").alias("_n"),
+        )
+        .select("doc_id", F.expr("(1000 * _s) DIV _n").alias("logit_milli"))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit_milli").desc(), F.col("doc_id")
+    )
+    return (
+        per.join(src, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BEST_OF_SOURCE_K)
+        .select("source", "rank", "doc_id", "logit_milli")
+    )

@@ -146,3 +146,88 @@ def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_n_tok") - F.sum("_n_merges")).alias("tokens_after"),
         )
     )
+
+
+PMI_MIN_PAIRS = 5
+PMI_TOP = 30
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top adjacent-token pairs by pointwise
+    mutual information — the standard phrase-detection pass (word2vec
+    phrases, NLTK collocations) that decides which bigrams become
+    single vocabulary units before tokenizer training.
+
+    PMI = log(p(l,r) / (p(l) p(r))) is computed in exact integer
+    floor-log2 bit lengths (L(x) = length(bin(x)), the
+    q_unigram_surprisal discipline): pmi_bits = L(n_pairs) + L(T) -
+    L(n_left) - L(n_right), with T the corpus token count — a
+    monotone integer proxy for PMI that both engines evaluate
+    bit-identically where libm ln() would drift. Pairs below
+    PMI_MIN_PAIRS occurrences are noise-floored out, ties break on
+    (n_pairs DESC, left, right).
+
+    Scale shape: zero new scans — the pair table is the session-
+    cached BPE artifact (_pair_count_table) and the unigram side is
+    the cached token_freq; both joins key on single tokens (vocab-
+    sized, broadcast-range for any real corpus head) and the one-row
+    total broadcasts like the BM25 stats row. The top slice is
+    orderBy+limit (TakeOrdered — per-partition heads, never a global
+    sort)."""
+    from .corpus import token_freq
+
+    pairs = _pair_count_table(spark, sf_dir)
+    freq = token_freq(spark, sf_dir)
+    total = freq.agg(F.sum("tok_count").cast("long").alias("_total"))
+
+    def bits(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    scored = (
+        pairs.filter(F.col("n_pairs") >= PMI_MIN_PAIRS)
+        .join(
+            freq.select(
+                F.col("token").alias("left"),
+                F.col("tok_count").alias("_ln"),
+            ),
+            "left",
+        )
+        .join(
+            freq.select(
+                F.col("token").alias("right"),
+                F.col("tok_count").alias("_rn"),
+            ),
+            "right",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "left",
+            "right",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (
+                bits(F.col("n_pairs"))
+                + bits(F.col("_total"))
+                - bits(F.col("_ln"))
+                - bits(F.col("_rn"))
+            ).alias("pmi_bits"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_bits").desc(),
+        F.col("n_pairs").desc(),
+        "left",
+        "right",
+    ).limit(PMI_TOP)
+    w = Window.orderBy(
+        F.col("pmi_bits").desc(),
+        F.col("n_pairs").desc(),
+        "left",
+        "right",
+    )
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "left",
+        "right",
+        "n_pairs",
+        "pmi_bits",
+    )

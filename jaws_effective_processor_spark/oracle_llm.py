@@ -1867,3 +1867,193 @@ FROM a2 JOIN rates ON a2.cid = rates.cluster_id
 WHERE CAST(('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 4))
            AS BIGINT) < rates.rate_64k
 """
+
+from .functions.tokenizer import PMI_MIN_PAIRS, PMI_TOP  # noqa: E402
+
+# Twin of q_bigram_pmi: cached pair/unigram artifacts re-derived as
+# CTEs, identical integer floor-log2 bit lengths.
+BIGRAM_PMI_SQL = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+  FROM t
+),
+c AS (
+  SELECT pr.l AS "left", pr.r AS "right",
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY pr.l, pr.r
+),
+u AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tok_count FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS total FROM u),
+scored AS (
+  SELECT c."left", c."right", c.n_pairs,
+         CAST(length(bin(c.n_pairs)) AS BIGINT)
+           + CAST(length(bin(tot.total)) AS BIGINT)
+           - CAST(length(bin(ul.tok_count)) AS BIGINT)
+           - CAST(length(bin(ur.tok_count)) AS BIGINT) AS pmi_bits
+  FROM c
+  JOIN u ul ON c."left" = ul.token
+  JOIN u ur ON c."right" = ur.token
+  CROSS JOIN tot
+  WHERE c.n_pairs >= {PMI_MIN_PAIRS}
+),
+top AS (
+  SELECT * FROM scored
+  ORDER BY pmi_bits DESC, n_pairs DESC, "left", "right"
+  LIMIT {PMI_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_bits DESC, n_pairs DESC,
+                               "left", "right") AS BIGINT) AS rank,
+       "left", "right", n_pairs, pmi_bits
+FROM top
+"""
+
+# Twin of q_token_entropy: tf CTE + per-doc total window, same
+# floor-log2 bit lengths.
+TOKEN_ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+staged AS (
+  SELECT doc_id, tf,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM tf
+),
+per AS (
+  SELECT doc_id,
+         max(n) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(tf * (CAST(length(bin(n)) AS BIGINT)
+                        - CAST(length(bin(tf)) AS BIGINT))) AS BIGINT)
+           AS entropy_bits_sum
+  FROM staged GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, distinct_tokens, entropy_bits_sum,
+       (1000 * entropy_bits_sum) // n_tokens AS mean_millibits
+FROM per
+"""
+
+# Twin of q_tokenizer_fertility.
+TOKENIZER_FERTILITY_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars,
+       (1000 * n_chars) // n_tokens AS chars_per_token_milli,
+       (1000 * n_tokens) // n_docs AS tokens_per_doc_milli
+FROM per
+"""
+
+# Twin of q_doc_length_deciles: SQL-standard ntile on the identical
+# deterministic (n_chars, doc_id) order.
+DOC_LENGTH_DECILES_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS decile
+  FROM documents
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY decile
+"""
+
+# Twin of q_nearest_neighbor_jaccard: the LSH candidate CTE chain,
+# exact jaccard on canonical pairs, both orientations, per-doc argmax.
+NEAREST_NEIGHBOR_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+shing AS (
+  SELECT doc_id, {_SHINGLE} AS sh FROM toks
+),
+hpairs AS (
+  SELECT doc_id,
+         list_transform(sh, t -> struct_pack(
+           h1 := CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT),
+           h2 := CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)
+         )) AS hp
+  FROM shing
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM hpairs
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (1000 * CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT))
+           // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+           AS jac_permille
+  FROM cand c
+  JOIN shing sa ON c.doc_a = sa.doc_id
+  JOIN shing sb ON c.doc_b = sb.doc_id
+),
+orient AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, jac_permille FROM scored
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, jac_permille FROM scored
+)
+SELECT doc_id, neighbor_id, jac_permille FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jac_permille DESC, neighbor_id)
+              AS rn
+  FROM orient
+) r WHERE rn = 1
+"""
+
+from .functions.filtering import BEST_OF_SOURCE_K  # noqa: E402
+
+# Twin of q_best_of_source: the quality_logit reduction joined to the
+# source column, per-source top-K on the identical ordering.
+BEST_OF_SOURCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                  % 2001 - 1000) AS BIGINT) AS s
+  FROM t GROUP BY doc_id
+),
+lg AS (
+  SELECT doc_id, (1000 * s) // n AS logit_milli FROM p
+),
+ranked AS (
+  SELECT d.source, lg.doc_id, lg.logit_milli,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY lg.logit_milli DESC, lg.doc_id)
+              AS BIGINT) AS rank
+  FROM lg JOIN documents d ON lg.doc_id = d.doc_id
+)
+SELECT source, rank, doc_id, logit_milli
+FROM ranked WHERE rank <= {BEST_OF_SOURCE_K}
+"""
