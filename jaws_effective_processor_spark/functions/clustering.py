@@ -65,6 +65,11 @@ def _emb_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one Arrow-side matrix and never row-expands.
 KMEANS_BROADCAST_K_MAX = 1024
 
+# Arrow kernel: centroids processed in blocks of this many per batch,
+# bounding the n x K_block x dims distance intermediate regardless of
+# K. Module-level so the multi-block path is testable at small K.
+ASSIGN_ARROW_K_BLOCK = 256
+
 
 def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, cid, dist_sq), ties
@@ -119,7 +124,7 @@ def assign_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
         [[by_cid[c][d] for d in dims] for c in cids], dtype=np.int64
     )
     cid_arr = np.array(cids, dtype=np.int64)
-    k_block = 256
+    k_block = ASSIGN_ARROW_K_BLOCK
 
     def _batches(it):
         import pandas as pd

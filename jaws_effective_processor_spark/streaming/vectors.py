@@ -307,11 +307,17 @@ def start_knn_store_server(
 ):
     """Continuous kNN serving against the landed store: each query
     micro-batch runs knn_topk_against_store (partition-pruned probe)
-    and appends results to `out_path` — the closed loop between
+    and lands results under `out_path` — the closed loop between
     start_vector_shards (which lands the index) and the serving
-    path (which reads only the probed shards)."""
+    path (which reads only the probed shards).
 
-    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+    Each micro-batch writes to its OWN batch=<id> directory with
+    overwrite: foreachBatch replays the last uncommitted batch after
+    a restart, and a blind append would duplicate those answers —
+    per-batch overwrite makes the replay idempotent (the same
+    discipline the file-sink commit log gives the shard writer)."""
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
         knn_topk_against_store(
             spark,
             batch_df,
@@ -319,7 +325,7 @@ def start_knn_store_server(
             centroids,
             k=k,
             nprobe=nprobe,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     writer = (
         queries.writeStream.foreachBatch(_serve)

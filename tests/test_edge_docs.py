@@ -85,6 +85,13 @@ EDGE_QUERIES = (
     "mixture_temperature",
     "split_leakage",
     "unigram_surprisal",
+    # round-7 operators
+    "bigram_pmi",
+    "token_entropy",
+    "tokenizer_fertility",
+    "doc_length_deciles",
+    "nearest_neighbor_jaccard",
+    "best_of_source",
 )
 
 

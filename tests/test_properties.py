@@ -1105,3 +1105,26 @@ def test_tombstone_through_compaction_matches_dict_replay(spark, log):
         last_op[name] = op
     for name, row in latest.items():
         assert row["action"] == last_op[name]
+
+
+def test_assign_arrow_multiblock_matches_single(spark, monkeypatch):
+    """assign_arrow's blockwise K loop: forcing k_block=3 (several
+    blocks over the K=8 codebook, exercising the cross-block running
+    min and the strict-< tie rule) produces the identical partition
+    as one block covering all centroids."""
+    from tests.conftest import SF_ORACLE
+    import jaws_effective_processor_spark.functions.clustering as cl
+    from jaws_effective_processor_spark.tables import load_table
+
+    cent_rows = cl._trained_centroids(spark, SF_ORACLE).collect()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    def run():
+        return {
+            r["vec_id"]: (r["cid"], r["dist_sq"])
+            for r in cl.assign_arrow(emb, cent_rows).collect()
+        }
+
+    single = run()
+    monkeypatch.setattr(cl, "ASSIGN_ARROW_K_BLOCK", 3)
+    assert run() == single
