@@ -1386,31 +1386,33 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     length(bin(x)) — exact integers, no libm (the
     q_unigram_surprisal discipline).
 
-    Scale shape: one window + one aggregation over the session-cached
-    token_tf artifact, both keyed on doc_id (a single exchange; the
-    window and the groupBy share it) — no new scan, no join."""
-    from pyspark.sql import Window
-
+    Scale shape: ONE hash aggregation over the session-cached
+    token_tf artifact — the identity sum(tf * (L(n) - L(tf))) =
+    n * L(n) - sum(tf * L(tf)) pushes the doc-total term OUT of the
+    per-row weighting, so no window pass over the tf table is needed
+    (a window would add a per-doc sort on the same exchange); both
+    accumulators fold map-side."""
     tf = token_tf(spark, sf_dir)
-    w = Window.partitionBy("doc_id")
     bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
-    staged = tf.withColumn("_n", F.sum("tf").over(w).cast("long"))
     return (
-        staged.groupBy("doc_id")
+        tf.groupBy("doc_id")
         .agg(
-            F.max("_n").alias("n_tokens"),
+            F.sum("tf").cast("long").alias("n_tokens"),
             F.count("*").cast("long").alias("distinct_tokens"),
-            F.sum(
-                F.col("tf") * (bits(F.col("_n")) - bits(F.col("tf")))
-            )
+            F.sum(F.col("tf") * bits(F.col("tf")))
             .cast("long")
-            .alias("entropy_bits_sum"),
+            .alias("_tf_bits"),
         )
         .select(
             "doc_id",
             "n_tokens",
             "distinct_tokens",
-            "entropy_bits_sum",
+            (F.col("n_tokens") * bits(F.col("n_tokens")) - F.col("_tf_bits"))
+            .cast("long")
+            .alias("entropy_bits_sum"),
+        )
+        .select(
+            "*",
             F.expr("(1000 * entropy_bits_sum) DIV n_tokens").alias(
                 "mean_millibits"
             ),

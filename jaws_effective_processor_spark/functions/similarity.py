@@ -64,36 +64,67 @@ def _cos(a: str, b: str) -> Column:
     )
 
 
-def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for the first N_QUERIES vectors.
+def _brute_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ranked top-k neighbor table WITH labels —
+    (query_id, true_label, neighbor_id, neighbor_label, rank,
+    cos_permyriad) — session-cached under tag 'knn_brute_neighbors'.
+
+    Ground truth is a persisted pipeline artifact: an ANN deployment
+    computes the exact top-k ONCE per corpus snapshot and every
+    evaluation consumer reads it — the top-k report
+    (q_knn_bruteforce), the majority-vote classifier
+    (q_knn_label_vote), and the recall gate (q_ann_recall) — instead
+    of re-running the corpus scan per report. Same discipline as the
+    trained k-means centroids and the IVF cell ranking.
 
     The QUERY set (N_QUERIES rows) is the broadcast side; the corpus
-    streams partition-parallel past it. Broadcasting the other way
-    would ship the entire corpus to every task — fine at sf0.1,
-    impossible at 100 TB."""
-    e = _vectors(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = e.alias("c")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cos("q", "c").alias("cos"),
+    streams partition-parallel past it (pinned by
+    test_knn_bruteforce_broadcasts_query_side). Broadcasting the
+    other way would ship the entire corpus to every task — fine at
+    sf0.1, impossible at 100 TB."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        e = _vectors(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+        c = e.alias("c")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
         )
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.floor(F.col("cos") * 10000).cast("long").alias("cos_permyriad"),
+        scored = (
+            c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("q.label").cast("long").alias("true_label"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                F.col("c.label").cast("long").alias("neighbor_label"),
+                _cos("q", "c").alias("cos"),
+            )
         )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                "query_id",
+                "true_label",
+                "neighbor_id",
+                "neighbor_label",
+                "rank",
+                F.floor(F.col("cos") * 10000)
+                .cast("long")
+                .alias("cos_permyriad"),
+            )
+        )
+
+    return _cached_frame(spark, sf_dir, "knn_brute_neighbors", _build)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vectors — a
+    projection of the session-cached ground-truth neighbor table
+    (see _brute_neighbors for the scale rationale)."""
+    return _brute_neighbors(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank", "cos_permyriad"
     )
 
 
@@ -291,30 +322,13 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN family: predict each query vector's label from its TOP_K exact
     cosine neighbors' labels (ties break to the smaller label).
 
-    Same scale shape as q_knn_bruteforce (tiny query side broadcast,
-    corpus streams past it); the vote adds a groupBy over at most
+    Reads the session-cached ground-truth neighbor table (see
+    _brute_neighbors); the vote is a groupBy over at most
     N_QUERIES x TOP_K rows and a window over N_QUERIES x #labels —
     driver-free, all JVM-side, integer outputs for exact oracle
     parity.
     """
-    e = _vectors(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = e.alias("c")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    neighbors = (
-        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("q.label").cast("long").alias("true_label"),
-            F.col("c.label").cast("long").alias("neighbor_label"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cos("q", "c").alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    neighbors = _brute_neighbors(spark, sf_dir)
     votes = neighbors.groupBy("query_id", "true_label", "neighbor_label").agg(
         F.count("*").alias("votes")
     )
@@ -385,12 +399,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/cell counts are tuned). recall_permille = 1000 * |exact
     top-k found by the index| DIV TOP_K.
 
-    Composes the two existing operators; the overlap is a LEFT SEMI
+    Composes the two existing operators — the exact side reads the
+    session-cached ground-truth table (_brute_neighbors), so the
+    recall gate re-scans nothing; the overlap is a LEFT SEMI
     join on (query_id, neighbor_id) — both sides are k rows per
     query, so the join input is O(queries * k), never corpus-sized.
     Queries whose index list misses everything still emit a row
     (recall 0) via the left join on the query list."""
-    bf = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
     iv = q_knn_ivf_multiprobe(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
