@@ -503,6 +503,14 @@ def _register_llm() -> None:
         filtering.q_best_of_source,
         osql.BEST_OF_SOURCE_SQL,
     )
+    register(
+        "ngram_lm_bits", tokenizer.q_ngram_lm_bits, osql.NGRAM_LM_BITS_SQL
+    )
+    register(
+        "minhash_band_stats",
+        dedup.q_minhash_band_stats,
+        osql.MINHASH_BAND_STATS_SQL,
+    )
 
 
 _register_rules()
@@ -541,12 +549,13 @@ _register_llm()
 #      r2 on the testdata ts-encoding change, was rewritten
 #      (relational.py ms_of/ts_of adaptive path) — its LATEST driver
 #      record is still that r2 AnalysisException, so it re-enters.
-#    6 round-7 additions (bigram_pmi, token_entropy,
+#    8 round-7 additions (bigram_pmi, token_entropy,
 #      tokenizer_fertility, doc_length_deciles,
-#      nearest_neighbor_jaccard, best_of_source) — pinned in-window
-#      the round they land so they never join a NEVER_CHECKED ledger.
-#   18 retained r6-greens keeping every family represented in-window.
-# The 17 swapped-out entries are r6-driver-green with siblings
+#      nearest_neighbor_jaccard, best_of_source, ngram_lm_bits,
+#      minhash_band_stats) — pinned in-window the round they land so
+#      they never join a NEVER_CHECKED ledger.
+#   16 retained r6-greens keeping every family represented in-window.
+# The 19 swapped-out entries are r6-driver-green with siblings
 # staying: nested shapes via effective_alarms_nested (the other 3
 # nested are single-projection variants of the same builder),
 # block/gram dedup via split_leakage + dedup_keep (same cached gram/
@@ -561,7 +570,10 @@ _register_llm()
 # reassembly), unigram rarity via token_entropy + unigram_surprisal,
 # mixture census via mixture_temperature + mixture_rebalance,
 # retrieval ranking via inverted_index + rag_bucket_report, shard
-# skew via source_quality_report (conditional aggregate family).
+# skew via source_quality_report (conditional aggregate family),
+# top_orders_per_customer via heavy_hitters (relational §2.9 surface,
+# multi-round green r3/r5), doc_embedding_norms via knn_label_vote +
+# embedding_outliers (exact fixed-point embedding math).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -599,10 +611,11 @@ _CHECK_FIRST = [
     "doc_length_deciles",
     "nearest_neighbor_jaccard",
     "best_of_source",
+    "ngram_lm_bits",
+    "minhash_band_stats",
     # retained r6-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
-    "top_orders_per_customer",
     "language_confusion",
     "pii_redact",
     "source_quality_report",
@@ -611,7 +624,6 @@ _CHECK_FIRST = [
     "dedup_keep",
     "knn_label_vote",
     "embedding_outliers",
-    "doc_embedding_norms",
     "multimodal_frames",
     "inverted_index",
     "rag_bucket_report",

@@ -663,3 +663,48 @@ def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH geometry QA: per band, the bucket-population histogram
+    summary — distinct buckets, total docs, largest bucket, singleton
+    buckets, and docs sitting in collision (size > 1) buckets. This
+    is the report that tunes bands-x-rows: a mega-bucket means the
+    band key is too coarse (candidate blowup at the join), all
+    singletons means no recall; operators watch it per corpus
+    snapshot before running the pair pass.
+
+    Scale shape: reads the session-cached band table; one (band, key)
+    aggregation (map-side partials, uniform md5-derived keys) folded
+    into an N_BANDS-row summary — the same exchange the candidate
+    join would pay, with no join attached."""
+
+    def _build_shingles():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        return docs.select("doc_id", _shingles(tk).alias("sh"))
+
+    def _build_bands():
+        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        return explode_band_buckets(shing)
+
+    bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
+    sizes = bands.groupBy("band", "key").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum((F.col("sz") == 1).cast("long"))
+            .cast("long")
+            .alias("n_singletons"),
+            F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_docs"),
+        )
+    )

@@ -231,3 +231,89 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "pmi_bits",
     )
+
+
+def _left_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left, left_n): how many corpus bigrams START with each token —
+    the conditional-LM denominator, derived by aggregating the cached
+    pair table (no new scan), session-cached like its parent."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "bpe_left_marginal",
+        lambda: _pair_count_table(spark, sf_dir)
+        .groupBy("left")
+        .agg(F.sum("n_pairs").cast("long").alias("left_n")),
+    )
+
+
+def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional surprisal per document — the
+    KenLM-style fluency signal one context step beyond
+    q_unigram_surprisal: each adjacent pair (l, r) costs
+    L(left_n) - L(pair_n) floor-log2 bits, the integer form of
+    -log2 p(r | l) with p = pair_count / left-marginal (pair_n <=
+    left_n, so the cost is never negative). High mean bits = locally
+    improbable word sequences (boilerplate mashups, shuffled text)
+    even when every token is individually common — exactly what the
+    unigram signal cannot see. Docs under 2 tokens have no bigrams
+    and are excluded (documented; the twin applies the same guard).
+
+    Scale shape: ONE pair explode over the doc scan pre-aggregated to
+    (doc, l, r, cnt) before joining; both lookups — the corpus pair
+    table and its left marginal — are the session-cached BPE
+    artifacts, keyed on pair/token vocab (broadcast-range heads, AQE
+    decides); one aggregation back to the doc key."""
+    from ..tables import load_table, spread_if_undersplit
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    per_doc = (
+        docs.filter(F.size(tk) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("left"),
+                        F.element_at(tk, i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.left", "p.right")
+        .groupBy("doc_id", "left", "right")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    pairs = _pair_count_table(spark, sf_dir).select(
+        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+    marg = _left_marginal(spark, sf_dir)
+
+    def bits(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    return (
+        per_doc.join(pairs, ["left", "right"])
+        .join(marg, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt") * (bits(F.col("left_n")) - bits(F.col("n_pairs")))
+            )
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_bits",
+            F.expr("(1000 * surprisal_bits) DIV n_bigrams").alias(
+                "mean_millibits"
+            ),
+        )
+    )

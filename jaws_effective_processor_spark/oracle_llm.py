@@ -2057,3 +2057,87 @@ ranked AS (
 SELECT source, rank, doc_id, logit_milli
 FROM ranked WHERE rank <= {BEST_OF_SOURCE_K}
 """
+
+# Twin of q_ngram_lm_bits: per-doc pair counts joined to the corpus
+# pair table and its left marginal, identical floor-log2 bit costs.
+NGRAM_LM_BITS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+  FROM t
+),
+per_doc AS (
+  SELECT doc_id, pr.l AS l, pr.r AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM dp GROUP BY doc_id, pr.l, pr.r
+),
+c AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+             i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+    FROM t
+  ) GROUP BY pr.l, pr.r
+),
+marg AS (
+  SELECT l, CAST(sum(n_pairs) AS BIGINT) AS left_n FROM c GROUP BY l
+),
+agg AS (
+  SELECT per_doc.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(cnt * (CAST(length(bin(marg.left_n)) AS BIGINT)
+                         - CAST(length(bin(c.n_pairs)) AS BIGINT)))
+              AS BIGINT) AS surprisal_bits
+  FROM per_doc
+  JOIN c ON per_doc.l = c.l AND per_doc.r = c.r
+  JOIN marg ON per_doc.l = marg.l
+  GROUP BY per_doc.doc_id
+)
+SELECT doc_id, n_bigrams, surprisal_bits,
+       (1000 * surprisal_bits) // n_bigrams AS mean_millibits
+FROM agg
+"""
+
+# Twin of q_minhash_band_stats: the band CTE chain folded to the
+# per-band bucket-population summary.
+MINHASH_BAND_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+shing AS (
+  SELECT doc_id, {_SHINGLE} AS sh FROM toks
+),
+hpairs AS (
+  SELECT doc_id,
+         list_transform(sh, t -> struct_pack(
+           h1 := CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT),
+           h2 := CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)
+         )) AS hp
+  FROM shing
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM hpairs
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+sizes AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS sz
+  FROM bands GROUP BY band, key
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_colliding_docs
+FROM sizes GROUP BY band
+"""

@@ -92,6 +92,8 @@ EDGE_QUERIES = (
     "doc_length_deciles",
     "nearest_neighbor_jaccard",
     "best_of_source",
+    "ngram_lm_bits",
+    "minhash_band_stats",
 )
 
 
