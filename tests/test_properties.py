@@ -1128,3 +1128,107 @@ def test_assign_arrow_multiblock_matches_single(spark, monkeypatch):
     single = run()
     monkeypatch.setattr(cl, "ASSIGN_ARROW_K_BLOCK", 3)
     assert run() == single
+
+
+def test_round7_operators_match_python_reference(spark):
+    """Round-7 operators vs brute-force Python on the sf0.001 corpus:
+    token_entropy (exact floor-log2 identity), ngram_lm_bits
+    (conditional pair costs, nonnegative by pair<=marginal),
+    bigram_pmi (score formula + ordering), minhash_band_stats
+    (per-band totals == doc count), doc_length_deciles (SQL-standard
+    ntile distribution), tokenizer_fertility (integer ratios)."""
+    from jaws_effective_processor_spark.tables import load_table
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    L = lambda x: len(bin(x)) - 2  # noqa: E731  floor(log2)+1
+
+    # --- token_entropy
+    out = {r["doc_id"]: r for r in QUERIES["token_entropy"](spark, sf).collect()}
+    assert set(out) == set(docs)
+    import collections
+
+    for did, r in list(out.items())[:200]:
+        tf = collections.Counter(docs[did]["text"].split(" "))
+        n = sum(tf.values())
+        want = sum(c * (L(n) - L(c)) for c in tf.values())
+        assert (r["n_tokens"], r["distinct_tokens"], r["entropy_bits_sum"]) == (
+            n, len(tf), want
+        )
+        assert 0 <= r["entropy_bits_sum"] <= n * L(n)
+
+    # --- ngram_lm_bits: corpus tables in Python, then per-doc check
+    pair_n = collections.Counter()
+    for d in docs.values():
+        tk = d["text"].split(" ")
+        for a, b in zip(tk, tk[1:]):
+            pair_n[(a, b)] += 1
+    left_n = collections.Counter()
+    for (a, _b), c in pair_n.items():
+        left_n[a] += c
+    lm = {r["doc_id"]: r for r in QUERIES["ngram_lm_bits"](spark, sf).collect()}
+    assert set(lm) == {d for d in docs if len(docs[d]["text"].split(" ")) >= 2}
+    for did, r in list(lm.items())[:200]:
+        tk = docs[did]["text"].split(" ")
+        bits = sum(L(left_n[a]) - L(pair_n[(a, b)]) for a, b in zip(tk, tk[1:]))
+        assert r["n_bigrams"] == len(tk) - 1
+        assert r["surprisal_bits"] == bits >= 0
+
+    # --- bigram_pmi: formula + descending order
+    freq = collections.Counter()
+    for d in docs.values():
+        freq.update(d["text"].split(" "))
+    total = sum(freq.values())
+    rows = QUERIES["bigram_pmi"](spark, sf).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["pmi_bits"], -r["n_pairs"], r["left"], r["right"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        want = (
+            L(pair_n[(r["left"], r["right"])]) + L(total)
+            - L(freq[r["left"]]) - L(freq[r["right"]])
+        )
+        assert r["pmi_bits"] == want
+        assert r["n_pairs"] == pair_n[(r["left"], r["right"])] >= 5
+
+    # --- minhash_band_stats: every band partitions the doc set
+    from jaws_effective_processor_spark.functions.dedup import N_BANDS
+
+    stats = {r["band"]: r for r in QUERIES["minhash_band_stats"](spark, sf).collect()}
+    assert set(stats) == set(range(N_BANDS))
+    for r in stats.values():
+        assert r["n_docs"] == len(docs)
+        assert r["n_singletons"] + r["n_colliding_docs"] == r["n_docs"]
+        assert r["n_buckets"] <= r["n_docs"]
+        assert r["max_bucket"] >= 1
+
+    # --- doc_length_deciles: standard ntile distribution
+    dec = sorted(
+        QUERIES["doc_length_deciles"](spark, sf).collect(),
+        key=lambda r: r["decile"],
+    )
+    n = len(docs)
+    assert [r["decile"] for r in dec] == list(range(1, 11))
+    want_sizes = [n // 10 + (1 if i < n % 10 else 0) for i in range(10)]
+    assert [r["n_docs"] for r in dec] == want_sizes
+    bounds = [(r["min_chars"], r["max_chars"]) for r in dec]
+    assert all(a <= b for a, b in bounds)
+    assert all(bounds[i][1] <= bounds[i + 1][0] for i in range(9))
+
+    # --- tokenizer_fertility: recompute a language directly
+    fert = {r["lang"]: r for r in QUERIES["tokenizer_fertility"](spark, sf).collect()}
+    by_lang = collections.defaultdict(lambda: [0, 0, 0])
+    for d in docs.values():
+        s = by_lang[d["lang"]]
+        s[0] += 1
+        s[1] += len(d["text"].split(" "))
+        s[2] += d["n_chars"]
+    assert set(fert) == set(by_lang)
+    for lang, (nd, nt, nc) in by_lang.items():
+        r = fert[lang]
+        assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (nd, nt, nc)
+        assert r["chars_per_token_milli"] == (1000 * nc) // nt

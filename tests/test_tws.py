@@ -24,8 +24,8 @@ from tests.conftest import SF_SMOKE
 # protobuf` still fails identically (DNS NewConnectionError on the only
 # configured index, "No matching distribution found").
 # Originally verified round 6 (2026-08-14): `pip install
-# protobuf` fails — the container's only index
-# (artifactory...pypi-approved-virtual) is unreachable (DNS NewConnectionError
+# protobuf` fails — the container's only configured package index is
+# unreachable (DNS NewConnectionError
 # on every retry), `pip download` likewise, and a filesystem sweep finds only
 # typeshed STUBS of google.protobuf (jedi third_party) plus pyspark's
 # generated pb2 modules, no runtime package to vendor. The
