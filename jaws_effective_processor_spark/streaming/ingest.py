@@ -183,6 +183,52 @@ def logit_gate_stream(docs: DataFrame) -> DataFrame:
 NEARDUP_BROADCAST_MAX_DOCS = 250_000
 
 
+def logit_gate_stream_weighted(
+    docs: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """Streaming quality gate with an EXPLICIT weight table — the
+    real-model path logit_gate_stream's inline-hash stand-in
+    documents: `weights` is (token, w_milli), a MODEL artifact whose
+    size is bounded by the model's vocabulary (a fastText-style
+    classifier hashes into a FIXED bucket count regardless of corpus
+    size), so it collapses to a one-row broadcast map legitimately —
+    unlike the corpus-growing near-dup fingerprint set, this bound
+    never moves after training.
+
+    Out-of-vocabulary tokens weigh 0 (the trained model's own OOV
+    behavior); a doc is kept when its mean token weight is
+    nonnegative, the same (1000 * s) DIV n decision rule as the
+    batch/stream hash gates. Scan-local per-row map lookups + fold —
+    stateless, append-safe, composes anywhere in the chain.
+
+    Parity pinned by test_logit_gate_weighted_matches_hash_gate:
+    feeding the md5-derived weights AS the table reproduces the
+    inline gate's verdicts exactly."""
+    wmap = weights.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "w_milli"))
+        ).alias("_w")
+    )
+    tk = F.split(F.col("text"), " ")
+    s = F.aggregate(
+        F.transform(
+            tk,
+            lambda t: F.coalesce(
+                F.element_at(F.col("_w"), t), F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.crossJoin(F.broadcast(wmap))
+        .withColumn("_s", s)
+        .withColumn("_n", F.size(tk).cast("long"))
+        .filter(F.expr("(1000 * _s) DIV _n") >= 0)
+        .drop("_w", "_s", "_n")
+    )
+
+
 def neardup_gate_stream(
     docs: DataFrame, ingested: DataFrame, mode: str = "auto"
 ) -> DataFrame:

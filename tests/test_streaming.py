@@ -717,6 +717,58 @@ def test_neardup_gate_stream_matches_batch_candidates(spark, tmpdir):
     assert got == batch_kept
 
 
+def test_logit_gate_weighted_matches_hash_gate(spark, tmpdir):
+    """The weight-TABLE quality gate (model artifact as a one-row
+    broadcast vocab map) reproduces the inline-hash gate's verdicts
+    exactly when fed the same md5-derived weights as a table — the
+    real-model path and its stand-in are interchangeable. OOV
+    behavior pinned separately: an EMPTY weight table scores every
+    doc 0 and keeps everything."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        _token_weight,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 23}" for j in range(12)),
+         "en", "crawl", t0)
+        for i in range(40)
+    ]
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    hash_kept = {
+        r["doc_id"]
+        for r in ingest.logit_gate_stream(feed).collect()
+    }
+    assert 0 < len(hash_kept) < len(rows)  # gate must split the feed
+
+    vocab = feed.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    weights = vocab.select(
+        "token", _token_weight(F.col("token")).alias("w_milli")
+    )
+    src = os.path.join(tmpdir, "lgw_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"lgw_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.logit_gate_stream_weighted(stream, weights),
+        name,
+        os.path.join(tmpdir, "lgw_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == hash_kept
+
+    # OOV: empty weight table -> every token scores 0 -> all kept
+    empty = weights.filter(F.lit(False))
+    assert (
+        ingest.logit_gate_stream_weighted(feed, empty).count() == len(rows)
+    )
+
+
 def test_neardup_gate_shuffle_parity(spark, tmpdir):
     """The near-dup gate's two physical shapes — one-row broadcast
     fingerprint array vs N_BANDS shuffled stream-static left-anti
