@@ -177,6 +177,12 @@ class FakeBrokerTransport(Transport):
         self.broker.write(records, topic)
 
 
+# Reserved key for the W1/W2 boot-tick tombstone (see the timer-query
+# block in start_rule_queries): never a real alarm name, filtered out
+# of the monolog fan-in.
+RESERVED_TICK_NAME = "__tick__"
+
+
 def _record(df: DataFrame, key: F.Column) -> DataFrame:
     """Keyed JSON record for an intermediate topic (full row value)."""
     return df.select(
@@ -280,6 +286,23 @@ def start_rule_queries(
                 ):
                     break
                 _time.sleep(0.5)
+            # PAST-DUE timers fire in the no-data batch AFTER the
+            # query is caught up (ProcessingTimeTimeout schedules one
+            # every trigger) — stopping at first-idle loses a timer
+            # armed before a restart whose deadline passed while the
+            # deployment was down (the RocksDB-punctuator-recovery
+            # case, pinned by test_deploy_shelve_timer_survives_restart).
+            # Wait for two more COMPLETED batches (first processes
+            # expired timers, second proves the first's output
+            # committed) with a hard cap.
+            p = q.lastProgress
+            base = p.get("batchId") if p else -1
+            t1 = _time.time()
+            while _time.time() - t1 < 10:
+                p = q.lastProgress
+                if p is not None and p.get("batchId", -1) >= base + 2:
+                    break
+                _time.sleep(0.5)
         else:
             q.processAllAvailable()
         q.stop()
@@ -341,6 +364,10 @@ def start_rule_queries(
             return
         touched = (
             decode_override_records(batch)
+            # the W1/W2 boot tick is wire plumbing for the timer
+            # queries, not an alarm — it must not fan a monolog row
+            # into the pipeline
+            .filter(F.col("name") != RESERVED_TICK_NAME)
             .groupBy("name")
             .agg(F.max("seq").alias("ovr_seq"))
         )
@@ -503,6 +530,33 @@ def start_rule_queries(
             transport.stream(
                 spark, "alarm-overrides", OVERRIDE_VALUE_SCHEMA
             )
+        )
+        # Boot tick: a restarted stateful query with NO new data never
+        # runs a batch — the engine schedules timeout no-data batches
+        # only after a first batch has executed in the CURRENT run —
+        # so a processing-time timer armed before a restart whose
+        # deadline passed while the deployment was down would sit
+        # recovered-but-unfired forever. The reference's punctuator
+        # fires on wall clock from startup regardless of traffic
+        # (ShelveExpirationRule.java:105-120); the streaming analog is
+        # ONE tombstone record for a reserved key written at each
+        # deployment start: its batch runs under the current clock,
+        # fires every expired timer, and re-primes the engine's
+        # timeout-batch loop for the rest of the run. The processor's
+        # tombstone branch drops the tick without arming, emitting, or
+        # touching real state, and compaction eventually discards the
+        # tombstones themselves (pinned by
+        # test_deploy_shelve_timer_survives_restart).
+        transport.write(
+            spark.createDataFrame(
+                [(RESERVED_TICK_NAME, ovr_type)], "name string, type string"
+            ).select(
+                composite_override_key(
+                    F.col("name"), F.col("type")
+                ).alias("key"),
+                F.lit(None).cast("string").alias("value"),
+            ),
+            "alarm-overrides",
         )
         expired = rules.expiration_stream(src, ovr_type).withColumn(
             "type", F.lit(ovr_type)

@@ -209,11 +209,13 @@ def test_deploy_settles_reference_scenarios(spark, tmpdir):
     # the oneshot consumed itself: a composite-key NULL-VALUE tombstone
     # must have been produced onto alarm-overrides
     ovr_raw = broker.raw_batch("alarm-overrides")
-    tombs = (
-        ovr_raw.filter(F.col("value").isNull())
+    tombs = [
+        t
+        for t in ovr_raw.filter(F.col("value").isNull())
         .select(F.col("key").cast("string").alias("k"))
         .collect()
-    )
+        if json.loads(t["k"])["name"] != deploy.RESERVED_TICK_NAME
+    ]
     assert {json.loads(t["k"])["name"] for t in tombs} >= {"al_oneshot"}
     assert all(
         json.loads(t["k"]).keys() >= {"name", "type"} for t in tombs
@@ -285,12 +287,16 @@ def test_deploy_oneshot_race_no_spurious_tombstone(spark, tmpdir):
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def _tombstones() -> list:
-        return (
-            broker.raw_batch("alarm-overrides")
+        # the W1/W2 boot-tick tombstones are deployment plumbing, not
+        # rule output — exclude the reserved key
+        return [
+            r
+            for r in broker.raw_batch("alarm-overrides")
             .filter(F.col("value").isNull())
             .select(F.col("key").cast("string").alias("k"))
             .collect()
-        )
+            if json.loads(r["k"])["name"] != deploy.RESERVED_TICK_NAME
+        ]
 
     try:
         for _round in range(2):
@@ -459,6 +465,116 @@ def test_deploy_latch_settle_clears_flag(spark, tmpdir):
             broker.raw_batch("effective-alarms").count(),
         )
         assert after == before
+    finally:
+        adapters.actions_dim = orig
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+
+def test_deploy_shelve_timer_survives_restart(spark, tmpdir):
+    """W1 through the deployment lifecycle: a Shelved override whose
+    expiration lies BEYOND the settle passes registers a processing-
+    time timer in the W1 query's checkpointed state; after the
+    deployment stops and later restarts (fresh start_rule_queries
+    over the same checkpoints — the reference's RocksDB-backed
+    punctuator surviving a rebalance), the timer fires past expiry
+    and the composite-key tombstone lands on alarm-overrides, with
+    the effective state returning to Active. Pins what the
+    per-operator timer tests cannot: pending timers crossing a
+    query restart."""
+    import json as _json
+    import time as _time
+
+    broker = FakeBroker(spark, os.path.join(tmpdir, "broker"))
+    transport = deploy.FakeBrokerTransport(broker)
+
+    inst = spark.createDataFrame(
+        [("al_shexp", "cls_plain")], "name string, action string"
+    )
+    broker.write(
+        inst.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("action")).alias("value"),
+        ),
+        "alarm-instances",
+    )
+    act = spark.createDataFrame(
+        [(60, "al_shexp", "Activation")],
+        "seq long, name string, union_type string",
+    )
+    broker.write(
+        act.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("seq", "name", "union_type")).alias("value"),
+        ),
+        "alarm-activations",
+    )
+    exp_ms = int(_time.time() * 1000) + 100_000
+    ovr = spark.createDataFrame(
+        [("al_shexp", "Shelved", False, exp_ms, False)],
+        "name string, type string, tombstone boolean, "
+        "expiration long, oneshot boolean",
+    )
+    broker.write(
+        ovr.select(
+            F.to_json(F.struct("name", "type")).alias("key"),
+            F.to_json(
+                F.struct("type", "tombstone", "expiration", "oneshot")
+            ).alias("value"),
+        ),
+        "alarm-overrides",
+    )
+
+    import jaws_effective_processor_spark.adapters as adapters
+
+    actions = spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA)
+    orig = adapters.actions_dim
+    adapters.actions_dim = lambda _spark: actions
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def _tombstone_names() -> set:
+        return {
+            _json.loads(r["k"])["name"]
+            for r in broker.raw_batch("alarm-overrides")
+            .filter(F.col("value").isNull())
+            .select(F.col("key").cast("string").alias("k"))
+            .collect()
+        } - {deploy.RESERVED_TICK_NAME}
+
+    try:
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        # only assert the pre-expiry picture if we actually got here
+        # before the deadline (co-tenant load can stretch the passes)
+        if _time.time() * 1000 < exp_ms - 2000:
+            assert "al_shexp" not in _tombstone_names()
+            assert _effective_states(spark, broker)["al_shexp"] == (
+                True,
+                "NormalContinuousShelved",
+            )
+
+        while _time.time() * 1000 < exp_ms + 1500:
+            _time.sleep(1)
+
+        # RESTART: same checkpoints, no new input records — only the
+        # checkpointed timer can produce the tombstone
+        for _round in range(2):
+            deploy.start_rule_queries(
+                spark,
+                checkpoint_root=os.path.join(tmpdir, "ckpt"),
+                transport=transport,
+                available_now=True,
+            )
+        assert "al_shexp" in _tombstone_names()
+        assert _effective_states(spark, broker)["al_shexp"] == (
+            True,
+            "Active",
+        )
     finally:
         adapters.actions_dim = orig
         spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
