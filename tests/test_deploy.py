@@ -578,3 +578,86 @@ def test_deploy_shelve_timer_survives_restart(spark, tmpdir):
     finally:
         adapters.actions_dim = orig
         spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+
+def test_deploy_resident_mode_propagates(spark, tmpdir):
+    """The RESIDENT deployment shape (available_now=False — the
+    production posture: every query live simultaneously, no drain
+    ordering): seed the topics, start the full graph, and poll the
+    effective-alarms topic while the feedback chain settles on its
+    own triggers. Pins that the dependency ordering the settle mode
+    enforces explicitly is not load-bearing — the chain converges
+    through continuous micro-batches exactly as the reference's 8
+    always-on KafkaStreams apps do."""
+    import time as _time
+
+    broker = FakeBroker(spark, os.path.join(tmpdir, "broker"))
+    transport = deploy.FakeBrokerTransport(broker)
+
+    inst = spark.createDataFrame(
+        [("al_res", "cls_plain"), ("al_reslatch", "cls_latch")],
+        "name string, action string",
+    )
+    broker.write(
+        inst.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("action")).alias("value"),
+        ),
+        "alarm-instances",
+    )
+    act = spark.createDataFrame(
+        [(70, "al_res", "Activation"), (71, "al_reslatch", "Activation")],
+        "seq long, name string, union_type string",
+    )
+    broker.write(
+        act.select(
+            F.col("name").alias("key"),
+            F.to_json(F.struct("seq", "name", "union_type")).alias("value"),
+        ),
+        "alarm-activations",
+    )
+
+    import jaws_effective_processor_spark.adapters as adapters
+
+    actions = spark.createDataFrame(_ACTIONS, schema=_ACTIONS_SCHEMA)
+    orig = adapters.actions_dim
+    adapters.actions_dim = lambda _spark: actions
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    queries = []
+    try:
+        queries = deploy.start_rule_queries(
+            spark,
+            checkpoint_root=os.path.join(tmpdir, "ckpt"),
+            transport=transport,
+            available_now=False,
+        )
+        want = {
+            "al_res": (True, "Active"),
+            "al_reslatch": (True, "ActiveLatched"),
+        }
+        deadline = _time.time() + 240
+        got: dict = {}
+        while _time.time() < deadline:
+            try:
+                states = _effective_states(spark, broker)
+            except Exception:
+                states = {}
+            got = {k: v for k, v in states.items() if k in want}
+            if got == want:
+                break
+            _time.sleep(3)
+        assert got == want
+    finally:
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for q in queries:
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
+        adapters.actions_dim = orig
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
