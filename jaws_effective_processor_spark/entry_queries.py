@@ -511,6 +511,16 @@ def _register_llm() -> None:
         dedup.q_minhash_band_stats,
         osql.MINHASH_BAND_STATS_SQL,
     )
+    register(
+        "kmeans_centroid_shift",
+        clustering.q_kmeans_centroid_shift,
+        osql.KMEANS_CENTROID_SHIFT_SQL,
+    )
+    register(
+        "stopword_candidates",
+        corpus.q_stopword_candidates,
+        osql.STOPWORD_CANDIDATES_SQL,
+    )
 
 
 _register_rules()
@@ -549,13 +559,14 @@ _register_llm()
 #      r2 on the testdata ts-encoding change, was rewritten
 #      (relational.py ms_of/ts_of adaptive path) — its LATEST driver
 #      record is still that r2 AnalysisException, so it re-enters.
-#    8 round-7 additions (bigram_pmi, token_entropy,
+#   10 round-7 additions (bigram_pmi, token_entropy,
 #      tokenizer_fertility, doc_length_deciles,
 #      nearest_neighbor_jaccard, best_of_source, ngram_lm_bits,
-#      minhash_band_stats) — pinned in-window the round they land so
+#      minhash_band_stats, kmeans_centroid_shift,
+#      stopword_candidates) — pinned in-window the round they land so
 #      they never join a NEVER_CHECKED ledger.
-#   16 retained r6-greens keeping every family represented in-window.
-# The 19 swapped-out entries are r6-driver-green with siblings
+#   14 retained r6-greens keeping every family represented in-window.
+# The 21 swapped-out entries are r6-driver-green with siblings
 # staying: nested shapes via effective_alarms_nested (the other 3
 # nested are single-projection variants of the same builder),
 # block/gram dedup via split_leakage + dedup_keep (same cached gram/
@@ -573,7 +584,11 @@ _register_llm()
 # skew via source_quality_report (conditional aggregate family),
 # top_orders_per_customer via heavy_hitters (relational §2.9 surface,
 # multi-round green r3/r5), doc_embedding_norms via knn_label_vote +
-# embedding_outliers (exact fixed-point embedding math).
+# embedding_outliers (exact fixed-point embedding math),
+# doc_repetition via dedup_simhash_pairs + nearest_neighbor_jaccard
+# (gram/shingle dedup machinery), inverted_index via rag_bucket_report
+# + stopword_candidates (posting/df artifacts over the same cached
+# term stats).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -613,6 +628,8 @@ _CHECK_FIRST = [
     "best_of_source",
     "ngram_lm_bits",
     "minhash_band_stats",
+    "kmeans_centroid_shift",
+    "stopword_candidates",
     # retained r6-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
@@ -620,12 +637,10 @@ _CHECK_FIRST = [
     "pii_redact",
     "source_quality_report",
     "dedup_simhash_pairs",
-    "doc_repetition",
     "dedup_keep",
     "knn_label_vote",
     "embedding_outliers",
     "multimodal_frames",
-    "inverted_index",
     "rag_bucket_report",
     "bpe_merge_round",
     "packed_token_ids",

@@ -210,21 +210,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         e = _emb_micro(spark, sf_dir)
-        seed_w = Window.orderBy("vec_id")
-        seeds = (
-            e.select("vec_id")
-            .distinct()
-            .orderBy("vec_id")
-            .limit(KMEANS_K)
-            .select(
-                "vec_id",
-                (F.row_number().over(seed_w) - 1).cast("long").alias("cid"),
-            )
-        )
-        c0 = seeds.join(e, "vec_id").select(
-            "cid", "dim", F.col("xm").alias("cm")
-        )
-        a1 = _assign(e, c0)
+        a1 = _assignment_r1(spark, sf_dir)
         return (
             a1.select("vec_id", "cid")
             .join(e, "vec_id")
@@ -348,4 +334,115 @@ def q_kmeans_balanced_sample(
         .select("vec_id", "cluster_id", "rate_64k", h16.alias("h16"))
         .filter(F.col("h16") < F.col("rate_64k"))
         .select("vec_id", "cluster_id", "rate_64k")
+    )
+
+
+def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-0 seed centroid table (cid, dim, cm) — the KMEANS_K
+    smallest vec_ids' vectors, session-cached (tag 'kmeans_c0') so
+    the trainer and the convergence report read one materialization."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        e = _emb_micro(spark, sf_dir)
+        seed_w = Window.orderBy("vec_id")
+        seeds = (
+            e.select("vec_id")
+            .distinct()
+            .orderBy("vec_id")
+            .limit(KMEANS_K)
+            .select(
+                "vec_id",
+                (F.row_number().over(seed_w) - 1).cast("long").alias("cid"),
+            )
+        )
+        return seeds.join(e, "vec_id").select(
+            "cid", "dim", F.col("xm").alias("cm")
+        )
+
+    return _cached_frame(spark, sf_dir, "kmeans_c0", _build)
+
+
+def _assignment_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-1 assignment against the seed centroids,
+    session-cached (tag 'kmeans_assign_r1') — read by the centroid
+    trainer and the convergence report."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        return _assign(
+            _emb_micro(spark, sf_dir), _seed_centroids(spark, sf_dir)
+        )
+
+    return _cached_frame(spark, sf_dir, "kmeans_assign_r1", _build)
+
+
+def q_kmeans_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd convergence diagnostic — the per-round numbers a k-means
+    trainer logs to decide when to stop: per surviving cluster, the
+    exact integer squared centroid displacement between the seed and
+    the trained centroid (micro^2 units), the dimension count, the
+    round-2 member count, and how many vectors moved in/out of the
+    cluster between the two assignments. Small shifts + few moves =
+    converged; a cluster with a huge shift flags an unstable seed.
+
+    Scale shape: everything reads session-cached artifacts (seed
+    centroids, trained centroids, both assignments); the centroid
+    join is K x dims rows on both sides, and the movement join keys
+    on vec_id between two cached assignment tables — one exchange,
+    aggregated to at most K rows. Clusters emptied by round 1 have
+    no trained centroid and are absent, documented."""
+    c0 = _seed_centroids(spark, sf_dir).select(
+        "cid", "dim", F.col("cm").alias("cm0")
+    )
+    c1 = _trained_centroids(spark, sf_dir).select(
+        "cid", "dim", F.col("cm").alias("cm1")
+    )
+    shift = (
+        c1.join(c0, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                (F.col("cm1") - F.col("cm0")) * (F.col("cm1") - F.col("cm0"))
+            )
+            .cast("long")
+            .alias("shift_sq"),
+            F.count("*").cast("long").alias("n_dims"),
+        )
+    )
+    a1 = _assignment_r1(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cid1")
+    )
+    a2 = _assignment_r2(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cid2")
+    )
+    mv = a1.join(a2, "vec_id")
+    memb = mv.groupBy(F.col("cid2").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum((F.col("cid1") != F.col("cid2")).cast("long"))
+        .cast("long")
+        .alias("n_moved_in"),
+    )
+    outs = mv.groupBy(F.col("cid1").alias("cid")).agg(
+        F.sum((F.col("cid1") != F.col("cid2")).cast("long"))
+        .cast("long")
+        .alias("n_moved_out"),
+    )
+    return (
+        shift.join(memb, "cid", "left")
+        .join(outs, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "shift_sq",
+            "n_dims",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+                "n_members"
+            ),
+            F.coalesce(F.col("n_moved_in"), F.lit(0)).cast("long").alias(
+                "n_moved_in"
+            ),
+            F.coalesce(F.col("n_moved_out"), F.lit(0)).cast("long").alias(
+                "n_moved_out"
+            ),
+        )
     )

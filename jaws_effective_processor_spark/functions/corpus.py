@@ -1505,3 +1505,46 @@ def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+STOPWORD_TOP = 20
+
+
+def q_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword induction: the STOPWORD_TOP tokens by
+    document frequency, with document-coverage permille and corpus
+    occurrence count — the corpus-specific stopword list a pipeline
+    derives before tf-idf weighting or index pruning (a curated
+    static list misses domain function words; df coverage finds
+    them). Distinct from vocab_topk's occurrence head: a token
+    repeated heavily in few docs ranks high there but low here.
+
+    Scale shape: one vocab-keyed aggregation over the cached
+    term-stats artifact (df/tok_count are constant per token, so
+    max() just collapses the per-doc rows), a one-row doc-count
+    broadcast, and a TakeOrdered head — rank window over the
+    STOPWORD_TOP survivors only."""
+    stats = token_tf_stats(spark, sf_dir)
+    per_tok = stats.groupBy("token").agg(
+        F.max("df").alias("df"), F.max("tok_count").alias("tok_count")
+    )
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("_n_docs")
+    )
+    scored = per_tok.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        "tok_count",
+        F.expr("(1000 * df) DIV _n_docs").alias("df_permille"),
+    )
+    top = scored.orderBy(F.col("df").desc(), "token").limit(STOPWORD_TOP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), "token")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "df",
+        "tok_count",
+        "df_permille",
+    )

@@ -2141,3 +2141,70 @@ SELECT band,
          AS n_colliding_docs
 FROM sizes GROUP BY band
 """
+
+# Twin of q_kmeans_centroid_shift: the shared kmeans CTE chain's
+# c0/c1/a1/a2 folded into the per-cluster convergence report.
+KMEANS_CENTROID_SHIFT_SQL = f"""
+WITH {_KMEANS_CTES},
+shift AS (
+  SELECT c1.cid,
+         CAST(sum((c1.cm - c0.cm) * (c1.cm - c0.cm)) AS BIGINT)
+           AS shift_sq,
+         CAST(count(*) AS BIGINT) AS n_dims
+  FROM c1 JOIN c0 ON c1.cid = c0.cid AND c1.dim = c0.dim
+  GROUP BY c1.cid
+),
+mv AS (
+  SELECT a1.vec_id, a1.cid AS cid1, a2.cid AS cid2
+  FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+),
+memb AS (
+  SELECT cid2 AS cid,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN cid1 <> cid2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_in
+  FROM mv GROUP BY cid2
+),
+outs AS (
+  SELECT cid1 AS cid,
+         CAST(sum(CASE WHEN cid1 <> cid2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_out
+  FROM mv GROUP BY cid1
+)
+SELECT shift.cid AS cluster_id, shift.shift_sq, shift.n_dims,
+       CAST(coalesce(memb.n_members, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(memb.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+       CAST(coalesce(outs.n_moved_out, 0) AS BIGINT) AS n_moved_out
+FROM shift
+LEFT JOIN memb ON shift.cid = memb.cid
+LEFT JOIN outs ON shift.cid = outs.cid
+"""
+
+from .functions.corpus import STOPWORD_TOP  # noqa: E402
+
+# Twin of q_stopword_candidates.
+STOPWORD_CANDIDATES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+per AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS tok_count
+  FROM tf GROUP BY token
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+top AS (
+  SELECT token, df, tok_count,
+         (1000 * df) // nd.n_docs AS df_permille
+  FROM per CROSS JOIN nd
+  ORDER BY df DESC, token LIMIT {STOPWORD_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT)
+         AS rank,
+       token, df, tok_count, df_permille
+FROM top
+"""

@@ -94,6 +94,7 @@ EDGE_QUERIES = (
     "best_of_source",
     "ngram_lm_bits",
     "minhash_band_stats",
+    "stopword_candidates",
 )
 
 
@@ -131,7 +132,7 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
                "embedding_quantize", "ann_recall", "embedding_outliers",
                "kmeans_assign", "kmeans_report", "kmeans_label_purity",
-               "kmeans_balanced_sample")
+               "kmeans_balanced_sample", "kmeans_centroid_shift")
 
 
 @pytest.fixture(scope="module")
