@@ -21,6 +21,19 @@ from ..tables import load_table, spread_if_undersplit
 BPE_TOP_PAIRS = 30
 
 
+def _adjacent_pairs(tk: F.Column) -> F.Column:
+    """array<struct<left,right>> of adjacent token pairs over an
+    ALREADY-PROJECTED token-array column (callers must not pass an
+    inline split(); see _pair_count_table on the O(len^2) hazard)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("left"),
+            F.element_at(tk, i + 1).alias("right"),
+        ),
+    )
+
+
 def _pair_count_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregated (left, right, n_pairs) table — the expensive
     half of a BPE round (explode + one partial-aggregation shuffle),
@@ -30,23 +43,22 @@ def _pair_count_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One-token docs have no pairs — and F.sequence(1, 0) would DESCEND
     (Spark generates step -1 when stop < start), walking off the
-    array, hence the size >= 2 filter."""
+    array, hence the size >= 2 filter.
+
+    The token array is PROJECTED once before the explode: Generate is
+    not whole-stage-codegen'd, so an inline split(text) inside the
+    transform lambda re-splits the document for every element_at —
+    O(len^2) per doc. One projected column makes it O(len)."""
 
     def _build() -> DataFrame:
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         )
-        tk = F.split(F.col("text"), " ")
-        pairs = docs.filter(F.size(tk) >= 2).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - 1),
-                    lambda i: F.struct(
-                        F.element_at(tk, i).alias("left"),
-                        F.element_at(tk, i + 1).alias("right"),
-                    ),
-                )
-            ).alias("p")
+        staged = docs.select(
+            F.split(F.col("text"), " ").alias("_tk")
+        ).filter(F.size("_tk") >= 2)
+        pairs = staged.select(
+            F.explode(_adjacent_pairs(F.col("_tk"))).alias("p")
         ).select("p.left", "p.right")
         return pairs.groupBy("left", "right").agg(
             F.count("*").alias("n_pairs")
@@ -261,33 +273,25 @@ def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram signal cannot see. Docs under 2 tokens have no bigrams
     and are excluded (documented; the twin applies the same guard).
 
-    Scale shape: ONE pair explode over the doc scan pre-aggregated to
-    (doc, l, r, cnt) before joining; both lookups — the corpus pair
-    table and its left marginal — are the session-cached BPE
-    artifacts, keyed on pair/token vocab (broadcast-range heads, AQE
-    decides); one aggregation back to the doc key."""
+    Scale shape: ONE pair explode over the doc scan (token array
+    projected once — the Generate-recompute hazard documented on
+    _pair_count_table), then straight to the per-pair lookups and ONE
+    doc-key aggregation. No (doc, l, r) pre-aggregation: both lookups
+    — the session-cached corpus pair table and its left marginal —
+    are vocab-keyed broadcast joins, so pre-grouping would only add a
+    second exchange to save the broadcasts work they don't feel. At a
+    vocab too large to broadcast, AQE falls back to shuffled joins
+    and the pre-aggregation becomes worth re-adding — that trade is
+    the same one q_token_rarity documents."""
     from ..tables import load_table, spread_if_undersplit
 
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
-    per_doc = (
-        docs.filter(F.size(tk) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - 1),
-                    lambda i: F.struct(
-                        F.element_at(tk, i).alias("left"),
-                        F.element_at(tk, i + 1).alias("right"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.left", "p.right")
-        .groupBy("doc_id", "left", "right")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    ).filter(F.size("_tk") >= 2)
+    per_pair = staged.select(
+        "doc_id", F.explode(_adjacent_pairs(F.col("_tk"))).alias("p")
+    ).select("doc_id", "p.left", "p.right")
     pairs = _pair_count_table(spark, sf_dir).select(
         "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
     )
@@ -297,14 +301,12 @@ def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.length(F.bin(c)).cast("long")
 
     return (
-        per_doc.join(pairs, ["left", "right"])
+        per_pair.join(pairs, ["left", "right"])
         .join(marg, "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_bigrams"),
-            F.sum(
-                F.col("cnt") * (bits(F.col("left_n")) - bits(F.col("n_pairs")))
-            )
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits(F.col("left_n")) - bits(F.col("n_pairs")))
             .cast("long")
             .alias("surprisal_bits"),
         )
