@@ -65,9 +65,12 @@ class SessionFrameCache:
             self._by_session[spark] = per
         df = per.get(key)
         if df is None:
-            df = build().cache()
+            df = self._wrap(build())
             per[key] = df
         return df
+
+    def _wrap(self, df: DataFrame) -> DataFrame:
+        return df.cache()
 
     def clear(self) -> None:
         """Unpersist and drop everything (test hook)."""
@@ -79,3 +82,22 @@ class SessionFrameCache:
                     pass
             per.clear()
         self._by_session.clear()
+
+
+class SessionPlanCache(SessionFrameCache):
+    """Plan-only memo: same per-(session, key) lifetime discipline as
+    SessionFrameCache but WITHOUT persisting the data. Reusing the
+    DataFrame object reuses its resolved relation — file listing and
+    parquet footer schema — which otherwise cost ~0.1 s of driver-side
+    work PER spark.read call (measured at sf0.1; at cluster scale the
+    relisting is an object-store LIST per query). Every execution
+    still scans parquet with full column pruning / predicate pushdown
+    — nothing is pinned in executor storage.
+
+    Safe only for immutable paths: a memoized relation serves a STALE
+    file listing if files are rewritten underneath it (the driver's
+    testdata tables never are; writers like write_corpus_shards must
+    not route reads through this)."""
+
+    def _wrap(self, df: DataFrame) -> DataFrame:
+        return df

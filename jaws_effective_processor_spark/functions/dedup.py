@@ -200,8 +200,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         )
-        tk = F.split(F.col("text"), " ")
-        return docs.select("doc_id", _shingles(tk).alias("sh"))
+        # token array staged through a projection: element_at over an
+        # inline split() re-splits the doc per shingle element inside
+        # the HOF lambda (Generate/HOF bodies are not subexpression-
+        # eliminated) — measured 2x on this build at sf0.1
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_tk")
+        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
 
     def _build_bands():
         shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
@@ -348,13 +353,20 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-doc scale — widen SIMHASH_BITS for production; the
     pipeline shape is bit-width-independent."""
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
-    t = docs.select(
-        "doc_id",
-        F.transform(
-            _shingles(tk), lambda s: _hex4_to_int(F.md5(s))
-        ).alias("hv"),
-        F.size(_shingles(tk)).cast("long").alias("n"),
+    # split AND shingle array staged through projections: both are
+    # referenced more than once downstream, and an inline split inside
+    # the shingle HOF lambda re-splits the doc per element (the
+    # Generate/HOF subexpression hazard documented on _pair_count_table)
+    t = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
+        .select("doc_id", _shingles(F.col("_tk")).alias("_sh"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("_sh"), lambda s: _hex4_to_int(F.md5(s))
+            ).alias("hv"),
+            F.size(F.col("_sh")).cast("long").alias("n"),
+        )
     )
     bit_terms = []
     for bit in range(SIMHASH_BITS):
@@ -601,8 +613,13 @@ def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         )
-        tk = F.split(F.col("text"), " ")
-        return docs.select("doc_id", _shingles(tk).alias("sh"))
+        # token array staged through a projection: element_at over an
+        # inline split() re-splits the doc per shingle element inside
+        # the HOF lambda (Generate/HOF bodies are not subexpression-
+        # eliminated) — measured 2x on this build at sf0.1
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_tk")
+        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
 
     def _build_bands():
         shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
@@ -683,8 +700,13 @@ def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         )
-        tk = F.split(F.col("text"), " ")
-        return docs.select("doc_id", _shingles(tk).alias("sh"))
+        # token array staged through a projection: element_at over an
+        # inline split() re-splits the doc per shingle element inside
+        # the HOF lambda (Generate/HOF bodies are not subexpression-
+        # eliminated) — measured 2x on this build at sf0.1
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_tk")
+        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
 
     def _build_bands():
         shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)

@@ -31,8 +31,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Plan-only memo (no data pinned): repeated spark.read.parquet of the
+# same immutable table re-lists files and re-reads footers per call —
+# ~0.1 s of driver work each, which across a 124-query sweep was ~40%
+# of total engine time at sf0.1. See cache.SessionPlanCache.
+from .cache import SessionPlanCache
+
+_TABLE_PLANS = SessionPlanCache()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _TABLE_PLANS.get_or_build(
+        spark, (sf_dir, name), lambda: spark.read.parquet(path)
+    )
 
 
 # Spark byte-size conf values may carry a unit suffix ("128m",
