@@ -70,7 +70,13 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-3-gram permille per document (0 for docs shorter
     than the shingle width): 1000 * (total - distinct) / total."""
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
+    # token array staged through a projection: element_at over an
+    # inline split() inside the gram lambda re-splits the doc per
+    # element x SHINGLE_K (HOF bodies are not subexpression-eliminated)
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
     gram = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (SHINGLE_K - 1)),
         lambda i: F.concat_ws(
@@ -80,7 +86,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams is pure arithmetic (n_tok - K + 1): size(gram) would
     # inline a SECOND full gram construction next to the
     # array_distinct one — codegen does not CSE the transform()
-    base = docs.select(
+    base = staged.select(
         "doc_id",
         F.when(F.size(tk) >= SHINGLE_K, F.size(tk) - (SHINGLE_K - 1))
         .otherwise(F.lit(0))

@@ -58,7 +58,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, and at 100 TB the explode shuffles corpus*avg_dl rows.)
     """
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    tk = F.split(F.col("text"), " ")
+    # token array staged once: dl + one F.filter per query term each
+    # re-evaluate an inline split (nterms+1 splits per row otherwise)
+    tokened = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
 
     # one-arg lambda per term (a two-arg lambda with a default would
     # be called as (element, index) by F.filter)
@@ -67,7 +72,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(tk, lambda t: t == F.lit(term))
         ).cast("long")
 
-    staged = docs.select(
+    staged = tokened.select(
         "doc_id",
         F.size(tk).cast("long").alias("dl"),
         *[
