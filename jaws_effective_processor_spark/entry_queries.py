@@ -294,6 +294,9 @@ def _register_llm() -> None:
     register(
         "knn_label_vote", similarity.q_knn_label_vote, osql.KNN_LABEL_VOTE_SQL
     )
+    register(
+        "hard_negatives", similarity.q_hard_negatives, osql.HARD_NEGATIVES_SQL
+    )
     register("knn_lsh", similarity.q_knn_lsh, osql.KNN_LSH_SQL)
     register("knn_ivf", similarity.q_knn_ivf, osql.KNN_IVF_SQL)
     register(

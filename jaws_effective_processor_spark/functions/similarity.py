@@ -430,6 +430,70 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining over the ANN shortlist: per query, the
+    highest-ranked SAME-label neighbor (the positive), the highest-
+    ranked DIFFERENT-label neighbor (the hard negative), and the
+    triplet margin between them — the mining pass that builds
+    (anchor, positive, hard-negative) training triplets for embedding
+    models (in-batch negatives are easy; the informative negatives
+    are exactly the nearest wrong-label vectors).
+
+    Mining FROM the retrieved top-K shortlist is the production shape
+    (hard negatives are taken from the ANN candidate list, not a
+    fresh corpus scan — the shortlist is what exists), so this reads
+    the session-cached exact ground-truth table and re-scans nothing.
+    Queries whose shortlist lacks a positive or a negative are
+    dropped — no pair to train on (the twin applies the same inner
+    joins). Scale shape: one K-rows-per-query aggregation plus two
+    (query_id, rank) self-equi-joins on the K-row table — O(queries
+    x k) end to end, AQE broadcasts both sides.
+    """
+    nb = _brute_neighbors(spark, sf_dir)
+    same = F.col("neighbor_label") == F.col("true_label")
+    marks = nb.groupBy("query_id", "true_label").agg(
+        F.min(F.when(same, F.col("rank"))).alias("_pos_rank"),
+        F.min(F.when(~same, F.col("rank"))).alias("_neg_rank"),
+    )
+    pos = nb.select(
+        F.col("query_id").alias("_qp"),
+        F.col("rank").alias("_rp"),
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cos_permyriad").alias("pos_cos_permyriad"),
+    )
+    neg = nb.select(
+        F.col("query_id").alias("_qn"),
+        F.col("rank").alias("_rn"),
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("neighbor_label").alias("neg_label"),
+        F.col("cos_permyriad").alias("neg_cos_permyriad"),
+    )
+    return (
+        marks.join(
+            pos,
+            (F.col("query_id") == F.col("_qp"))
+            & (F.col("_pos_rank") == F.col("_rp")),
+        )
+        .join(
+            neg,
+            (F.col("query_id") == F.col("_qn"))
+            & (F.col("_neg_rank") == F.col("_rn")),
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "pos_id",
+            "pos_cos_permyriad",
+            "neg_id",
+            "neg_label",
+            "neg_cos_permyriad",
+            (F.col("pos_cos_permyriad") - F.col("neg_cos_permyriad"))
+            .cast("long")
+            .alias("margin_permyriad"),
+        )
+    )
+
+
 OUTLIER_K = 20
 OUTLIER_MICRO = 1_000_000  # fixed-point scale for exact cross-engine math
 

@@ -312,6 +312,49 @@ FROM (
 """
 
 
+HARD_NEGATIVES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_QCOS} AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT query_id, true_label, neighbor_id, neighbor_label,
+         CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad, rank
+  FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                   AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+marks AS (
+  SELECT query_id, true_label,
+         min(CASE WHEN neighbor_label = true_label THEN rank END)
+           AS pos_rank,
+         min(CASE WHEN neighbor_label <> true_label THEN rank END)
+           AS neg_rank
+  FROM topk GROUP BY query_id, true_label
+)
+SELECT m.query_id, m.true_label,
+       p.neighbor_id AS pos_id, p.cos_permyriad AS pos_cos_permyriad,
+       n.neighbor_id AS neg_id, n.neighbor_label AS neg_label,
+       n.cos_permyriad AS neg_cos_permyriad,
+       p.cos_permyriad - n.cos_permyriad AS margin_permyriad
+FROM marks m
+JOIN topk p ON p.query_id = m.query_id AND p.rank = m.pos_rank
+JOIN topk n ON n.query_id = m.query_id AND n.rank = m.neg_rank
+"""
+
+
 def _plane_literal(plane: list[int]) -> str:
     vals = ", ".join(f"{float(w)}" for w in plane)
     return f"CAST([{vals}] AS DOUBLE[])"

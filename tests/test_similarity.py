@@ -37,3 +37,39 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # probing 2 of 8 cells must find at least a quarter of the true
     # top-k on this corpus (loose floor; measured ~0.5+)
     assert multi >= 0.25, multi
+
+
+def test_hard_negatives_match_ground_truth_replay(spark):
+    """Each mined (positive, hard-negative) pair is exactly the
+    highest-ranked same-/different-label neighbor in the exact top-K
+    shortlist, the margin is their permyriad difference, and queries
+    whose shortlist lacks either side emit nothing."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        _brute_neighbors,
+    )
+
+    nb: dict[int, list] = {}
+    truth: dict[int, int] = {}
+    for r in _brute_neighbors(spark, SF_ORACLE).collect():
+        nb.setdefault(r["query_id"], []).append(r)
+        truth[r["query_id"]] = r["true_label"]
+    expected = {}
+    for q, rows in nb.items():
+        rows.sort(key=lambda r: r["rank"])
+        pos = next(
+            (r for r in rows if r["neighbor_label"] == truth[q]), None
+        )
+        neg = next(
+            (r for r in rows if r["neighbor_label"] != truth[q]), None
+        )
+        if pos is not None and neg is not None:
+            expected[q] = (
+                pos["neighbor_id"],
+                neg["neighbor_id"],
+                pos["cos_permyriad"] - neg["cos_permyriad"],
+            )
+    got = {
+        r["query_id"]: (r["pos_id"], r["neg_id"], r["margin_permyriad"])
+        for r in QUERIES["hard_negatives"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
