@@ -463,6 +463,9 @@ def _register_llm() -> None:
         "split_leakage", corpus.q_split_leakage, osql.SPLIT_LEAKAGE_SQL
     )
     register(
+        "source_overlap", corpus.q_source_overlap, osql.SOURCE_OVERLAP_SQL
+    )
+    register(
         "context_length_report",
         corpus.q_context_length_report,
         osql.CONTEXT_LENGTH_REPORT_SQL,

@@ -1359,6 +1359,76 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for each unordered pair of
+    crawl sources sharing at least one CONTAM_K-gram, the count of
+    distinct shared gram hashes and that overlap in permille of the
+    smaller side's gram vocabulary — the crawl-overlap audit run
+    before fixing a source mixture (two dumps of the same site
+    inflate a naive per-source token budget; this is the
+    source-dimension twin of q_split_leakage).
+
+    Scale shape: reuses the session-cached contamination gram table
+    plus a doc-keyed join to a 2-column documents projection; ONE
+    shuffle aggregates gram_h -> sorted source set (bounded by the
+    source COUNT, not the corpus — the analog of split_leakage's
+    3-bit mask generalized past 64 sources), pair expansion happens
+    per gram INSIDE that bounded set (never a gram-table self-join),
+    and the final aggregation is at most sources^2/2 rows. Per-source
+    gram totals fold from the same exploded frame and AQE-broadcast
+    back onto the pair rows."""
+    g = _contam_gram_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sg = (
+        g.join(docs, "doc_id")
+        .select("source", F.explode("grams").alias("gram_h"))
+        .distinct()
+    )
+    per = sg.groupBy("source").agg(F.count("*").alias("_n"))
+    sets = (
+        sg.groupBy("gram_h")
+        .agg(F.sort_array(F.collect_set("source")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
+    )
+    ss = F.col("_ss")
+    combos = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("_n").alias("a_grams")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("_n").alias("b_grams")
+    )
+    return (
+        pairs.join(pa, "source_a")
+        .join(pb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "a_grams",
+            "b_grams",
+            F.expr(
+                "(1000 * shared_grams) DIV least(a_grams, b_grams)"
+            ).alias("overlap_permille"),
+        )
+    )
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal per document, in exact integer floor-log2
     bits: surprisal(doc) = sum over occurrences of

@@ -1821,6 +1821,32 @@ SELECT split_a, split_b, shared_grams, a_grams, b_grams,
 FROM pairs
 """
 
+# Twin of q_source_overlap: same _CONTAM_BASE gram hashing, pair
+# counts via a distinct (source, gram) self-join — count semantics
+# identical to the engine's bounded source-set pair expansion.
+SOURCE_OVERLAP_SQL = f"""
+WITH {_CONTAM_BASE},
+sg AS (
+  SELECT DISTINCT source, gram_h FROM (
+    SELECT d.source, unnest(g.grams) AS gram_h
+    FROM g JOIN documents d USING (doc_id)
+  )
+),
+per AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared_grams
+  FROM sg a JOIN sg b ON a.gram_h = b.gram_h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       pa.n AS a_grams, pb.n AS b_grams,
+       (1000 * s.shared_grams) // least(pa.n, pb.n) AS overlap_permille
+FROM shared s
+JOIN per pa ON pa.source = s.source_a
+JOIN per pb ON pb.source = s.source_b
+"""
+
 # same CTE chain as the assignment twin, folded per cluster
 KMEANS_REPORT_SQL = f"""
 WITH {_KMEANS_CTES},

@@ -95,6 +95,9 @@ EDGE_QUERIES = (
     "ngram_lm_bits",
     "minhash_band_stats",
     "stopword_candidates",
+    # post-window round-7 additions (single-source corpus: the overlap
+    # matrix must be EMPTY on both engines — no self-pairs)
+    "source_overlap",
 )
 
 

@@ -1232,3 +1232,48 @@ def test_round7_operators_match_python_reference(spark):
         r = fert[lang]
         assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (nd, nt, nc)
         assert r["chars_per_token_milli"] == (1000 * nc) // nt
+
+
+def test_source_overlap_matches_python_replay(spark):
+    """Each (source_a < source_b) row counts exactly the distinct
+    CONTAM_K-gram hashes the two sources share, totals are per-source
+    distinct gram counts, permille = 1000*shared DIV min(total), and
+    pairs sharing nothing are absent — replayed from the cached gram
+    table in plain Python."""
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.corpus import (
+        _contam_gram_table,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_source: dict[str, set[int]] = {}
+    for r in _contam_gram_table(spark, SF_ORACLE).collect():
+        by_source.setdefault(src_of[r["doc_id"]], set()).update(r["grams"])
+    sources = sorted(by_source)
+    expected = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = len(by_source[a] & by_source[b])
+            if shared:
+                na, nb = len(by_source[a]), len(by_source[b])
+                expected[(a, b)] = (
+                    shared, na, nb, (1000 * shared) // min(na, nb)
+                )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["shared_grams"],
+            r["a_grams"],
+            r["b_grams"],
+            r["overlap_permille"],
+        )
+        for r in QUERIES["source_overlap"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must actually contain cross-source overlap"
