@@ -965,11 +965,17 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stages compose sequentially (each flag implies the previous), so
     the four rows are monotone non-increasing. Scale shape: one
-    quality-scored scan (pure Catalyst), one groupBy(fp) over quality
-    survivors for the canonical set, the (tiny) contaminated-doc
-    LEFT join, then a SINGLE global aggregate with conditional sums —
-    the 4 output rows come from stack() over that one row, so nothing
-    wide ever shuffles."""
+    quality-scored scan (pure Catalyst) with the canonical id from a
+    CONDITIONAL WINDOW over the fingerprint (min ignores nulls, so
+    min(CASE WHEN q_ok THEN doc_id END) is exactly the earlier
+    groupBy-over-survivors + join-back at the same single exchange
+    but HALF the scans — a fingerprint group with no quality
+    survivor windows to null, and d_ok already requires q_ok), the
+    (tiny) contaminated-doc LEFT join, then a SINGLE global aggregate
+    with conditional sums — the 4 output rows come from stack() over
+    that one row, so nothing wide ever shuffles."""
+    from pyspark.sql import Window
+
     from .text import QUALITY_EXPR_T, quality_stat_columns
 
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
@@ -983,16 +989,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok"),
         (score >= 500).alias("q_ok"),
     )
-    canon = (
-        scored.filter("q_ok")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("canon_id"))
-    )
     contam = _contam_doc_ids(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("is_contam")
     )
     flags = (
-        scored.join(canon, "fp", "left")
+        scored.withColumn(
+            "canon_id",
+            F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            ),
+        )
         .join(contam, "doc_id", "left")
         .select(
             "n_tok",
@@ -1058,10 +1064,14 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_permille counts NON-CANONICAL exact copies (doc_id != min of
     its fingerprint group, fingerprints global across sources so a
     cross-source copy counts against the later source); contam
-    permille is over the source's TRAIN-side docs. Scale shape: one
-    fingerprint groupBy (the exact-dedup shuffle), the tiny
-    contaminated set LEFT-joined under AQE broadcast, then a single
-    groupBy(source) over a handful of result rows."""
+    permille is over the source's TRAIN-side docs. Scale shape: the
+    canonical id comes from a WINDOW over the fingerprint — ONE
+    exchange and one scan, where the earlier groupBy(fp) + join-back
+    paid the same exchange but scanned (and md5'd) the corpus twice;
+    the tiny contaminated set LEFT-joins under AQE broadcast, then a
+    single groupBy(source) over a handful of result rows."""
+    from pyspark.sql import Window
+
     from .text import QUALITY_EXPR_T, quality_stat_columns
 
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
@@ -1075,12 +1085,13 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok"),
         score.alias("score"),
     )
-    canon = base.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
     contam = _contam_doc_ids(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("is_contam")
     )
     flags = (
-        base.join(canon, "fp")
+        base.withColumn(
+            "canon_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
         .join(contam, "doc_id", "left")
         .select(
             "source",

@@ -27,11 +27,18 @@ from pyspark.sql import functions as F
 
 
 def edit_distance_pairs(
-    df: DataFrame, key: str, col: str
+    df: DataFrame, key: str, col: str, variant_cache=None
 ) -> DataFrame:
     """All unordered pairs of rows whose `col` values are within
     Levenshtein distance 1 (including exact equals of distinct keys).
     Returns (key_a, key_b, name_a, name_b, distance), key_a < key_b.
+
+    `variant_cache`, if given, is a memoizer `(build) -> DataFrame`
+    (e.g. a _cached_frame closure): the exploded variant-hash table
+    feeds BOTH sides of the self-join, and without materialization
+    Spark evaluates the whole substring/xxhash construction twice per
+    execution — with it, the table is built once per session like the
+    MinHash/SimHash signature frames it is the string analog of.
     """
     variants = F.array_union(
         F.array(F.col(col)),
@@ -48,11 +55,18 @@ def edit_distance_pairs(
     # a candidate the levenshtein verify kills — and the exchange
     # carries longs instead of name-length text (hash inside the
     # array: a generator can't nest under an expression)
-    v = df.select(
-        F.col(key).alias("_k"), F.col(col).alias("_s"),
-        F.explode(
-            F.transform(variants, lambda s: F.xxhash64(s))
-        ).alias("_var"),
+    def _build_variants() -> DataFrame:
+        return df.select(
+            F.col(key).alias("_k"), F.col(col).alias("_s"),
+            F.explode(
+                F.transform(variants, lambda s: F.xxhash64(s))
+            ).alias("_var"),
+        )
+
+    v = (
+        variant_cache(_build_variants)
+        if variant_cache is not None
+        else _build_variants()
     )
     a = v.select(F.col("_k").alias("key_a"), "_var")
     b = v.select(F.col("_k").alias("key_b"), "_var")

@@ -800,9 +800,19 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Levenshtein distance 1, via deletion-neighborhood
     candidate blocking + exact verify (operators/fuzzy.py) — never
     an all-pairs comparison."""
+    from .functions.dedup import _cached_frame
     from .operators.fuzzy import edit_distance_pairs
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
-    return edit_distance_pairs(cust, "c_custkey", "c_name")
+    return edit_distance_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        # the variant-hash table is a session artifact like the dedup
+        # signature frames: built once, read by both join sides
+        variant_cache=lambda build: _cached_frame(
+            spark, sf_dir, "fuzzy_variants", build
+        ),
+    )
