@@ -505,6 +505,11 @@ def _register_llm() -> None:
         osql.NEAREST_NEIGHBOR_JACCARD_SQL,
     )
     register(
+        "dedup_threshold_curve",
+        dedup.q_dedup_threshold_curve,
+        osql.DEDUP_THRESHOLD_CURVE_SQL,
+    )
+    register(
         "best_of_source",
         filtering.q_best_of_source,
         osql.BEST_OF_SOURCE_SQL,

@@ -593,21 +593,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document nearest near-duplicate: for every doc with at
-    least one MinHash-LSH band candidate, its closest candidate by
-    exact shingle Jaccard (ties toward the smaller neighbor id) —
-    the "closest duplicate" review table a curation run hands to a
-    human before committing a dedup threshold, where
-    q_dedup_minhash_lsh reports only pairs already past the cut.
+def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard scores for every canonical MinHash-LSH
+    candidate pair — (doc_a < doc_b, jac_permille), session-cached
+    under tag 'cand_jaccard': the scored candidate table is the shared
+    input of the nearest-duplicate review (q_nearest_neighbor_jaccard)
+    and the threshold-tuning curve (q_dedup_threshold_curve), and both
+    re-reading one artifact is exactly the materialize-once shape a
+    curation run has (score candidates once, publish every report
+    from the scores).
 
     Scale shape: identical machinery to the LSH pass — the cached
     band table self-joins on (band, key), canonical candidate pairs
-    dedup BEFORE the shingle re-join (verify work is O(candidates)),
-    and each verified pair fans to both orientations with a cheap
-    stack instead of scoring twice; the final per-doc argmax is one
-    window over each doc's candidates only."""
-    from pyspark.sql import Window
+    dedup BEFORE the shingle re-join, so verify work is
+    O(candidates), never all-pairs."""
 
     def _build_shingles():
         docs = spread_if_undersplit(
@@ -646,21 +645,42 @@ def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
     uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
-    scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("_inter"),
-            uni.alias("_union"),
+
+    def _build_scored():
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                inter.alias("_inter"),
+                uni.alias("_union"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr("(1000 * _inter) DIV _union").alias("jac_permille"),
+            )
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("(1000 * _inter) DIV _union").alias("jac_permille"),
-        )
-    )
+
+    return _cached_frame(spark, sf_dir, "cand_jaccard", _build_scored)
+
+
+def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest near-duplicate: for every doc with at
+    least one MinHash-LSH band candidate, its closest candidate by
+    exact shingle Jaccard (ties toward the smaller neighbor id) —
+    the "closest duplicate" review table a curation run hands to a
+    human before committing a dedup threshold, where
+    q_dedup_minhash_lsh reports only pairs already past the cut.
+
+    Scale shape: reads the session-cached candidate-Jaccard artifact
+    (_candidate_jaccard); each scored pair fans to both orientations
+    with a cheap union instead of scoring twice; the final per-doc
+    argmax is one window over each doc's candidates only."""
+    from pyspark.sql import Window
+
+    scored = _candidate_jaccard(spark, sf_dir)
     both = scored.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
@@ -679,6 +699,64 @@ def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+DEDUP_LADDER = tuple(range(500, 1000, 50))  # jac_permille cut points
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for the near-dup cut: for each candidate
+    Jaccard threshold in DEDUP_LADDER, how many verified candidate
+    pairs survive and how many distinct documents sit in at least one
+    surviving pair — the numbers an operator reads before committing a
+    dedup threshold (too low removes real content, too high keeps
+    near-copies; the curve's knee is the decision). Monotone
+    non-increasing in the threshold by construction.
+
+    Scale shape: reads the session-cached candidate-Jaccard artifact
+    (_candidate_jaccard) twice — one conditional-sum pass over pair
+    rows, one per-doc best-score aggregation (a doc's best candidate
+    IS its nearest-duplicate score) followed by a second conditional
+    pass — then stack() fans the two 1-row frames into the ladder
+    rows. Nothing corpus-sized moves; the wide work happened once in
+    the cached artifact."""
+    scored = _candidate_jaccard(spark, sf_dir)
+    pair_sums = scored.agg(
+        *[
+            F.count(F.when(F.col("jac_permille") >= t, F.lit(1)))
+            .cast("long")
+            .alias(f"p{t}")
+            for t in DEDUP_LADDER
+        ]
+    )
+    per_doc = (
+        scored.select(F.col("doc_a").alias("doc_id"), "jac_permille")
+        .unionByName(
+            scored.select(F.col("doc_b").alias("doc_id"), "jac_permille")
+        )
+        .groupBy("doc_id")
+        .agg(F.max("jac_permille").alias("best"))
+    )
+    doc_sums = per_doc.agg(
+        *[
+            F.count(F.when(F.col("best") >= t, F.lit(1)))
+            .cast("long")
+            .alias(f"d{t}")
+            for t in DEDUP_LADDER
+        ]
+    )
+    stack_args = ", ".join(
+        f"{t}L, p{t}, d{t}" for t in DEDUP_LADDER
+    )
+    return (
+        pair_sums.crossJoin(doc_sums)
+        .select(
+            F.expr(
+                f"stack({len(DEDUP_LADDER)}, {stack_args})"
+                " AS (threshold_permille, n_pairs, n_docs_affected)"
+            )
+        )
     )
 
 

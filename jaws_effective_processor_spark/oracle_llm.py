@@ -2048,8 +2048,10 @@ FROM d GROUP BY decile
 
 # Twin of q_nearest_neighbor_jaccard: the LSH candidate CTE chain,
 # exact jaccard on canonical pairs, both orientations, per-doc argmax.
-NEAREST_NEIGHBOR_JACCARD_SQL = f"""
-WITH toks AS (
+# shared CTE prefix: the exact-Jaccard-scored canonical candidate
+# table — used by both the nearest-duplicate review and the
+# threshold-tuning curve so the two oracles cannot drift
+_CAND_JACCARD_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ),
 shing AS (
@@ -2084,7 +2086,10 @@ scored AS (
   FROM cand c
   JOIN shing sa ON c.doc_a = sa.doc_id
   JOIN shing sb ON c.doc_b = sb.doc_id
-),
+)"""
+
+NEAREST_NEIGHBOR_JACCARD_SQL = f"""
+WITH {_CAND_JACCARD_CTES},
 orient AS (
   SELECT doc_a AS doc_id, doc_b AS neighbor_id, jac_permille FROM scored
   UNION ALL
@@ -2096,6 +2101,38 @@ SELECT doc_id, neighbor_id, jac_permille FROM (
               AS rn
   FROM orient
 ) r WHERE rn = 1
+"""
+
+from .functions.dedup import DEDUP_LADDER  # noqa: E402
+
+_LADDER_LIST = ", ".join(str(t) for t in DEDUP_LADDER)
+
+# Twin of q_dedup_threshold_curve: same scored-candidate CTE chain,
+# pair/doc survival counted per ladder threshold.
+DEDUP_THRESHOLD_CURVE_SQL = f"""
+WITH {_CAND_JACCARD_CTES},
+ladder AS (SELECT unnest([{_LADDER_LIST}]) AS threshold_permille),
+per_doc AS (
+  SELECT doc_id, max(jac_permille) AS best FROM (
+    SELECT doc_a AS doc_id, jac_permille FROM scored
+    UNION ALL
+    SELECT doc_b AS doc_id, jac_permille FROM scored
+  ) GROUP BY doc_id
+),
+pairs_by_t AS (
+  SELECT t.threshold_permille, CAST(count(s.doc_a) AS BIGINT) AS n_pairs
+  FROM ladder t LEFT JOIN scored s ON s.jac_permille >= t.threshold_permille
+  GROUP BY t.threshold_permille
+),
+docs_by_t AS (
+  SELECT t.threshold_permille,
+         CAST(count(p.doc_id) AS BIGINT) AS n_docs_affected
+  FROM ladder t LEFT JOIN per_doc p ON p.best >= t.threshold_permille
+  GROUP BY t.threshold_permille
+)
+SELECT CAST(p.threshold_permille AS BIGINT) AS threshold_permille,
+       p.n_pairs, d.n_docs_affected
+FROM pairs_by_t p JOIN docs_by_t d USING (threshold_permille)
 """
 
 from .functions.filtering import BEST_OF_SOURCE_K  # noqa: E402

@@ -96,8 +96,10 @@ EDGE_QUERIES = (
     "minhash_band_stats",
     "stopword_candidates",
     # post-window round-7 additions (single-source corpus: the overlap
-    # matrix must be EMPTY on both engines — no self-pairs)
+    # matrix must be EMPTY on both engines — no self-pairs; the edge
+    # corpus's exact-dup pair keeps the threshold curve non-empty)
     "source_overlap",
+    "dedup_threshold_curve",
 )
 
 

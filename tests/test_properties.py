@@ -1277,3 +1277,43 @@ def test_source_overlap_matches_python_replay(spark):
     }
     assert got == expected
     assert expected, "fixture must actually contain cross-source overlap"
+
+
+def test_dedup_threshold_curve_consistent_with_nearest_neighbor(spark):
+    """The curve and the nearest-duplicate review must agree: a doc's
+    best candidate score IS its nearest neighbor's jac_permille, so
+    n_docs_affected at threshold t equals the count of
+    nearest_neighbor_jaccard rows with jac_permille >= t; n_pairs is
+    monotone non-increasing and matches a Python count over the
+    scored candidate table."""
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.dedup import (
+        DEDUP_LADDER,
+        _candidate_jaccard,
+    )
+    from tests.conftest import SF_ORACLE
+
+    scored = [
+        r["jac_permille"]
+        for r in _candidate_jaccard(spark, SF_ORACLE).collect()
+    ]
+    nn_best = [
+        r["jac_permille"]
+        for r in QUERIES["nearest_neighbor_jaccard"](
+            spark, SF_ORACLE
+        ).collect()
+    ]
+    curve = {
+        r["threshold_permille"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in QUERIES["dedup_threshold_curve"](spark, SF_ORACLE).collect()
+    }
+    assert sorted(curve) == sorted(DEDUP_LADDER)
+    prev_pairs = prev_docs = None
+    for t in sorted(DEDUP_LADDER):
+        n_pairs, n_docs = curve[t]
+        assert n_pairs == sum(1 for j in scored if j >= t)
+        assert n_docs == sum(1 for j in nn_best if j >= t)
+        if prev_pairs is not None:
+            assert n_pairs <= prev_pairs and n_docs <= prev_docs
+        prev_pairs, prev_docs = n_pairs, n_docs
+    assert curve[min(DEDUP_LADDER)][0] > 0, "fixture must have candidates"
