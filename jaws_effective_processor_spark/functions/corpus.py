@@ -1390,17 +1390,23 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the pair rows."""
     g = _contam_gram_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sg = (
+    # ONE gram-keyed shuffle: collect_set dedups sources per gram
+    # inside the aggregation (map-side partials), so no separate
+    # distinct pass over the exploded rows; per-source totals fall out
+    # of the grouped frame via a vocab-sized re-explode instead of a
+    # second corpus-sized exchange
+    grouped = (
         g.join(docs, "doc_id")
         .select("source", F.explode("grams").alias("gram_h"))
-        .distinct()
-    )
-    per = sg.groupBy("source").agg(F.count("*").alias("_n"))
-    sets = (
-        sg.groupBy("gram_h")
+        .groupBy("gram_h")
         .agg(F.sort_array(F.collect_set("source")).alias("_ss"))
-        .filter(F.size("_ss") >= 2)
     )
+    per = (
+        grouped.select(F.explode("_ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("_n"))
+    )
+    sets = grouped.filter(F.size("_ss") >= 2)
     ss = F.col("_ss")
     combos = F.flatten(
         F.transform(
