@@ -337,6 +337,7 @@ def _register_llm() -> None:
     register("pii_redact", corpus.q_pii_redact, osql.PII_REDACT_SQL)
     register("doc_chunks", corpus.q_doc_chunks, osql.DOC_CHUNKS_SQL)
     register("pack_sequences", corpus.q_pack_sequences, osql.PACK_SEQUENCES_SQL)
+    register("packing_report", corpus.q_packing_report, osql.PACKING_REPORT_SQL)
     register("dedup_clusters", corpus.q_dedup_clusters, osql.DEDUP_CLUSTERS_SQL)
     register(
         "dedup_cluster_sizes",
@@ -508,6 +509,11 @@ def _register_llm() -> None:
         "dedup_threshold_curve",
         dedup.q_dedup_threshold_curve,
         osql.DEDUP_THRESHOLD_CURVE_SQL,
+    )
+    register(
+        "minhash_calibration",
+        dedup.q_minhash_calibration,
+        osql.MINHASH_CALIBRATION_SQL,
     )
     register(
         "best_of_source",

@@ -603,6 +603,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency QA per language: pack counts, token mass,
+    fill rate in permille of the PACK_BUDGET_TOKENS budget, and the
+    extreme pack sizes — the report that tells a training run how much
+    context-window it wastes (under-full packs) or truncates
+    (budget-crossing docs) before it commits a packing scheme. Reads
+    the q_pack_sequences assignment, so the two can never disagree.
+
+    Scale shape: the pack assignment's one language window exchange,
+    then two bounded aggregations — (lang, pack_id) with map-side
+    partials, folded to one row per language."""
+    packs = q_pack_sequences(spark, sf_dir)
+    per_pack = packs.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+    return per_pack.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+        F.min("pack_tokens").cast("long").alias("min_pack_tokens"),
+        F.expr(
+            f"(1000 * sum(pack_tokens))"
+            f" DIV (count(*) * {PACK_BUDGET_TOKENS})"
+        )
+        .cast("long")
+        .alias("mean_fill_permille"),
+        F.max("n_docs").cast("long").alias("max_docs_per_pack"),
+    )
+
+
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical rarity vs the corpus unigram table: the
     corpus-wide count of the doc's rarest token and the mean corpus

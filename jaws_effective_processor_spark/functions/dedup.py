@@ -702,6 +702,88 @@ def q_nearest_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>) — the full N_MINHASH signature per
+    document, session-cached under 'minhash_sig'. The band table keeps
+    only per-band composite keys; calibration needs the raw positions
+    to count signature agreement."""
+
+    def _build_shingles():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_tk")
+        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
+
+    def _build_sig():
+        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        hp = shing.withColumn("_hp", _hash_pairs(F.col("sh")))
+        sig = hp.select("doc_id", *_minhash_cols(F.col("_hp")))
+        return sig.select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias(
+                "sig"
+            ),
+        )
+
+    return _cached_frame(spark, sf_dir, "minhash_sig", _build_sig)
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH estimator calibration: for each signature-agreement level k
+    (k of N_MINHASH positions equal), how many candidate pairs sit at
+    that level and what their exact shingle Jaccard actually is (mean/
+    min/max permille) next to the estimator's k/N prediction — the
+    table that tells an operator whether N_MINHASH hashes are enough
+    before trusting the banding threshold (wide min-max bands at a
+    level mean the estimator is too coarse; a biased mean means the
+    hash family misbehaves on this corpus).
+
+    Population is the CANDIDATE pairs (sharing >= 1 band) — the set
+    LSH actually surfaces, which is what needs calibrating; the twin
+    applies the same restriction. Scale shape: two doc-keyed joins of
+    the cached candidate table to the cached signature table (AQE
+    broadcasts the k-row side), one zip_with agreement count per pair,
+    and a <= N_MINHASH+1-row aggregation."""
+    scored = _candidate_jaccard(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    ).cast("long")
+    cal = (
+        scored.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("jac_permille", matches.alias("sig_matches"))
+    )
+    return (
+        cal.groupBy("sig_matches")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(jac_permille) DIV count(*)")
+            .cast("long")
+            .alias("mean_jac_permille"),
+            F.min("jac_permille").cast("long").alias("min_jac_permille"),
+            F.max("jac_permille").cast("long").alias("max_jac_permille"),
+        )
+        .select(
+            "sig_matches",
+            F.expr(f"(1000 * sig_matches) DIV {N_MINHASH}")
+            .cast("long")
+            .alias("est_jac_permille"),
+            "n_pairs",
+            "mean_jac_permille",
+            "min_jac_permille",
+            "max_jac_permille",
+        )
+    )
+
+
 DEDUP_LADDER = tuple(range(500, 1000, 50))  # jac_permille cut points
 
 

@@ -760,6 +760,27 @@ FROM (
 ) t
 """
 
+# Twin of q_packing_report: the pack-assignment SQL reused verbatim
+# as the inner table, folded per (lang, pack) then per lang.
+PACKING_REPORT_SQL = f"""
+WITH packs AS ({PACK_SEQUENCES_SQL}),
+per_pack AS (
+  SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM packs GROUP BY lang, pack_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST(min(pack_tokens) AS BIGINT) AS min_pack_tokens,
+       (1000 * CAST(sum(pack_tokens) AS BIGINT))
+         // (CAST(count(*) AS BIGINT) * {PACK_BUDGET_TOKENS})
+         AS mean_fill_permille,
+       CAST(max(n_docs) AS BIGINT) AS max_docs_per_pack
+FROM per_pack GROUP BY lang
+"""
+
 # -------------------------------- contamination / vocab / mixture twins
 from .functions.corpus import (  # noqa: E402
     CONTAM_K,
@@ -2104,6 +2125,33 @@ SELECT doc_id, neighbor_id, jac_permille FROM (
 """
 
 from .functions.dedup import DEDUP_LADDER  # noqa: E402
+from .functions.dedup import N_MINHASH  # noqa: E402
+
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+)
+
+# Twin of q_minhash_calibration: same scored-candidate CTE prefix (the
+# sig CTE inside it carries m0..m{N-1}), agreement counted per pair.
+MINHASH_CALIBRATION_SQL = f"""
+WITH {_CAND_JACCARD_CTES},
+cal AS (
+  SELECT s.jac_permille,
+         CAST({_SIG_MATCHES} AS BIGINT) AS sig_matches
+  FROM scored s
+  JOIN sig a ON s.doc_a = a.doc_id
+  JOIN sig b ON s.doc_b = b.doc_id
+)
+SELECT sig_matches,
+       (1000 * sig_matches) // {N_MINHASH} AS est_jac_permille,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jac_permille) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS mean_jac_permille,
+       CAST(min(jac_permille) AS BIGINT) AS min_jac_permille,
+       CAST(max(jac_permille) AS BIGINT) AS max_jac_permille
+FROM cal GROUP BY sig_matches
+"""
+
 
 _LADDER_LIST = ", ".join(str(t) for t in DEDUP_LADDER)
 

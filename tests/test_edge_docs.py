@@ -100,6 +100,8 @@ EDGE_QUERIES = (
     # corpus's exact-dup pair keeps the threshold curve non-empty)
     "source_overlap",
     "dedup_threshold_curve",
+    "minhash_calibration",
+    "packing_report",
 )
 
 

@@ -1317,3 +1317,52 @@ def test_dedup_threshold_curve_consistent_with_nearest_neighbor(spark):
             assert n_pairs <= prev_pairs and n_docs <= prev_docs
         prev_pairs, prev_docs = n_pairs, n_docs
     assert curve[min(DEDUP_LADDER)][0] > 0, "fixture must have candidates"
+
+
+def test_minhash_calibration_matches_python_replay(spark):
+    """Every calibration row replays from the collected signature and
+    scored-candidate tables: sig_matches counts equal positions,
+    est = 1000k/N (floor), and the per-bucket n/mean/min/max are the
+    plain Python aggregates (mean as integer DIV like both engines)."""
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.dedup import (
+        N_MINHASH,
+        _candidate_jaccard,
+        _minhash_sig,
+    )
+    from tests.conftest import SF_ORACLE
+
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in _minhash_sig(spark, SF_ORACLE).collect()
+    }
+    buckets: dict[int, list[int]] = {}
+    for r in _candidate_jaccard(spark, SF_ORACLE).collect():
+        k = sum(
+            1
+            for x, y in zip(sig[r["doc_a"]], sig[r["doc_b"]])
+            if x == y
+        )
+        buckets.setdefault(k, []).append(r["jac_permille"])
+    expected = {
+        k: (
+            (1000 * k) // N_MINHASH,
+            len(v),
+            sum(v) // len(v),
+            min(v),
+            max(v),
+        )
+        for k, v in buckets.items()
+    }
+    got = {
+        r["sig_matches"]: (
+            r["est_jac_permille"],
+            r["n_pairs"],
+            r["mean_jac_permille"],
+            r["min_jac_permille"],
+            r["max_jac_permille"],
+        )
+        for r in QUERIES["minhash_calibration"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must have candidate pairs"
