@@ -63,6 +63,75 @@ def shuffle_partitions(input_bytes: int, total_cores: int) -> int:
     return int(max(total_cores, min(MAX_SHUFFLE_PARTITIONS, by_size)))
 
 
+# deserialized-row expansion over on-wire shuffle bytes: Spark's
+# tuning guide's standard 2-4x object overhead, taken at the
+# conservative end so the floor is a real no-spill guarantee
+DESERIALIZED_EXPANSION = 4
+# the fixed reservation Spark subtracts from the heap before the
+# unified execution/storage region is carved out
+EXECUTOR_RESERVED_BYTES = 300 * 1024 * 1024
+# spark.memory.fraction default: the unified region is 0.6 of
+# (heap - reserved); expressed as a ratio pair for exact integer math
+_UNIFIED_NUM, _UNIFIED_DEN = 3, 5  # 0.6 == 3/5
+# a broadcast relation is pinned in EVERY executor for the query's
+# lifetime; capping it at 1/16 of the heap keeps several concurrent
+# broadcasts + execution memory coexisting without eviction pressure
+BROADCAST_HEAP_DIVISOR = 16
+# Spark's own default threshold — the floor, so a small-executor site
+# never silently disables the dim broadcasts the star joins rely on
+_BROADCAST_FLOOR_BYTES = 10 * 1024 * 1024
+
+
+def min_executor_memory_bytes(cores_per_executor: int) -> int:
+    """Executor heap floor for spill-free reducers: every concurrently
+    running task (one per core) must hold one deserialized shuffle
+    partition — PARTITION_TARGET_BYTES on the wire, x
+    DESERIALIZED_EXPANSION on heap — inside the unified region, which
+    is only 3/5 of (heap - the 300 MiB reservation). Below this floor
+    the sizing in shuffle_partitions stops being a no-spill guarantee
+    and becomes merely a spill bound. Exact integer arithmetic
+    (ceil of x / (3/5) = ceil(5x / 3))."""
+    if cores_per_executor <= 0:
+        raise ValueError("cores_per_executor > 0 required")
+    working = (
+        cores_per_executor * PARTITION_TARGET_BYTES * DESERIALIZED_EXPANSION
+    )
+    unified_needed = -(-working * _UNIFIED_DEN // _UNIFIED_NUM)  # ceil 5x/3
+    return int(EXECUTOR_RESERVED_BYTES + unified_needed)
+
+
+def broadcast_threshold_bytes(executor_memory_bytes: int) -> int:
+    """spark.sql.autoBroadcastJoinThreshold sizing: the largest
+    relation the planner may broadcast, capped at heap /
+    BROADCAST_HEAP_DIVISOR (the copy is pinned per executor for the
+    query's lifetime, alongside execution memory and other concurrent
+    broadcasts) and floored at Spark's own 10 MiB default so the
+    star-schema dim broadcasts this engine leans on stay on even for
+    small executors — at which point the floor, not the cap, is the
+    conscious trade."""
+    if executor_memory_bytes <= 0:
+        raise ValueError("executor_memory_bytes > 0 required")
+    return int(
+        max(
+            _BROADCAST_FLOOR_BYTES,
+            executor_memory_bytes // BROADCAST_HEAP_DIVISOR,
+        )
+    )
+
+
+def recommended_executor_conf(cores_per_executor: int) -> dict[str, str]:
+    """The per-executor conf block paired with recommended_conf: heap
+    sized for spill-free reducers at the partition target, broadcast
+    threshold derived from that heap."""
+    mem = min_executor_memory_bytes(cores_per_executor)
+    return {
+        "spark.executor.memory": str(mem),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            broadcast_threshold_bytes(mem)
+        ),
+    }
+
+
 def recommended_conf(
     input_bytes: int, total_cores: int
 ) -> dict[str, str]:

@@ -58,3 +58,71 @@ def test_invalid_inputs_rejected():
         shuffle_partitions(-1, 8)
     with pytest.raises(ValueError):
         shuffle_partitions(10, 0)
+
+
+def test_executor_memory_floor_covers_concurrent_reducers():
+    from jaws_effective_processor_spark.scale import (
+        DESERIALIZED_EXPANSION,
+        EXECUTOR_RESERVED_BYTES,
+        min_executor_memory_bytes,
+    )
+
+    for cores in (1, 4, 8, 16):
+        mem = min_executor_memory_bytes(cores)
+        # the unified region (3/5 of heap minus the reservation) must
+        # hold one deserialized partition per concurrent task
+        unified = (mem - EXECUTOR_RESERVED_BYTES) * 3 // 5
+        assert unified >= (
+            cores * PARTITION_TARGET_BYTES * DESERIALIZED_EXPANSION
+        ), cores
+    # monotone in cores: more concurrency never needs less memory
+    assert min_executor_memory_bytes(8) > min_executor_memory_bytes(4)
+
+
+def test_broadcast_threshold_floor_and_cap():
+    from jaws_effective_processor_spark.scale import (
+        BROADCAST_HEAP_DIVISOR,
+        broadcast_threshold_bytes,
+        min_executor_memory_bytes,
+    )
+
+    # tiny executor: the Spark-default 10 MiB floor holds (dim
+    # broadcasts stay on)
+    assert broadcast_threshold_bytes(64 * 1024 * 1024) == 10 * 1024 * 1024
+    # sized executor: cap engages at heap/divisor and stays monotone
+    mem8 = min_executor_memory_bytes(8)
+    assert broadcast_threshold_bytes(mem8) == mem8 // BROADCAST_HEAP_DIVISOR
+    assert broadcast_threshold_bytes(2 * mem8) >= broadcast_threshold_bytes(
+        mem8
+    )
+
+
+def test_executor_conf_block_shape_and_consistency():
+    from jaws_effective_processor_spark.scale import (
+        broadcast_threshold_bytes,
+        min_executor_memory_bytes,
+        recommended_executor_conf,
+    )
+
+    conf = recommended_executor_conf(8)
+    assert set(conf) == {
+        "spark.executor.memory",
+        "spark.sql.autoBroadcastJoinThreshold",
+    }
+    mem = int(conf["spark.executor.memory"])
+    assert mem == min_executor_memory_bytes(8)
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == (
+        broadcast_threshold_bytes(mem)
+    )
+
+
+def test_executor_sizing_invalid_inputs_rejected():
+    from jaws_effective_processor_spark.scale import (
+        broadcast_threshold_bytes,
+        min_executor_memory_bytes,
+    )
+
+    with pytest.raises(ValueError):
+        min_executor_memory_bytes(0)
+    with pytest.raises(ValueError):
+        broadcast_threshold_bytes(0)
