@@ -191,6 +191,60 @@ def test_expiration_timer(spark, tmpdir):
     assert [(r["name"], r["tombstone"]) for r in fired] == [("alarm1", True)]
 
 
+def test_ondelay_expiration_scenarios(spark, tmpdir):
+    """W2 on the OnDelayed path, the reference's three named cases in
+    one log (OnDelayExpirationRuleTest.java:58-100): `tombstoneMsg` —
+    a REPLACED override (two records, same key) expires as ONE
+    tombstone, not one per record; `notYetExpired`/`expired` — a
+    past-due override fires while a far-future one stays silent; and
+    the cancel case — a tombstoned override never fires."""
+    import time
+
+    src = os.path.join(tmpdir, "ondelay_overrides")
+    now_ms = int(time.time() * 1000)
+    rows = [
+        # alarm1: override replaced (same key), both past due -> ONE fire
+        (1, "alarm1", "OnDelayed", False, now_ms - 10_000),
+        (2, "alarm1", "OnDelayed", False, now_ms - 5_000),
+        # alarm2: not yet expired -> silent
+        (3, "alarm2", "OnDelayed", False, now_ms + 3_600_000),
+        # alarm3: past due but tombstoned -> cancelled
+        (4, "alarm3", "OnDelayed", False, now_ms - 5_000),
+        (5, "alarm3", "OnDelayed", True, None),
+    ]
+    spark.createDataFrame(rows, schema=rules.OVERRIDE_LOG_SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = rules.dir_stream(spark, src, rules.OVERRIDE_LOG_SCHEMA)
+    name = f"odexp_{uuid.uuid4().hex[:8]}"
+    q = (
+        rules.expiration_stream(stream, "OnDelayed")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_od"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        fired = []
+        while time.time() < deadline:
+            fired = _memory_table(spark, name).collect()
+            if fired:
+                # one extra settle batch: a duplicate fire for alarm1
+                # (the tombstoneMsg regression) must get the chance to
+                # show up before we assert exactly-once
+                time.sleep(3)
+                fired = _memory_table(spark, name).collect()
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r["name"], r["tombstone"]) for r in fired] == [("alarm1", True)]
+
+
 def test_mask_scenario(spark, tmpdir):
     """Corrected T5 (MaskRule intent, MaskRule.java:27-29): a Masked
     override is added when the parent becomes active and tombstoned
