@@ -34,3 +34,74 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+def test_doc_embedding_feature_join_zero_exchange_when_bucketed(spark):
+    """Closes q_doc_embedding_norms' deployment claim: with documents
+    and embeddings landed bucketed on the id (the feature-store
+    layout), the query's exact join+reduce shape plans with only the
+    final |langs|-row aggregation exchange — the corpus-sized
+    large-large join itself moves nothing. The scan-local feature
+    expressions (token count, fixed-point norm) must not break the
+    bucketed distribution."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        OUTLIER_MICRO,
+    )
+
+    sfx = _uuid.uuid4().hex[:8]
+    t_d, t_e = f"b_docs_{sfx}", f"b_emb_{sfx}"
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    try:
+        write_bucketed(docs, t_d, "doc_id", buckets=8)
+        write_bucketed(emb, t_e, "vec_id", buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bd = spark.table(t_d).select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        be = spark.table(t_e).select(
+            F.col("vec_id").alias("doc_id"),
+            F.aggregate(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * OUTLIER_MICRO).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x * x,
+            ).alias("norm_sq"),
+        )
+        joined = bd.join(be, "doc_id")
+        # join stage: zero exchanges (bucket co-location survives the
+        # scan-local projections)
+        assert shuffle_count(joined) == 0
+        report = joined.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.expr("sum(norm_sq) DIV count(*)").alias("mean_norm_sq_micro2"),
+        )
+        # full report: exactly ONE exchange — the bounded lang rollup
+        assert shuffle_count(report) == 1
+        # and the co-located result matches the shuffled-path query
+        from jaws_effective_processor_spark.entry_queries import QUERIES
+
+        expected = {
+            r["lang"]: (r["n_docs"], r["n_tokens"], r["mean_norm_sq_micro2"])
+            for r in QUERIES["doc_embedding_norms"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        got = {
+            r["lang"]: (r["n_docs"], r["n_tokens"], r["mean_norm_sq_micro2"])
+            for r in report.collect()
+        }
+        assert got == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t_d}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_e}")
