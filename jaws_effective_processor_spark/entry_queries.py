@@ -213,6 +213,11 @@ def _register_relational() -> None:
     register("event_funnel", r.q_event_funnel, osql.EVENT_FUNNEL_SQL)
     register("events_daily", r.q_events_daily, osql.EVENTS_DAILY_SQL)
     register(
+        "user_retention_cohorts",
+        r.q_user_retention_cohorts,
+        osql.USER_RETENTION_COHORTS_SQL,
+    )
+    register(
         "events_rollup_multires",
         r.q_events_rollup_multires,
         osql.EVENTS_ROLLUP_MULTIRES_SQL,

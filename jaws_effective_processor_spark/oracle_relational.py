@@ -148,6 +148,22 @@ FROM events
 GROUP BY 1, 2
 """
 
+USER_RETENTION_COHORTS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+  FROM events
+),
+base AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM base GROUP BY cohort_day, day - cohort_day
+"""
+
 PARTS_ABOVE_BRAND_AVG_SQL = """
 SELECT p_partkey, p_brand, price_cents
 FROM (

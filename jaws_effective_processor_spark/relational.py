@@ -396,6 +396,35 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort triangle: users grouped by first-seen
+    day (integer epoch-day bucket, the q_events_daily idiom — robust
+    to the testdata's physical ts encoding via ms_of), counted on each
+    later active day as an offset from their cohort day. THE
+    product-analytics view every event warehouse serves.
+
+    Scale shape: one (user, day) distinct pass (this is the dedup
+    shuffle — a user's many events per day collapse before anything
+    wide happens), one user-keyed window for the cohort day, and one
+    bounded (cohort, offset) aggregation. After the distinct, each
+    user appears at most once per (cohort_day, day_offset), so
+    count(*) IS the distinct-user count — no second distinct needed
+    (the twin relies on the same invariant)."""
+    events = load_table(spark, sf_dir, "events")
+    day = (ms_of(events, "ts") / F.lit(86400000)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    base = ud.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        base.select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape: price above brand average (window form)."""
     part = load_table(spark, sf_dir, "part")

@@ -1366,3 +1366,40 @@ def test_minhash_calibration_matches_python_replay(spark):
     }
     assert got == expected
     assert expected, "fixture must have candidate pairs"
+
+
+def test_user_retention_cohorts_replay_and_triangle(spark):
+    """Python replay over the raw events plus the triangle invariants:
+    every cohort has its day-0 row equal to the cohort's user count,
+    no offset row exceeds the cohort size, and the triangle's total
+    mass equals the distinct (user, active-day) count."""
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.relational import ms_of
+    from jaws_effective_processor_spark.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events")
+    day = (ms_of(events, "ts") / F.lit(86400000)).cast("long")
+    ud = {
+        (r["user_id"], r["day"])
+        for r in events.select("user_id", day.alias("day")).collect()
+    }
+    first = {}
+    for u, d in ud:
+        first[u] = min(first.get(u, d), d)
+    expected: dict[tuple, int] = {}
+    for u, d in ud:
+        key = (first[u], d - first[u])
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in QUERIES["user_retention_cohorts"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert got == expected
+    cohort_size = {c: n for (c, off), n in got.items() if off == 0}
+    for (c, off), n in got.items():
+        assert n <= cohort_size[c], (c, off)
+    assert sum(got.values()) == len(ud)
