@@ -183,6 +183,28 @@ def explode_band_buckets(shing: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) shingle frame, session-cached under 'shingles' —
+    the ONE builder every minhash-family consumer shares (pair pass,
+    candidate scoring, raw signatures, band stats), so the tokenization
+    cannot drift between them. The token array is staged through a
+    projection: element_at over an inline split() re-splits the doc
+    per shingle element inside the HOF lambda (Generate/HOF bodies are
+    not subexpression-eliminated) — measured 2x on this build at
+    sf0.1. The signature stage is CPU-heavy per row, so an under-split
+    small-SF scan is spread across cores first."""
+
+    def _build():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_tk")
+        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
+
+    return _cached_frame(spark, sf_dir, "shingles", _build)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band-bucket
     join -> exact-Jaccard verify.
@@ -196,26 +218,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics exact ("shingle-jaccard >= 0.8, LSH-pruned")."""
     # signature stage is CPU-heavy per row (md5 over every shingle);
     # spread an under-split small-SF scan across cores
-    def _build_shingles():
-        docs = spread_if_undersplit(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-        # token array staged through a projection: element_at over an
-        # inline split() re-splits the doc per shingle element inside
-        # the HOF lambda (Generate/HOF bodies are not subexpression-
-        # eliminated) — measured 2x on this build at sf0.1
-        return docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("_tk")
-        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
-
     def _build_bands():
-        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        shing = _shingle_frame(spark, sf_dir)
         return explode_band_buckets(shing)
 
     bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
     # the verify stage re-joins candidates to the shingle table (cache
     # hit: _build_bands has already populated it)
-    shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+    shing = _shingle_frame(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -608,45 +618,44 @@ def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup BEFORE the shingle re-join, so verify work is
     O(candidates), never all-pairs."""
 
-    def _build_shingles():
-        docs = spread_if_undersplit(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-        # token array staged through a projection: element_at over an
-        # inline split() re-splits the doc per shingle element inside
-        # the HOF lambda (Generate/HOF bodies are not subexpression-
-        # eliminated) — measured 2x on this build at sf0.1
-        return docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("_tk")
-        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
-
-    def _build_bands():
-        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
-        return explode_band_buckets(shing)
-
-    bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)
-    shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
-    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
-
     def _build_scored():
+        # ALL plan construction lives inside the build closure: on a
+        # cache hit the call returns the memoized frame without
+        # rebuilding the self-join subtree driver-side
+        bands = _cached_frame(
+            spark,
+            sf_dir,
+            "minhash_bands",
+            lambda: explode_band_buckets(_shingle_frame(spark, sf_dir)),
+        )
+        shing = _shingle_frame(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = shing.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        sb = shing.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        inter = F.size(
+            F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+        ).cast("long")
+        uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast(
+            "long"
+        )
         return (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
@@ -708,16 +717,8 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     only per-band composite keys; calibration needs the raw positions
     to count signature agreement."""
 
-    def _build_shingles():
-        docs = spread_if_undersplit(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-        return docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("_tk")
-        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
-
     def _build_sig():
-        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        shing = _shingle_frame(spark, sf_dir)
         hp = shing.withColumn("_hp", _hash_pairs(F.col("sh")))
         sig = hp.select("doc_id", *_minhash_cols(F.col("_hp")))
         return sig.select(
@@ -856,20 +857,8 @@ def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an N_BANDS-row summary — the same exchange the candidate
     join would pay, with no join attached."""
 
-    def _build_shingles():
-        docs = spread_if_undersplit(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-        # token array staged through a projection: element_at over an
-        # inline split() re-splits the doc per shingle element inside
-        # the HOF lambda (Generate/HOF bodies are not subexpression-
-        # eliminated) — measured 2x on this build at sf0.1
-        return docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("_tk")
-        ).select("doc_id", _shingles(F.col("_tk")).alias("sh"))
-
     def _build_bands():
-        shing = _cached_frame(spark, sf_dir, "shingles", _build_shingles)
+        shing = _shingle_frame(spark, sf_dir)
         return explode_band_buckets(shing)
 
     bands = _cached_frame(spark, sf_dir, "minhash_bands", _build_bands)

@@ -125,7 +125,12 @@ def recommended_executor_conf(cores_per_executor: int) -> dict[str, str]:
     threshold derived from that heap."""
     mem = min_executor_memory_bytes(cores_per_executor)
     return {
-        "spark.executor.memory": str(mem),
+        # UNIT TRAP: spark.executor.memory parses a unitless value as
+        # MiB (bytesConf(ByteUnit.MiB)) — a raw byte count would
+        # request ~10^6x the intended heap. The explicit "b" suffix
+        # makes it bytes. spark.sql.autoBroadcastJoinThreshold is the
+        # opposite: unitless IS bytes.
+        "spark.executor.memory": f"{mem}b",
         "spark.sql.autoBroadcastJoinThreshold": str(
             broadcast_threshold_bytes(mem)
         ),

@@ -109,8 +109,12 @@ def test_executor_conf_block_shape_and_consistency():
         "spark.executor.memory",
         "spark.sql.autoBroadcastJoinThreshold",
     }
-    mem = int(conf["spark.executor.memory"])
+    # executor.memory parses UNITLESS as MiB — the value must carry an
+    # explicit byte suffix or the request inflates ~10^6x
+    assert conf["spark.executor.memory"].endswith("b")
+    mem = int(conf["spark.executor.memory"][:-1])
     assert mem == min_executor_memory_bytes(8)
+    # the SQL threshold is the opposite convention: unitless IS bytes
     assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == (
         broadcast_threshold_bytes(mem)
     )
