@@ -206,3 +206,17 @@ def test_kmeans_fewer_vectors_than_k(spark, tmp_path_factory):
     pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
     for name in ("kmeans_assign", "kmeans_report"):
         compare(QUERIES[name](spark, str(d)), ORACLE_SQL[name], str(d))
+
+
+def test_threshold_curve_exact_dup_no_false_negative(spark, edge_dir):
+    """The pigeonhole guarantee at j=1000: an exact duplicate pair has
+    identical shingle sets, so every minhash matches, every band
+    collides, LSH MUST surface the pair, and the curve counts it at
+    every threshold — including the top rung. Docs 6/7 are the edge
+    corpus's exact-dup pair."""
+    curve = {
+        r["threshold_permille"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in QUERIES["dedup_threshold_curve"](spark, edge_dir).collect()
+    }
+    for t, (n_pairs, n_docs) in curve.items():
+        assert n_pairs >= 1 and n_docs >= 2, t
