@@ -1401,6 +1401,27 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Past this many distinct sources the per-gram source set no longer
+# fits a single long bitmask and q_source_overlap falls back to the
+# general sorted-set plan (collect_set of source names per gram).
+SOURCE_BITMASK_MAX = 64
+
+
+def _distinct_sources(spark: SparkSession, sf_dir: str) -> list:
+    """Sorted distinct source names — the planner probe that picks
+    the bitmask vs sorted-set path. K-row collect off a session-
+    cached frame (same class as the kmeans codebook loads)."""
+    from .dedup import _cached_frame
+
+    def _build():
+        return (
+            load_table(spark, sf_dir, "documents").select("source").distinct()
+        )
+
+    df = _cached_frame(spark, sf_dir, "distinct_sources", _build)
+    return sorted(r[0] for r in df.collect())
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-SOURCE duplication matrix: for each unordered pair of
     crawl sources sharing at least one CONTAM_K-gram, the count of
@@ -1410,15 +1431,109 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate a naive per-source token budget; this is the
     source-dimension twin of q_split_leakage).
 
-    Scale shape: reuses the session-cached contamination gram table
-    plus a doc-keyed join to a 2-column documents projection; ONE
-    shuffle aggregates gram_h -> sorted source set (bounded by the
-    source COUNT, not the corpus — the analog of split_leakage's
-    3-bit mask generalized past 64 sources), pair expansion happens
-    per gram INSIDE that bounded set (never a gram-table self-join),
-    and the final aggregation is at most sources^2/2 rows. Per-source
-    gram totals fold from the same exploded frame and AQE-broadcast
-    back onto the pair rows."""
+    Two plans behind one probe (count(distinct source), K-row
+    collect, session-cached):
+
+    - K <= SOURCE_BITMASK_MAX: split_leakage's bit_or idiom
+      generalized — source -> bit index via a literal map lookup
+      (scan-local, NO dim join: an int-id join variant measured
+      worse), ONE gram-keyed shuffle of narrow (gram_h, long) pairs
+      with bit_or map-side partials, then pair expansion and
+      per-source totals both fold from the tiny distinct-mask frame
+      (HOFs run on masks, never per gram). Bit 63 going negative is
+      fine: bit_or / & / != 0 are two's-complement-safe.
+    - K > SOURCE_BITMASK_MAX: the general sorted-source-set plan
+      (still one gram-keyed shuffle; sets bounded by K, pair
+      expansion inside the set — never a gram self-join).
+
+    Parity between the paths is pinned by tests/test_properties.py::
+    test_source_overlap_bitmask_general_parity.
+    """
+    if len(_distinct_sources(spark, sf_dir)) <= SOURCE_BITMASK_MAX:
+        return _source_overlap_bitmask(spark, sf_dir)
+    return _source_overlap_general(spark, sf_dir)
+
+
+def _source_overlap_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = _distinct_sources(spark, sf_dir)
+    k = len(sources)
+    assert k <= SOURCE_BITMASK_MAX, k
+    g = _contam_gram_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_idx = F.create_map(
+        *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(i))]
+    )
+    # build _idx before the explode so the map lookup runs once per
+    # doc, not once per gram
+    exploded = (
+        g.join(docs, "doc_id")
+        .select("grams", src_idx[F.col("source")].alias("_idx"))
+        .select(
+            F.explode("grams").alias("gram_h"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), _idx)").alias("b"),
+        )
+    )
+    per_gram = exploded.groupBy("gram_h").agg(
+        F.expr("bit_or(b)").alias("mask")
+    )
+    masks = per_gram.groupBy("mask").agg(F.count("*").alias("n"))
+    set_bits = F.expr(
+        f"filter(sequence(0, {k - 1}),"
+        " i -> (mask & shiftleft(CAST(1 AS BIGINT), i)) != 0)"
+    )
+    with_idx = masks.select(F.col("n"), set_bits.alias("_ii"))
+    per_idx = (
+        with_idx.select(F.explode("_ii").alias("_idx"), "n")
+        .groupBy("_idx")
+        .agg(F.sum("n").cast("long").alias("_grams"))
+    )
+    sets = with_idx.filter(F.size("_ii") >= 2)
+    ii = F.col("_ii")
+    combos = F.flatten(
+        F.transform(
+            ii,
+            lambda x, i: F.transform(
+                F.slice(ii, i + 2, F.size(ii)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(combos).alias("p"), "n")
+        .groupBy(F.col("p.a").alias("_ia"), F.col("p.b").alias("_ib"))
+        .agg(F.sum("n").cast("long").alias("shared_grams"))
+    )
+    pa = per_idx.select(
+        F.col("_idx").alias("_ia"), F.col("_grams").alias("a_grams")
+    )
+    pb = per_idx.select(
+        F.col("_idx").alias("_ib"), F.col("_grams").alias("b_grams")
+    )
+    # idx -> name on the <=K^2/2 result rows via a literal array
+    # (sorted sources, ascending idx => source_a < source_b exactly
+    # like the general path's sort_array ordering)
+    names = F.array(*[F.lit(s) for s in sources])
+
+    def name_of(c: str) -> F.Column:
+        return F.element_at(names, F.col(c) + 1)
+
+    return (
+        pairs.join(pa, "_ia")
+        .join(pb, "_ib")
+        .select(
+            name_of("_ia").alias("source_a"),
+            name_of("_ib").alias("source_b"),
+            "shared_grams",
+            "a_grams",
+            "b_grams",
+            F.expr(
+                "(1000 * shared_grams) DIV least(a_grams, b_grams)"
+            ).alias("overlap_permille"),
+        )
+    )
+
+
+def _source_overlap_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _contam_gram_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # ONE gram-keyed shuffle: collect_set dedups sources per gram

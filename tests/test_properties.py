@@ -1279,6 +1279,39 @@ def test_source_overlap_matches_python_replay(spark):
     assert expected, "fixture must actually contain cross-source overlap"
 
 
+def test_source_overlap_bitmask_general_parity(spark):
+    """The <=64-source bitmask fast path and the general sorted-set
+    path emit identical rows (same discipline as the near-dup gate's
+    shuffle-mode parity pin). The fixture's source count must
+    actually select the bitmask path, or this pins nothing."""
+    from jaws_effective_processor_spark.functions.corpus import (
+        SOURCE_BITMASK_MAX,
+        _distinct_sources,
+        _source_overlap_bitmask,
+        _source_overlap_general,
+    )
+    from tests.conftest import SF_ORACLE
+
+    n_sources = len(_distinct_sources(spark, SF_ORACLE))
+    assert 2 <= n_sources <= SOURCE_BITMASK_MAX, n_sources
+    fast = sorted(
+        (tuple(r) for r in _source_overlap_bitmask(spark, SF_ORACLE).collect())
+    )
+    general = sorted(
+        (tuple(r) for r in _source_overlap_general(spark, SF_ORACLE).collect())
+    )
+    assert fast == general
+    assert fast, "fixture must contain cross-source overlap"
+    # names + types must agree (nullability legitimately differs:
+    # count() is non-null, the fast path's sum().cast() is nullable)
+    shape = lambda df: [  # noqa: E731
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert shape(_source_overlap_bitmask(spark, SF_ORACLE)) == shape(
+        _source_overlap_general(spark, SF_ORACLE)
+    )
+
+
 def test_dedup_threshold_curve_consistent_with_nearest_neighbor(spark):
     """The curve and the nearest-duplicate review must agree: a doc's
     best candidate score IS its nearest neighbor's jac_permille, so
