@@ -543,6 +543,12 @@ def _register_llm() -> None:
         corpus.q_stopword_candidates,
         osql.STOPWORD_CANDIDATES_SQL,
     )
+    # round-8 additions
+    register(
+        "media_neardup",
+        multimodal.q_media_neardup,
+        osql.MEDIA_NEARDUP_SQL,
+    )
 
 
 _register_rules()
@@ -611,6 +617,34 @@ _register_llm()
 # (gram/shingle dedup machinery), inverted_index via rag_bucket_report
 # + stopword_candidates (posting/df artifacts over the same cached
 # term stats).
+# Round 8 rotation — every query's driver evidence must match its
+# CURRENT code. Composition:
+#   15 alarm-core keepers (SURVEY §2 S/P/J/A/T/E/W rows, every round).
+#    6 NEVER_CHECKED round-7 post-window additions (COVERAGE.md
+#      ledger): hard_negatives, source_overlap (also rewritten this
+#      round: bitmask fast path), dedup_threshold_curve,
+#      minhash_calibration, packing_report, user_retention_cohorts.
+#    5 REWRITTEN_SINCE_CHECK: the round-7 Generate/HOF staging sweep
+#      (commits 3413e5a, ed7e439, b2caa51) touched bm25_search,
+#      doc_repetition, dedup_minhash_lsh, dedup_simhash,
+#      bpe_pair_counts AFTER their last driver check (r5/r6) — their
+#      green rows describe pre-sweep plans, so they re-enter.
+#    round-8 additions (media_neardup, ...) — in-window the round
+#      they land, per the standing rule.
+#    retained r7-greens filling to 50, keeping every family
+#      represented (nested, sketch, text, PII, conditional-agg,
+#      simhash-pairs, components, ANN, multimodal, retrieval,
+#      tokenizer, packing, mixture, clustering, model-gate, gram
+#      bitmask, events rollup, unigram).
+# Swapped-out r7-greens all keep in-window siblings: kmeans_assign/
+# label_purity/balanced_sample via kmeans_report + centroid_shift,
+# context_length_report via packing_report (same bucket-report
+# family), mixture_temperature via mixture_rebalance, bigram_pmi +
+# ngram_lm_bits + tokenizer_fertility via bpe_pair_counts +
+# bpe_merge_round + token_entropy, doc_length_deciles via
+# packing_report + heavy_hitters, best_of_source via quality_logit +
+# source_quality_report, minhash_band_stats + stopword_candidates via
+# minhash_calibration + unigram_surprisal.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -628,31 +662,22 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # never-driver-checked round-6 additions
-    "kmeans_assign",
-    "kmeans_report",
-    "kmeans_label_purity",
-    "kmeans_balanced_sample",
-    "quality_logit",
-    "split_leakage",
-    "context_length_report",
-    "mixture_temperature",
-    "phrase_search",
-    "unigram_surprisal",
-    # stale-fail re-check (latest driver record = r2 error; rewritten)
-    "events_rollup_multires",
-    # round-7 additions — driver-checked the round they land
-    "bigram_pmi",
-    "token_entropy",
-    "tokenizer_fertility",
-    "doc_length_deciles",
-    "nearest_neighbor_jaccard",
-    "best_of_source",
-    "ngram_lm_bits",
-    "minhash_band_stats",
-    "kmeans_centroid_shift",
-    "stopword_candidates",
-    # retained r6-greens — family representation
+    # NEVER_CHECKED round-7 post-window additions
+    "hard_negatives",
+    "source_overlap",
+    "dedup_threshold_curve",
+    "minhash_calibration",
+    "packing_report",
+    "user_retention_cohorts",
+    # REWRITTEN_SINCE_CHECK (r7 perf sweep postdates last driver check)
+    "bm25_search",
+    "doc_repetition",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "bpe_pair_counts",
+    # round-8 additions — driver-checked the round they land
+    "media_neardup",
+    # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
     "language_confusion",
@@ -667,6 +692,15 @@ _CHECK_FIRST = [
     "bpe_merge_round",
     "packed_token_ids",
     "mixture_rebalance",
+    "kmeans_report",
+    "quality_logit",
+    "split_leakage",
+    "events_rollup_multires",
+    "unigram_surprisal",
+    "phrase_search",
+    "token_entropy",
+    "nearest_neighbor_jaccard",
+    "kmeans_centroid_shift",
 ]
 
 

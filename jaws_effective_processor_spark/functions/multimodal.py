@@ -178,3 +178,140 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(frames, schema=_FRAME_SCHEMA)
+
+
+# ------------------------------------------ perceptual-hash near-dup
+# dHash over the stub decoder's pixel grid: an 8x8 byte grid sampled
+# from the payload (px(r,c) = payload[(r*8+c) mod n]) stands in for
+# the downscaled luminance grid a real image pipeline hashes; each of
+# the 8 rows contributes 7 left<right comparisons -> a 56-bit hash
+# whose Hamming distance tracks payload similarity (what dHash gives
+# real images). 56 bits (not 64) keeps every bit literal a positive
+# BIGINT in both engines.
+MEDIA_GRID = 8
+MEDIA_PHASH_BITS = MEDIA_GRID * (MEDIA_GRID - 1)  # 56
+MEDIA_PHASH_BAND_BITS = 14
+MEDIA_PHASH_N_BANDS = MEDIA_PHASH_BITS // MEDIA_PHASH_BAND_BITS  # 4
+# pigeonhole: <= n_bands-1 bit flips leave >= 1 of the 4 bands exact,
+# so the (media_type, band, val) equi-join is recall-lossless at this
+# threshold — the q_dedup_simhash_pairs guarantee, reused verbatim
+MEDIA_PHASH_MAX_HAMMING = MEDIA_PHASH_N_BANDS - 1
+
+
+def media_phash_py(payload: bytes) -> int:
+    """Deterministic stub dHash (row-wise gradient sign over the
+    sampled byte grid). Production swaps a real decode+downscale in
+    front; the banding/verify machinery downstream is unchanged."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    g = MEDIA_GRID
+    h = 0
+    for r in range(g):
+        row = [payload[(r * g + c) % n] for c in range(g)]
+        for c in range(g - 1):
+            if row[c + 1] > row[c]:
+                h |= 1 << (r * (g - 1) + c)
+    return h
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def media_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-row 56-bit perceptual hash (doc_id, media_type,
+    phash) — session-cached artifact, Arrow mapInPandas like the rest
+    of the multimodal decode family (the hash IS the decode step: in
+    production it runs PIL/cv2 then dHash; the stub keeps batch shape
+    and determinism)."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        media = with_media_columns(docs).select(
+            "doc_id", "media_type", "payload"
+        )
+
+        def hash_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": pdf["media_type"],
+                        "phash": [
+                            media_phash_py(p) for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        return media.mapInPandas(hash_batches, schema=_PHASH_SCHEMA)
+
+    return _cached_frame(spark, sf_dir, "media_phash", _build)
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs (per modality,
+    Hamming <= MEDIA_PHASH_MAX_HAMMING) — what a training-data
+    pipeline runs on images/video before mixing sources: two crawls
+    of the same asset re-encode to slightly different bytes but
+    near-identical perceptual hashes.
+
+    Scale shape: the q_dedup_simhash_pairs blocking applied to the
+    media stack (dedup.py:350 machinery, multimodal decode front):
+    each hash is replicated MEDIA_PHASH_N_BANDS times (a constant)
+    into (media_type, band, 14-bit val) keys; candidates come from
+    one equi-join on those keys — never an all-pairs compare — and
+    the exact bit_count(xor) verify touches only candidates. The
+    phash table is a session-cached artifact shared with any future
+    media operator."""
+    sig = media_phash_table(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "media_type",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("phash"), MEDIA_PHASH_BAND_BITS * i
+                            )
+                            % F.lit(1 << MEDIA_PHASH_BAND_BITS)
+                        ).alias("val"),
+                    )
+                    for i in range(MEDIA_PHASH_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "media_type", "phash", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.media_type").alias("media_type"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+        .select("media_type", "doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= MEDIA_PHASH_MAX_HAMMING)
+    )

@@ -455,6 +455,72 @@ FROM m
 """
 
 
+from .functions.multimodal import (  # noqa: E402
+    MEDIA_GRID,
+    MEDIA_PHASH_BAND_BITS,
+    MEDIA_PHASH_BITS,
+    MEDIA_PHASH_MAX_HAMMING,
+    MEDIA_PHASH_N_BANDS,
+)
+
+# Twin of multimodal.media_phash_py: px[j] = payload byte at
+# (j mod n) via the hex-substr idiom (byte != codepoint for
+# non-ASCII); dHash bit i compares grid cells (i//7)*8+(i%7) and +1.
+_MEDIA_PX = (
+    f"list_transform(range({MEDIA_GRID * MEDIA_GRID}), j -> "
+    "CASE WHEN n = 0 THEN 0 ELSE "
+    "CAST(('0x' || substr(hx, CAST(2*(j % n)+1 AS INT), 2)) AS INT) "
+    "END)"
+)
+_MEDIA_PHASH = (
+    f"CAST(list_sum(list_transform(range({MEDIA_PHASH_BITS}), i -> "
+    f"CASE WHEN px[CAST((i // {MEDIA_GRID - 1}) * {MEDIA_GRID}"
+    f" + (i % {MEDIA_GRID - 1}) + 2 AS INT)]"
+    f" > px[CAST((i // {MEDIA_GRID - 1}) * {MEDIA_GRID}"
+    f" + (i % {MEDIA_GRID - 1}) + 1 AS INT)]"
+    " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT)"
+    " END)) AS BIGINT)"
+)
+
+MEDIA_NEARDUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, media_type, {_MEDIA_PX} AS px FROM m
+),
+sig AS (
+  SELECT doc_id, media_type, {_MEDIA_PHASH} AS phash FROM grid
+),
+bands AS (
+  SELECT doc_id, media_type, phash, b AS band,
+         (phash >> CAST({MEDIA_PHASH_BAND_BITS} * b AS INT))
+           & {(1 << MEDIA_PHASH_BAND_BITS) - 1} AS val
+  FROM sig, unnest(range({MEDIA_PHASH_N_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.media_type AS media_type,
+         a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a
+  JOIN bands b ON a.media_type = b.media_type AND a.band = b.band
+              AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT media_type, doc_a, doc_b, hamming FROM (
+  SELECT media_type, doc_a, doc_b,
+         CAST(bit_count(CAST(xor(ph_a, ph_b) AS BIGINT)) AS BIGINT)
+           AS hamming
+  FROM cand
+) v
+WHERE hamming <= {MEDIA_PHASH_MAX_HAMMING}
+"""
+
+
 from .functions.text import BPE_PATTERN, QUALITY_EXPR_T  # noqa: E402
 
 _Q = QUALITY_EXPR_T.format(d="//")

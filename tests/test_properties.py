@@ -1279,6 +1279,148 @@ def test_source_overlap_matches_python_replay(spark):
     assert expected, "fixture must actually contain cross-source overlap"
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    m1=st.integers(2, 5),
+    m2=st.integers(0, 3),
+    d=st.integers(0, 4),
+)
+def test_minhash_qa_family_consistency(spark, m1, m2, d, tmp_path_factory):
+    """Cross-operator consistency for the MinHash QA family on planted
+    duplicate classes: minhash_calibration, dedup_threshold_curve and
+    minhash_band_stats all read the same cached signature/candidate
+    artifacts and must tell ONE story. Corpus = a dup class of m1
+    identical docs, an optional second class of m2, and d unique docs,
+    all vocabulary-disjoint — so candidates are exactly the
+    within-class pairs:
+
+    - curve: every DEDUP_LADDER rung keeps all sum(C(m,2)) pairs and
+      touches sum(m) docs (exact dups score jac 1000 >= every rung);
+    - calibration: ONE row at sig_matches = N_MINHASH with
+      est = mean = min = max = 1000 over the same pair count;
+    - band stats, every band: one size-m colliding bucket per class,
+      one singleton per unique doc, all docs accounted for."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jaws_effective_processor_spark.functions.dedup import (
+        DEDUP_LADDER,
+        N_BANDS,
+        N_MINHASH,
+        q_dedup_threshold_curve,
+        q_minhash_band_stats,
+        q_minhash_calibration,
+    )
+
+    texts = []
+    for i in range(m1):
+        texts.append(" ".join(f"c1w{j}" for j in range(12)))
+    for i in range(m2):
+        texts.append(" ".join(f"c2w{j}" for j in range(10)))
+    for i in range(d):
+        texts.append(" ".join(f"u{i}w{j}" for j in range(8)))
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("qafam"))
+    pq.write_table(table, os.path.join(sf, "documents.parquet"))
+
+    classes = [m for m in (m1, m2) if m >= 2]
+    n_pairs = sum(m * (m - 1) // 2 for m in classes)
+    n_dup_docs = sum(classes)
+    n_singletons = d + (1 if m2 == 1 else 0)
+    n_docs_total = m1 + m2 + d
+
+    curve = {
+        r["threshold_permille"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in q_dedup_threshold_curve(spark, sf).collect()
+    }
+    assert set(curve) == set(DEDUP_LADDER)
+    for t in DEDUP_LADDER:
+        assert curve[t] == (n_pairs, n_dup_docs), t
+
+    cal = q_minhash_calibration(spark, sf).collect()
+    assert len(cal) == 1
+    row = cal[0]
+    assert row["sig_matches"] == N_MINHASH
+    assert row["est_jac_permille"] == 1000
+    assert row["n_pairs"] == n_pairs
+    assert (
+        row["mean_jac_permille"]
+        == row["min_jac_permille"]
+        == row["max_jac_permille"]
+        == 1000
+    )
+
+    stats = q_minhash_band_stats(spark, sf).collect()
+    assert len(stats) == N_BANDS
+    for r in stats:
+        assert r["n_docs"] == n_docs_total
+        assert r["n_colliding_docs"] == n_dup_docs
+        assert r["n_singletons"] == n_singletons
+        assert r["n_buckets"] == len(classes) + n_singletons
+        assert r["max_bucket"] == max(classes + [1])
+
+
+def test_media_neardup_matches_python_replay(spark):
+    """The banded perceptual-hash pairs equal a plain-Python replay:
+    phash per media row via media_phash_py, candidates = same
+    (media_type, band, 14-bit val) bucket, verify popcount(xor) <=
+    MEDIA_PHASH_MAX_HAMMING — recall-lossless banding included."""
+    import itertools
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.multimodal import (
+        MEDIA_PHASH_BAND_BITS,
+        MEDIA_PHASH_MAX_HAMMING,
+        MEDIA_PHASH_N_BANDS,
+        media_phash_py,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    mt_of = ("image", "audio", "video")
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sig = [
+        (r["doc_id"], mt_of[r["doc_id"] % 3], media_phash_py(r["text"].encode()))
+        for r in docs
+    ]
+    buckets: dict[tuple, list] = {}
+    m = (1 << MEDIA_PHASH_BAND_BITS) - 1
+    for d, mt, h in sig:
+        for b in range(MEDIA_PHASH_N_BANDS):
+            buckets.setdefault(
+                (mt, b, (h >> (MEDIA_PHASH_BAND_BITS * b)) & m), []
+            ).append((d, h))
+    expected = set()
+    for (mt, _, _), members in buckets.items():
+        for (d1, h1), (d2, h2) in itertools.combinations(sorted(members), 2):
+            if d1 < d2 and bin(h1 ^ h2).count("1") <= MEDIA_PHASH_MAX_HAMMING:
+                expected.add((mt, d1, d2, bin(h1 ^ h2).count("1")))
+    got = {
+        (r["media_type"], r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["media_neardup"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain perceptual near-dups"
+
+
 def test_source_overlap_bitmask_general_parity(spark):
     """The <=64-source bitmask fast path and the general sorted-set
     path emit identical rows (same discipline as the near-dup gate's
