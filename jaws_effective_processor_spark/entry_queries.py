@@ -549,6 +549,26 @@ def _register_llm() -> None:
         multimodal.q_media_neardup,
         osql.MEDIA_NEARDUP_SQL,
     )
+    register(
+        "media_dedup_keep",
+        multimodal.q_media_dedup_keep,
+        osql.MEDIA_DEDUP_KEEP_SQL,
+    )
+    register(
+        "pq_quantize",
+        similarity.q_pq_quantize,
+        osql.PQ_QUANTIZE_SQL,
+    )
+    register(
+        "importance_resampling",
+        filtering.q_importance_resampling,
+        osql.IMPORTANCE_RESAMPLING_SQL,
+    )
+    register(
+        "ann_pq_recall",
+        similarity.q_ann_pq_recall,
+        osql.ANN_PQ_RECALL_SQL,
+    )
 
 
 _register_rules()
@@ -629,22 +649,26 @@ _register_llm()
 #      doc_repetition, dedup_minhash_lsh, dedup_simhash,
 #      bpe_pair_counts AFTER their last driver check (r5/r6) — their
 #      green rows describe pre-sweep plans, so they re-enter.
-#    round-8 additions (media_neardup, ...) — in-window the round
-#      they land, per the standing rule.
+#    5 round-8 additions (media_neardup, media_dedup_keep,
+#      pq_quantize, importance_resampling, ann_pq_recall) —
+#      in-window the round they land, per the standing rule.
 #    retained r7-greens filling to 50, keeping every family
 #      represented (nested, sketch, text, PII, conditional-agg,
 #      simhash-pairs, components, ANN, multimodal, retrieval,
 #      tokenizer, packing, mixture, clustering, model-gate, gram
 #      bitmask, events rollup, unigram).
 # Swapped-out r7-greens all keep in-window siblings: kmeans_assign/
-# label_purity/balanced_sample via kmeans_report + centroid_shift,
+# label_purity/balanced_sample/centroid_shift via kmeans_report,
 # context_length_report via packing_report (same bucket-report
 # family), mixture_temperature via mixture_rebalance, bigram_pmi +
-# ngram_lm_bits + tokenizer_fertility via bpe_pair_counts +
-# bpe_merge_round + token_entropy, doc_length_deciles via
-# packing_report + heavy_hitters, best_of_source via quality_logit +
-# source_quality_report, minhash_band_stats + stopword_candidates via
-# minhash_calibration + unigram_surprisal.
+# ngram_lm_bits + tokenizer_fertility + token_entropy via
+# bpe_pair_counts + bpe_merge_round + unigram_surprisal,
+# doc_length_deciles via packing_report + heavy_hitters,
+# best_of_source via quality_logit + source_quality_report,
+# minhash_band_stats + stopword_candidates via minhash_calibration +
+# unigram_surprisal, phrase_search via rag_bucket_report + bm25_search,
+# nearest_neighbor_jaccard via dedup_threshold_curve +
+# minhash_calibration (same cached candidate-Jaccard artifact).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -677,6 +701,10 @@ _CHECK_FIRST = [
     "bpe_pair_counts",
     # round-8 additions — driver-checked the round they land
     "media_neardup",
+    "media_dedup_keep",
+    "pq_quantize",
+    "importance_resampling",
+    "ann_pq_recall",
     # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
@@ -697,10 +725,6 @@ _CHECK_FIRST = [
     "split_leakage",
     "events_rollup_multires",
     "unigram_surprisal",
-    "phrase_search",
-    "token_entropy",
-    "nearest_neighbor_jaccard",
-    "kmeans_centroid_shift",
 ]
 
 

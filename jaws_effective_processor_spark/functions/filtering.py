@@ -492,3 +492,38 @@ def q_best_of_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BEST_OF_SOURCE_K)
         .select("source", "rank", "doc_id", "logit_milli")
     )
+
+
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance resampling: each document is
+    kept with probability = its composite quality score (permille),
+    decided by comparing the score against a DETERMINISTIC uniform
+    hash of the text — the soft quality filter modern curation runs
+    use instead of a hard threshold (a hard cut at 750 deletes every
+    mid-quality doc; proportional sampling keeps the distribution's
+    mass while down-weighting junk), made reproducible: the same doc
+    draws the same verdict on every run, every engine, every backfill.
+
+    hash_permille rides the cross-engine md5 idiom (12 hex chars ->
+    BIGINT % 1000, uniform over text bytes); the emitted decision
+    table carries score, draw, and verdict so downstream token
+    accounting can audit the expected-vs-realized keep rate. Scale
+    shape: scan-local column expressions only — zero shuffles, no
+    state, embarrassingly parallel at any corpus size."""
+    from .text import QUALITY_EXPR_T, quality_stat_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", *quality_stat_columns())
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    return base.select(
+        "doc_id",
+        score.alias("score_permille"),
+        draw.alias("hash_permille"),
+        (draw < score).alias("kept"),
+    )

@@ -273,6 +273,10 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     phash table is a session-cached artifact shared with any future
     media operator."""
     sig = media_phash_table(spark, sf_dir)
+    return _media_neardup_pairs(sig)
+
+
+def _media_neardup_pairs(sig: DataFrame) -> DataFrame:
     bands = sig.select(
         "doc_id",
         "media_type",
@@ -315,3 +319,43 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_type", "doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= MEDIA_PHASH_MAX_HAMMING)
     )
+
+
+def _media_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached component labels over the perceptual-hash pair
+    set — the media twin of corpus._minhash_components (same shared-
+    artifact discipline: the iterative label loop runs once, every
+    consumer reads the cached frame)."""
+    from .corpus import connected_components
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "media_components",
+        lambda: connected_components(
+            q_media_neardup(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+
+
+def q_media_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media retention set: keep ONE representative (min doc_id) per
+    perceptual-hash near-dup component plus every unpaired media row —
+    the asset list a multimodal training mixture actually ships after
+    image/video dedup (q_dedup_keep's discipline applied to the media
+    stack; pairs never cross media_type, so components stay within a
+    modality by construction).
+
+    Scale shape: the pair set and the iterative min-label loop are
+    candidate-driven (see q_media_neardup / connected_components);
+    the non-canonical member set is tiny and LEFT ANTI joins against
+    the media projection under AQE broadcast."""
+    comp = _media_components(spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    media = with_media_columns(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type"
+    )
+    return media.join(dropped, "doc_id", "left_anti")

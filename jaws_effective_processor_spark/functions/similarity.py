@@ -392,6 +392,232 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 8  # sub-centroids per subspace; codebook = the subvectors of
+# corpus vectors N_QUERIES..N_QUERIES+PQ_K — data-derived without a
+# training pass (the IVF-cells trick), deterministic in both engines.
+# 4x3-bit codes vs 64 doubles. Wider configs measured PATHOLOGICAL
+# in Catalyst analysis, not execution (PQ_M*PQ_K argmin trees with
+# the dists array referenced twice: M=8/K=16 and even M=4/K=16 ran
+# minutes of driver plan-build vs ~10 s at K=8) — recall on the
+# untrained stub codebook barely moves, and a production index
+# k-means-trains the codebook anyway, which is the quality knob
+# q_ann_pq_recall exists to measure. Keep K=8 until codes come from
+# a trained codebook artifact.
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """codebook[m][j] = subspace-m slice of designated corpus vector
+    N_QUERIES+j. K-row collect off a session-cached frame (the
+    codebook-load class of .collect(), like streaming/vectors.py) —
+    a real PQ index ships its codebook to every executor exactly
+    like this."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        return emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_K)
+        ).select("vec_id", v.alias("v"))
+
+    rows = _cached_frame(spark, sf_dir, "pq_codebook", _build).collect()
+    by_id = {r["vec_id"]: list(r["v"]) for r in rows}
+    return [
+        [
+            by_id[N_QUERIES + j][m * PQ_SUB : (m + 1) * PQ_SUB]
+            for j in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _lit_vec(c: list) -> Column:
+    return F.array(*[F.lit(float(t)) for t in c])
+
+
+def _sq_fold(c: list) -> float:
+    """Python-side c.c in the same sequential fold order as dot() /
+    list_dot_product, so the literal equals the engine value bit-for-
+    bit."""
+    acc = 0.0
+    for t in c:
+        acc += t * t
+    return acc
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code_0..code_{PQ_M-1}) — every vector coded against
+    the literal codebook; session-cached under 'pq_codes' (the
+    persisted code column of a PQ index; q_pq_quantize publishes it,
+    q_ann_pq_recall evaluates it)."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        cb = _pq_codebook(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        staged = emb.select("vec_id", v.alias("v")).select(
+            "vec_id",
+            *[
+                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_x{m}")
+                for m in range(PQ_M)
+            ],
+        ).select(
+            "vec_id",
+            *[F.col(f"_x{m}") for m in range(PQ_M)],
+            *[
+                dot(F.col(f"_x{m}"), F.col(f"_x{m}")).alias(f"_xx{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        codes = []
+        for m in range(PQ_M):
+            dists = F.array(
+                *[
+                    F.col(f"_xx{m}")
+                    + F.lit(_sq_fold(cb[m][j]))
+                    - 2 * dot(F.col(f"_x{m}"), _lit_vec(cb[m][j]))
+                    for j in range(PQ_K)
+                ]
+            )
+            codes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("long")
+                .alias(f"code_{m}")
+            )
+        return staged.select("vec_id", *codes)
+
+    return _cached_frame(spark, sf_dir, "pq_codes", _build)
+
+
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-dim vector into PQ_M=4
+    subvectors and code each against an 8-entry sub-codebook (argmin
+    squared L2, ties to the lower centroid id) — the compression every
+    large ANN store applies behind the coarse IVF level (codes here:
+    4x3 bits vs 64 doubles). pq_code packs the four codes into one
+    integer, the form an index persists and scans.
+
+    Scale shape: the codebook is a K-row collect (once per session)
+    folded into LITERAL expressions, so coding is entirely scan-local
+    — ZERO shuffles, no join, no window; at 100 TB every executor
+    codes its partitions independently, exactly how a production PQ
+    indexer runs. Float parity with the DuckDB twin holds because
+    dist = x.x + c.c - 2*x.c with each dot a sequential fold
+    (dot()'s list_dot_product bit-compat) and c.c pre-folded in the
+    same sequential order driver-side; argmin compares identical
+    doubles, ties break on centroid order via the first-match
+    semantics of array_position both engines share."""
+    out = _pq_codes(spark, sf_dir)
+    packed = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        packed = packed * PQ_K + F.col(f"code_{m}")
+    return out.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(PQ_M)],
+        packed.alias("pq_code"),
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate: per-query recall@TOP_K of ASYMMETRIC-distance
+    search over the PQ codes against the exact cosine top-k — the
+    evaluation that decides whether 4x3-bit codes are enough before a
+    store serves them (the ADC recall table every PQ paper reports).
+
+    Asymmetric scoring is the real serving path: the query stays
+    exact, the corpus vector is its reconstruction from codes, and
+    cos_hat = sum_m dot(q_m, codebook[m][code_m]) / (|q| * |x_hat|).
+    Per query that is a 32-entry lookup table (PQ_M x PQ_K dots)
+    built ONCE on the broadcast query side; corpus scoring is then
+    pure element_at arithmetic per row — the LUT trick that makes ADC
+    fast on real indexes. Numerator and |x_hat|^2 both sum in fixed
+    m-order as expressions (never a float aggregation), so both
+    engines rank identical doubles; ties break on neighbor id.
+
+    Scale shape: corpus-side work is scan-local against the broadcast
+    query LUTs + one per-query top-k window; the exact side reads the
+    session-cached ground-truth table — nothing corpus-sized moves
+    twice. Composes the cached 'pq_codes' and 'knn_brute_neighbors'
+    artifacts."""
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("norm").alias("_qnorm"),
+            *[
+                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .select(
+            "query_id",
+            "_qnorm",
+            *[
+                F.array(
+                    *[
+                        dot(F.col(f"_q{m}"), _lit_vec(cb[m][j]))
+                        for j in range(PQ_K)
+                    ]
+                ).alias(f"_lut{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    corpus = e.select("vec_id").join(codes, "vec_id")
+    num = None
+    recon2 = None
+    for m in range(PQ_M):
+        idx = (F.col(f"code_{m}") + 1).cast("int")
+        term = F.element_at(F.col(f"_lut{m}"), idx)
+        n2 = F.element_at(
+            _lit_vec([_sq_fold(cb[m][j]) for j in range(PQ_K)]), idx
+        )
+        num = term if num is None else num + term
+        recon2 = n2 if recon2 is None else recon2 + n2
+    cos_hat = F.when(
+        recon2 > 0, num / (F.col("_qnorm") * F.sqrt(recon2))
+    ).otherwise(F.lit(-2.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos_hat").desc(), F.col("vec_id")
+    )
+    approx = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_hat.alias("_cos_hat"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    queries = bf.select("query_id").distinct()
+    return (
+        queries.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(1000 * n_hits) DIV {TOP_K}").alias("recall_permille"),
+        )
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate: per-query recall@TOP_K of the IVF-multiprobe
     index against the exact brute-force top-k — the evaluation every

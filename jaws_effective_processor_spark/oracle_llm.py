@@ -521,6 +521,35 @@ WHERE hamming <= {MEDIA_PHASH_MAX_HAMMING}
 """
 
 
+# Twin of q_media_dedup_keep: the DEDUP_KEEP_SQL recursive component
+# fixpoint over the perceptual-hash pair set, then the media
+# projection minus non-canonical members
+MEDIA_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {MEDIA_NEARDUP_SQL}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.doc_b, w.lab
+  FROM walk w JOIN edges e ON w.node = e.doc_a
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 from .functions.text import BPE_PATTERN, QUALITY_EXPR_T  # noqa: E402
 
 _Q = QUALITY_EXPR_T.format(d="//")
@@ -1185,6 +1214,153 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 # Twin of q_embedding_quantize: identical IEEE expression tree,
 # floor quantization, integer micro-unit scale
+# Twin of q_importance_resampling: QUALITY_SCORE_SQL's stats subquery
+# + the md5-12-hex-chars uniform draw, strict < verdict
+IMPORTANCE_RESAMPLING_SQL = f"""
+SELECT doc_id,
+       CAST({_Q} AS BIGINT) AS score_permille,
+       CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000
+         AS hash_permille,
+       (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000)
+         < CAST({_Q} AS BIGINT) AS kept
+FROM (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+           AS n_stopwords,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+           AS tok_chars
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t0
+) t1
+"""
+
+from .functions.similarity import PQ_K, PQ_M, PQ_SUB  # noqa: E402
+
+# Twin of q_pq_quantize: same data-derived codebook (subvectors of
+# corpus vectors N_QUERIES..N_QUERIES+PQ_K), same three-dot squared-L2
+# (list_dot_product is the sequential fold dot() matches), same
+# (dist, j) tie-break
+PQ_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, m,
+         e.v[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
+           AS x
+  FROM e, unnest(range({PQ_M})) AS t(m)
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.j,
+         list_dot_product(s.x, s.x)
+           + list_dot_product(cx, cx)
+           - 2 * list_dot_product(s.x, cx) AS dist
+  FROM sub s, cent c,
+       LATERAL (SELECT c.cv[CAST(s.m*{PQ_SUB}+1 AS INT)
+                            : CAST(s.m*{PQ_SUB}+{PQ_SUB} AS INT)]
+                  AS cx) lx
+),
+best AS (
+  SELECT vec_id, m, j,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j)
+           AS rn
+  FROM scored
+),
+codes AS (
+  SELECT vec_id,
+         {", ".join(
+           f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT)"
+           f" AS code_{m}" for m in range(PQ_M)
+         )}
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT vec_id, {", ".join(f"code_{m}" for m in range(PQ_M))},
+       CAST({"".join("(" for _ in range(PQ_M - 1))}code_0
+            {"".join(f") * {PQ_K} + code_{m}" for m in range(1, PQ_M))}
+            AS BIGINT) AS pq_code
+FROM codes
+"""
+
+
+# Twin of q_ann_pq_recall: same codebook, same ADC lookup-table
+# scoring with fixed-order sums (4 explicit LUT joins, never a float
+# aggregation), same (cos_hat DESC, neighbor) ranking, exact side =
+# the brute-force cosine top-k
+ANN_PQ_RECALL_SQL = f"""
+WITH codes AS (
+  {PQ_QUANTIZE_SQL}
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+cent AS (
+  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+lut AS (
+  SELECT q.vec_id AS query_id, m, c.j,
+         list_dot_product(
+           q.v[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
+         ) AS d,
+         list_dot_product(
+           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
+         ) AS cn2
+  FROM e q, cent c, unnest(range({PQ_M})) AS t(m)
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT qn.vec_id AS query_id, x.vec_id AS neighbor_id,
+         CASE WHEN ({" + ".join(f"l{m}.cn2" for m in range(PQ_M))}) > 0
+              THEN ({" + ".join(f"l{m}.d" for m in range(PQ_M))})
+                   / (qn.norm * sqrt(
+                        {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
+              ELSE -2.0 END AS cos_hat
+  FROM (SELECT vec_id, norm FROM e WHERE vec_id < {N_QUERIES}) qn
+  JOIN e x ON x.vec_id <> qn.vec_id
+  JOIN codes k ON k.vec_id = x.vec_id
+  {" ".join(
+    f"JOIN lut l{m} ON l{m}.query_id = qn.vec_id AND l{m}.m = {m}"
+    f" AND l{m}.j = k.code_{m}" for m in range(PQ_M)
+  )}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM scored
+  ) r WHERE rn <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN approx USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // {TOP_K}
+         AS recall_permille
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 EMBEDDING_QUANTIZE_SQL = """
 WITH m AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -324,6 +324,123 @@ def neardup_gate_stream(
     )
 
 
+def media_phash_gate_stream(
+    docs: DataFrame, ingested: DataFrame, mode: str = "auto"
+) -> DataFrame:
+    """Streaming perceptual near-dup gate for media: drop arriving
+    rows whose 56-bit dHash shares a (media_type, band, 14-bit val)
+    bucket with any already-ingested media row — the live half of
+    functions/multimodal.q_media_neardup's candidate stage, computed
+    from the SAME media_phash_py decode and band split, so an
+    arriving asset lands in exactly the buckets its batch twin would.
+
+    Economics and physical shapes mirror neardup_gate_stream
+    verbatim (a bucket collision may drop a non-duplicate; a pass
+    shares NO band with the corpus — nothing the batch pass would
+    even consider; the exact Hamming verify stays batch-side):
+
+    - ``broadcast``: one-row broadcast array of xxhash64 bucket
+      fingerprints + stateless per-row array intersect.
+    - ``shuffle``: the distinct seen-fingerprint table stays
+      distributed; MEDIA_PHASH_N_BANDS stream-static left-anti
+      equi-joins (append-mode safe, no streaming aggregation).
+
+    Parity between the two shapes and against a Python replay is
+    pinned by tests/test_streaming.py::test_media_gate_parity.
+    The phash ride-along keeps mapInPandas stateless (streaming-
+    legal); survivors come back with their media_type attached."""
+    from ..functions.multimodal import (
+        MEDIA_PHASH_BAND_BITS,
+        MEDIA_PHASH_N_BANDS,
+        MEDIA_TYPES,
+        media_phash_py,
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown media gate mode: {mode!r}")
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if ingested.count() <= NEARDUP_BROADCAST_MAX_DOCS
+            else "shuffle"
+        )
+
+    def with_phash(df: DataFrame) -> DataFrame:
+        mt = F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        staged = df.withColumn("media_type", mt).withColumn(
+            "_payload", F.col("text").cast("binary")
+        )
+        keep = [f for f in staged.schema.fields if f.name != "_payload"]
+        out_schema = T.StructType(
+            list(keep) + [T.StructField("phash", T.LongType())]
+        )
+        names = [f.name for f in keep]
+
+        def add_phash(batches):
+            for pdf in batches:
+                res = pdf[names].copy()
+                res["phash"] = [
+                    media_phash_py(p if p is not None else b"")
+                    for p in pdf["_payload"]
+                ]
+                yield res
+
+        return staged.mapInPandas(add_phash, schema=out_schema)
+
+    def bucket_fps(df: DataFrame) -> DataFrame:
+        fps = F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        "|",
+                        F.col("media_type"),
+                        F.lit(i),
+                        F.shiftright(
+                            F.col("phash"), MEDIA_PHASH_BAND_BITS * i
+                        )
+                        % F.lit(1 << MEDIA_PHASH_BAND_BITS),
+                    )
+                )
+                for i in range(MEDIA_PHASH_N_BANDS)
+            ]
+        )
+        return with_phash(df).withColumn("_fps", fps).drop("phash")
+
+    if mode == "shuffle":
+        seen_fps = (
+            bucket_fps(ingested)
+            .select(F.explode("_fps").alias("_seen_fp"))
+            .distinct()
+        )
+        out = bucket_fps(docs)
+        for i in range(MEDIA_PHASH_N_BANDS):
+            out = (
+                out.withColumn("_fp_i", F.col("_fps")[i])
+                .join(
+                    seen_fps,
+                    F.col("_fp_i") == F.col("_seen_fp"),
+                    "left_anti",
+                )
+                .drop("_fp_i")
+            )
+        return out.drop("_fps")
+
+    seen = (
+        bucket_fps(ingested)
+        .select(F.explode("_fps").alias("fp"))
+        .agg(F.collect_set("fp").alias("_seen"))
+    )
+    return (
+        bucket_fps(docs)
+        .crossJoin(F.broadcast(seen))
+        .filter(F.size(F.array_intersect(F.col("_fps"), F.col("_seen"))) == 0)
+        .drop("_fps", "_seen")
+    )
+
+
 def bloom_gate_stream(docs: DataFrame, ingested: DataFrame) -> DataFrame:
     """Streaming Bloom dedup gate: drop arriving documents whose k
     filter positions are ALL set in the Bloom filter built from the

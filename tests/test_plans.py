@@ -38,6 +38,21 @@ def test_revenue_join_strategy(spark):
     assert shuffle_count(df) == 1
 
 
+def test_pq_quantize_scan_local(spark):
+    """PQ coding is entirely scan-local: the codebook folds into
+    literal expressions, so the plan has ZERO exchanges and no join —
+    the shape that codes 100 TB partition-parallel. Built from the RAW
+    query function (the registry's plan cache would hand back an
+    AQE-finalized plan)."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_pq_quantize,
+    )
+
+    df = q_pq_quantize(spark, SF_SMOKE)
+    assert shuffle_count(df) == 0
+    assert broadcast_join_count(df) == 0
+
+
 def test_pricing_summary_pushdown(spark):
     """The shipdate predicate reaches the parquet scan (PushedFilters)
     and column pruning drops unused lineitem columns (ReadSchema)."""

@@ -73,3 +73,100 @@ def test_hard_negatives_match_ground_truth_replay(spark):
         for r in QUERIES["hard_negatives"](spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def test_pq_codebook_vectors_code_to_themselves(spark):
+    """Sharpest PQ invariant: every codebook vector's subspace
+    distance to its own centroid is exactly 0.0 in IEEE (x.x + x.x -
+    2*x.x with identical folds), so vector N_QUERIES+j must emit code
+    j in EVERY subspace, and its packed code is the base-PQ_K
+    repunit of j."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+    )
+
+    rows = {
+        r["vec_id"]: r
+        for r in QUERIES["pq_quantize"](spark, SF_ORACLE).collect()
+    }
+    for j in range(PQ_K):
+        r = rows[N_QUERIES + j]
+        for m in range(PQ_M):
+            assert r[f"code_{m}"] == j, (j, m, dict(r.asDict()))
+        packed = 0
+        for _ in range(PQ_M):
+            packed = packed * PQ_K + j
+        assert r["pq_code"] == packed
+
+
+def test_ann_pq_recall_matches_python_replay(spark):
+    """The ADC recall table equals a plain-Python replay: reconstruct
+    each corpus vector from its codes, rank by reconstructed cosine
+    (ties to the lower neighbor id), intersect the top-k with the
+    exact cosine top-k."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        _pq_codebook,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    cb = _pq_codebook(spark, SF_ORACLE)
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+
+    def fold_dot(x, y):
+        acc = 0.0
+        for p, q in zip(x, y):
+            acc += p * q
+        return acc
+
+    def norm(v):
+        return fold_dot(v, v) ** 0.5
+
+    codes = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(PQ_M)]
+        for r in QUERIES["pq_quantize"](spark, SF_ORACLE).collect()
+    }
+    live = {i: v for i, v in emb.items() if fold_dot(v, v) > 0}
+    queries = {i: v for i, v in live.items() if i < N_QUERIES}
+    expected = {}
+    for qid, qv in queries.items():
+        qn = norm(qv)
+        exact = sorted(
+            (
+                (-fold_dot(qv, v) / (qn * norm(v)), i)
+                for i, v in live.items()
+                if i != qid
+            )
+        )[:TOP_K]
+        approx = []
+        for i in live:
+            if i == qid:
+                continue
+            # fixed m-order partial sums, mirroring the engine's
+            # per-subspace LUT arithmetic (a flat 64-dim fold would
+            # differ in ulps and could flip near-ties)
+            num = 0.0
+            r2 = 0.0
+            for m in range(PQ_M):
+                c = cb[m][codes[i][m]]
+                num += fold_dot(qv[m * PQ_SUB : (m + 1) * PQ_SUB], c)
+                r2 += fold_dot(c, c)
+            ch = num / (qn * r2**0.5) if r2 > 0 else -2.0
+            approx.append((-ch, i))
+        top = {i for _, i in sorted(approx)[:TOP_K]}
+        hits = len(top & {i for _, i in exact})
+        expected[qid] = (hits, 1000 * hits // TOP_K)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_permille"])
+        for r in QUERIES["ann_pq_recall"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected

@@ -823,6 +823,84 @@ def test_logit_gate_weighted_matches_hash_gate(spark, tmpdir):
     )
 
 
+def test_media_gate_parity(spark, tmpdir):
+    """The streaming perceptual-hash media gate: (1) broadcast and
+    shuffle shapes keep/drop identical rows on the same feed+corpus,
+    (2) the verdicts equal a plain-Python replay of the batch bucket
+    predicate (drop iff ANY (media_type, band, val) bucket is already
+    occupied by the ingested corpus), (3) a verbatim same-modality
+    copy is always dropped and a fresh asset always passes."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.multimodal import (
+        MEDIA_PHASH_BAND_BITS,
+        MEDIA_PHASH_N_BANDS,
+        media_phash_py,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    seen = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ingested = spark.createDataFrame(
+        [(99, seen), (45, "spark plans shuffle exchanges into stages")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (3, seen, "en", "crawl", t0),  # image copy of image doc 99
+        (2, seen, "en", "crawl", t0),  # video copy: DIFFERENT modality
+        (6, "another novel document with fresh vocabulary", "en",
+         "crawl", t0),
+        (9, "spark plans shuffle exchanges into stages", "en", "crawl",
+         t0),  # image copy of image doc 45
+        (12, "completely unrelated words about media here", "en",
+         "crawl", t0),
+    ]
+    src = os.path.join(tmpdir, "mpg_feed")
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    got = {}
+    for mode in ("broadcast", "shuffle"):
+        stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+        name = f"mpg_{mode}_{uuid.uuid4().hex[:8]}"
+        rules.run_to_memory(
+            ingest.media_phash_gate_stream(stream, ingested, mode=mode),
+            name,
+            os.path.join(tmpdir, f"mpg_ckpt_{mode}"),
+        )
+        got[mode] = {
+            r["doc_id"] for r in _memory_table(spark, name).collect()
+        }
+    assert got["shuffle"] == got["broadcast"]
+
+    # Python replay of the bucket predicate
+    mt_of = ("image", "audio", "video")
+    mask = (1 << MEDIA_PHASH_BAND_BITS) - 1
+
+    def buckets(doc_id, text):
+        h = media_phash_py(text.encode())
+        return {
+            (mt_of[doc_id % 3], b, (h >> (MEDIA_PHASH_BAND_BITS * b)) & mask)
+            for b in range(MEDIA_PHASH_N_BANDS)
+        }
+
+    corpus_buckets = set()
+    for doc_id, text in [(99, seen),
+                         (45, "spark plans shuffle exchanges into stages")]:
+        corpus_buckets |= buckets(doc_id, text)
+    expected = {
+        doc_id
+        for doc_id, text, *_ in rows
+        if not (buckets(doc_id, text) & corpus_buckets)
+    }
+    assert got["shuffle"] == expected
+    assert 3 not in expected  # same-modality verbatim copy dropped
+    assert 9 not in expected
+    assert 2 in expected  # cross-modality copy passes (blocked per type)
+    assert 6 in expected  # fresh assets pass
+    assert 12 in expected
+
+
 def test_neardup_gate_shuffle_parity(spark, tmpdir):
     """The near-dup gate's two physical shapes — one-row broadcast
     fingerprint array vs N_BANDS shuffled stream-static left-anti

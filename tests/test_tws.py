@@ -20,7 +20,10 @@ from jaws_effective_processor_spark.tables import load_table
 from tests.conftest import SF_SMOKE
 
 
-# Install impossibility re-verified round 7 (2026-08-14): `pip install
+# Install impossibility re-verified round 8 (2026-08-15): `pip download
+# protobuf` still fails identically (DNS NewConnectionError on the only
+# configured index).
+# Re-verified round 7 (2026-08-14): `pip install
 # protobuf` still fails identically (DNS NewConnectionError on the only
 # configured index, "No matching distribution found").
 # Originally verified round 6 (2026-08-14): `pip install
