@@ -569,6 +569,11 @@ def _register_llm() -> None:
         similarity.q_ann_pq_recall,
         osql.ANN_PQ_RECALL_SQL,
     )
+    register(
+        "dsir_weights",
+        corpus.q_dsir_weights,
+        osql.DSIR_WEIGHTS_SQL,
+    )
 
 
 _register_rules()
@@ -668,7 +673,10 @@ _register_llm()
 # minhash_band_stats + stopword_candidates via minhash_calibration +
 # unigram_surprisal, phrase_search via rag_bucket_report + bm25_search,
 # nearest_neighbor_jaccard via dedup_threshold_curve +
-# minhash_calibration (same cached candidate-Jaccard artifact).
+# minhash_calibration (same cached candidate-Jaccard artifact),
+# events_rollup_multires (r7-green recheck landed; rollup family
+# via lineitem_rollup/lineitem_cube multi-round greens +
+# heavy_hitters in-window).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -705,6 +713,7 @@ _CHECK_FIRST = [
     "pq_quantize",
     "importance_resampling",
     "ann_pq_recall",
+    "dsir_weights",
     # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
@@ -723,7 +732,6 @@ _CHECK_FIRST = [
     "kmeans_report",
     "quality_logit",
     "split_leakage",
-    "events_rollup_multires",
     "unigram_surprisal",
 ]
 

@@ -1787,3 +1787,67 @@ def q_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_count",
         "df_permille",
     )
+
+
+DSIR_BUCKETS = 1 << 16  # hashed n-gram feature space (DSIR's trick:
+# fixed buckets keep the count table broadcastable at ANY corpus size)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each TRAIN document by how much more its hashed n-gram
+    features look like the TARGET distribution (the holdout split)
+    than like the raw corpus — weight_bits(doc) = sum over the doc's
+    distinct CONTAM_K-grams of L(target_count+1) - L(raw_count+1),
+    with L(x) = floor(log2 x)+1 = length(bin(x)), the repo's exact
+    integer log discipline (libm-free, so both engines agree
+    bit-for-bit). per_gram_milli length-normalizes for ranking.
+
+    Hashed features are the scale story: grams fold into
+    DSIR_BUCKETS (2^16) buckets, so the count table is BOUNDED and
+    AQE-broadcasts back to the exploded train side no matter how
+    large the corpus — one bounded bucket aggregation + one doc-keyed
+    aggregation, never a vocab-sized shuffle join. Reads the
+    session-cached contamination gram table; docs with no grams
+    (shorter than CONTAM_K tokens) have no feature mass and emit no
+    row, like the contamination report."""
+    g = _contam_gram_table(spark, sf_dir)
+    is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
+    exploded = g.select(
+        "doc_id",
+        F.explode("grams").alias("_gram_h"),
+        is_tgt.alias("_t"),
+    ).select(
+        "doc_id",
+        F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        "_t",
+    )
+    stats = exploded.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_n"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("raw_n"),
+    )
+
+    def L(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    bits = L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)
+    per_doc = (
+        exploded.filter(~F.col("_t"))
+        .join(stats, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(bits).cast("long").alias("weight_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "weight_bits",
+        F.expr("(1000 * weight_bits) DIV n_grams").alias("per_gram_milli"),
+    )

@@ -1214,6 +1214,39 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 # Twin of q_embedding_quantize: identical IEEE expression tree,
 # floor quantization, integer micro-unit scale
+# Twin of q_dsir_weights: same hashed-bucket counts over the shared
+# contamination gram CTE, same length(bin(x)) integer log
+from .functions.corpus import DSIR_BUCKETS  # noqa: E402
+
+DSIR_WEIGHTS_SQL = f"""
+WITH {_CONTAM_BASE},
+ex AS (
+  SELECT doc_id, unnest(grams) % {DSIR_BUCKETS} AS bucket FROM g
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN doc_id % {HOLDOUT_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tgt_n,
+         CAST(sum(CASE WHEN doc_id % {HOLDOUT_MOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS raw_n
+  FROM ex GROUP BY bucket
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CAST(length(bin(s.tgt_n + 1)) AS BIGINT)
+                  - CAST(length(bin(s.raw_n + 1)) AS BIGINT)) AS BIGINT)
+           AS weight_bits
+  FROM ex e JOIN stats s USING (bucket)
+  WHERE e.doc_id % {HOLDOUT_MOD} <> 0
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, weight_bits,
+       (1000 * weight_bits) // n_grams AS per_gram_milli
+FROM per_doc
+"""
+
+
 # Twin of q_importance_resampling: QUALITY_SCORE_SQL's stats subquery
 # + the md5-12-hex-chars uniform draw, strict < verdict
 IMPORTANCE_RESAMPLING_SQL = f"""

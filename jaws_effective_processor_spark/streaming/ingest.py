@@ -157,6 +157,35 @@ def gopher_gate_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def importance_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming quality-proportional sampler: keep an arriving
+    document iff its deterministic md5 draw falls under its composite
+    quality permille — the live-ingest half of
+    functions/filtering.q_importance_resampling, evaluating the
+    IDENTICAL quality_stat_columns + QUALITY_EXPR_T + draw
+    expressions, so a doc draws the same verdict whichever path saw
+    it (the reproducibility that makes a stream + backfill converge).
+    Stateless per-row column work."""
+    from ..functions.text import QUALITY_EXPR_T, quality_stat_columns
+
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    stat_names = [
+        "len_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stopwords",
+        "tok_chars",
+    ]
+    staged = docs.select("*", *quality_stat_columns())
+    return staged.filter(draw < score).drop(*stat_names)
+
+
 def logit_gate_stream(docs: DataFrame) -> DataFrame:
     """Streaming model-based quality gate: drop arriving documents
     whose classifier logit is negative — the live-ingest half of

@@ -266,3 +266,69 @@ def test_compact_corpus_shards_preserves_rows_and_layout(spark, tmpdir):
     assert set(fb) == set(fa)
     assert all(fb[d] <= fa[d] for d in fa)
     assert max(fb.values()) == 1  # one task per directory after compaction
+
+
+def test_write_clustered_tightens_rowgroup_stats(spark, tmpdir):
+    """Clustered layout must yield (1) identical rows, (2) globally
+    DISJOINT per-file ts ranges (file-level pruning), and (3) a far
+    smaller total row-group ts span than the unclustered write — read
+    straight from the parquet footers, which is exactly what a
+    pruning scan consults."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources.io import write_clustered
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events")
+    base = os.path.join(str(tmpdir), "ev_plain")
+    clustered = os.path.join(str(tmpdir), "ev_clustered")
+    # unclustered control: shuffle row order deterministically so the
+    # source's natural ts order doesn't hand the control tight stats
+    events.orderBy(F.md5(F.col("event_id").cast("string"))).repartition(
+        4
+    ).write.mode("overwrite").parquet(base)
+    write_clustered(spark.read.parquet(base), clustered, ["ts"])
+
+    a = spark.read.parquet(base)
+    b = spark.read.parquet(clustered)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def spans(path):
+        per_file = []
+        total = 0
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ci = idx["ts"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += (st.max - st.min).total_seconds()
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            per_file.append((fmin, fmax))
+        return per_file, total
+
+    files_c, span_c = spans(clustered)
+    files_p, span_p = spans(base)
+    # (2) clustered files cover disjoint ranges
+    files_c.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(files_c, files_c[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # (3) control files overlap (each of the 4 spans ~everything, so
+    # its total ~= 4x the data range); clustered row-group spans are
+    # disjoint, so their total is AT MOST the data range — the
+    # minimum any layout can achieve
+    data_range = (
+        max(hi for _, hi in files_c) - min(lo for lo, _ in files_c)
+    ).total_seconds()
+    assert span_c <= data_range * 1.01, (span_c, data_range)
+    assert span_c * 3 < span_p, (span_c, span_p)

@@ -823,6 +823,67 @@ def test_logit_gate_weighted_matches_hash_gate(spark, tmpdir):
     )
 
 
+def test_importance_gate_stream_matches_batch(spark, tmpdir):
+    """The streaming quality-proportional sampler keeps exactly the
+    docs the batch q_importance_resampling marks kept=true on the
+    same corpus — shared quality stats + md5 draw expressions, so a
+    backfill and the live stream converge doc-for-doc. The fixture
+    must actually split (some kept, some dropped)."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    texts = [
+        " ".join(
+            ("the quick brown fox jumps over a lazy dog near the %d bank"
+             % j).split()
+            * (2 + j % 5)
+        )
+        for j in range(30)
+    ]
+    rows = [(i, t, "en", "crawl", t0) for i, t in enumerate(texts)]
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+
+    # batch verdicts over the same corpus written as a documents table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tmpdir, "imp_docs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["crawl"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in QUERIES["importance_resampling"](spark, d).collect()
+        if r["kept"]
+    }
+    assert 0 < len(batch_kept) < len(texts)
+
+    src = os.path.join(tmpdir, "imp_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"imp_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.importance_gate_stream(stream),
+        name,
+        os.path.join(tmpdir, "imp_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == batch_kept
+
+
 def test_media_gate_parity(spark, tmpdir):
     """The streaming perceptual-hash media gate: (1) broadcast and
     shuffle shapes keep/drop identical rows on the same feed+corpus,
