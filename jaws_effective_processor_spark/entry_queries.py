@@ -574,6 +574,11 @@ def _register_llm() -> None:
         corpus.q_dsir_weights,
         osql.DSIR_WEIGHTS_SQL,
     )
+    register(
+        "quality_calibration",
+        corpus.q_quality_calibration,
+        osql.QUALITY_CALIBRATION_SQL,
+    )
 
 
 _register_rules()
@@ -676,7 +681,9 @@ _register_llm()
 # minhash_calibration (same cached candidate-Jaccard artifact),
 # events_rollup_multires (r7-green recheck landed; rollup family
 # via lineitem_rollup/lineitem_cube multi-round greens +
-# heavy_hitters in-window).
+# heavy_hitters in-window), unigram_surprisal (r7-green; unigram family
+# via token-family multi-round greens — all seven members were
+# driver-checked r7).
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -714,6 +721,7 @@ _CHECK_FIRST = [
     "importance_resampling",
     "ann_pq_recall",
     "dsir_weights",
+    "quality_calibration",
     # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
@@ -732,7 +740,6 @@ _CHECK_FIRST = [
     "kmeans_report",
     "quality_logit",
     "split_leakage",
-    "unigram_surprisal",
 ]
 
 

@@ -1458,6 +1458,53 @@ FROM flags GROUP BY source
 """
 
 
+# Twin of q_quality_calibration: SOURCE_QUALITY_REPORT_SQL's flags
+# keyed by the score band instead of the source
+QUALITY_CALIBRATION_SQL = f"""
+WITH {_CONTAM_BASE},
+contam AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram_h FROM g
+        WHERE doc_id % {HOLDOUT_MOD} <> 0) e
+  JOIN test_g USING (gram_h)
+),
+base AS (
+  SELECT doc_id, fp, n_tokens AS n_tok,
+         CAST({_Q} AS BIGINT) AS score_permille
+  FROM (
+    SELECT doc_id, md5(text) AS fp,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+             AS n_stopwords,
+           CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+             AS tok_chars
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS tk
+          FROM documents) t0
+  ) t1
+),
+canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp),
+flags AS (
+  SELECT b.score_permille, b.n_tok,
+         b.doc_id <> c.canon_id AS is_dup,
+         b.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+         b.doc_id % {HOLDOUT_MOD} <> 0 AS is_train
+  FROM base b JOIN canon c USING (fp)
+)
+SELECT score_permille,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       (1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS dup_permille,
+       CASE WHEN sum(CASE WHEN is_train THEN 1 ELSE 0 END) > 0 THEN
+         (1000 * CAST(sum(CASE WHEN is_contam THEN 1 ELSE 0 END) AS BIGINT))
+           // CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+       ELSE 0 END AS contam_permille
+FROM flags GROUP BY score_permille
+"""
+
+
 # Twin of q_ann_recall: both knn twins as nested CTE subqueries, then
 # the per-query overlap count
 ANN_RECALL_SQL = f"""
