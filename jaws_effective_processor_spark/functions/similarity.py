@@ -448,6 +448,54 @@ def _sq_fold(c: list) -> float:
     return acc
 
 
+def with_pq_codes(df: DataFrame, cb: list, v_col: str = "v") -> DataFrame:
+    """Append code_0..code_{PQ_M-1} to a frame carrying an
+    array<double> vector column, coding against the literal codebook
+    — shared by the batch coder (_pq_codes) and the streaming vector
+    ingest so a vector codes bit-identically whichever path saw it.
+    Pure column stages (subvector + its self-dot each get a named
+    projection, the Generate/HOF staging discipline), so it works on
+    batch and streaming DataFrames alike."""
+    cols = list(df.columns)
+    staged = df.select(
+        "*",
+        *[
+            F.slice(F.col(v_col), m * PQ_SUB + 1, PQ_SUB).alias(f"_x{m}")
+            for m in range(PQ_M)
+        ],
+    ).select(
+        "*",
+        *[
+            dot(F.col(f"_x{m}"), F.col(f"_x{m}")).alias(f"_xx{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    codes = []
+    for m in range(PQ_M):
+        dists = F.array(
+            *[
+                F.col(f"_xx{m}")
+                + F.lit(_sq_fold(cb[m][j]))
+                - 2 * dot(F.col(f"_x{m}"), _lit_vec(cb[m][j]))
+                for j in range(PQ_K)
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias(f"code_{m}")
+        )
+    return staged.select(*cols, *codes)
+
+
+def pq_pack_expr() -> Column:
+    """The packed integer code from code_0..code_{PQ_M-1} columns."""
+    packed = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        packed = packed * PQ_K + F.col(f"code_{m}")
+    return packed
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, code_0..code_{PQ_M-1}) — every vector coded against
     the literal codebook; session-cached under 'pq_codes' (the
@@ -459,36 +507,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = _pq_codebook(spark, sf_dir)
         emb = load_table(spark, sf_dir, "embeddings")
         v = F.col("embedding").cast("array<double>")
-        staged = emb.select("vec_id", v.alias("v")).select(
-            "vec_id",
-            *[
-                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_x{m}")
-                for m in range(PQ_M)
-            ],
-        ).select(
-            "vec_id",
-            *[F.col(f"_x{m}") for m in range(PQ_M)],
-            *[
-                dot(F.col(f"_x{m}"), F.col(f"_x{m}")).alias(f"_xx{m}")
-                for m in range(PQ_M)
-            ],
-        )
-        codes = []
-        for m in range(PQ_M):
-            dists = F.array(
-                *[
-                    F.col(f"_xx{m}")
-                    + F.lit(_sq_fold(cb[m][j]))
-                    - 2 * dot(F.col(f"_x{m}"), _lit_vec(cb[m][j]))
-                    for j in range(PQ_K)
-                ]
-            )
-            codes.append(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("long")
-                .alias(f"code_{m}")
-            )
-        return staged.select("vec_id", *codes)
+        return with_pq_codes(
+            emb.select("vec_id", v.alias("v")), cb
+        ).drop("v")
 
     return _cached_frame(spark, sf_dir, "pq_codes", _build)
 
@@ -512,13 +533,10 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, ties break on centroid order via the first-match
     semantics of array_position both engines share."""
     out = _pq_codes(spark, sf_dir)
-    packed = F.lit(0).cast("long")
-    for m in range(PQ_M):
-        packed = packed * PQ_K + F.col(f"code_{m}")
     return out.select(
         "vec_id",
         *[f"code_{m}" for m in range(PQ_M)],
-        packed.alias("pq_code"),
+        pq_pack_expr().alias("pq_code"),
     )
 
 

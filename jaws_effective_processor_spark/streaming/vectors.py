@@ -80,11 +80,27 @@ def _fold_norm(v: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def load_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """The PQ sub-codebooks the batch coder uses
+    (similarity._pq_codebook) — K rows crossing the driver once at
+    stream setup, configuration like the IVF centroids."""
+    from ..functions.similarity import _pq_codebook
+
+    return _pq_codebook(spark, sf_dir)
+
+
 def vector_ingest_stream(
-    vecs: DataFrame, centroids: list[tuple[int, list[float]]]
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    pq_codebook: list | None = None,
 ) -> DataFrame:
     """Feed -> zero-norm-filtered, cell-routed, int8-quantized vectors
-    ready for a partitioned ANN store."""
+    ready for a partitioned ANN store. With `pq_codebook` the row also
+    carries the packed product-quantization code (pq_code) — the
+    second, coarser compression level a serving index stores next to
+    the int8 payload; coding shares similarity.with_pq_codes with the
+    batch coder, so stream and batch codes are bit-identical (pinned
+    by test_vector_ingest_pq_codes_match_batch)."""
     v = F.col("embedding").cast("array<double>")
     base = vecs.select(
         "vec_id",
@@ -124,7 +140,7 @@ def vector_ingest_stream(
             F.floor(x * 127 / F.col("maxabs")).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    return m.select(
+    out_cols = [
         "vec_id",
         "label",
         "ingest_ts",
@@ -136,7 +152,13 @@ def vector_ingest_stream(
         F.array_join(F.transform(q, lambda d: d.cast("string")), ",").alias(
             "q_csv"
         ),
-    )
+    ]
+    if pq_codebook is None:
+        return m.select(*out_cols)
+    from ..functions.similarity import pq_pack_expr, with_pq_codes
+
+    coded = with_pq_codes(m, pq_codebook)
+    return coded.select(*out_cols, pq_pack_expr().alias("pq_code"))
 
 
 def start_vector_shards(

@@ -441,6 +441,48 @@ def test_decontaminate_stream_gate(spark, tmpdir):
     assert got == {2, 3}
 
 
+def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
+    """With a PQ codebook, the streaming ingest lands the SAME packed
+    code the batch coder assigns (shared with_pq_codes expressions,
+    shared literal codebook), so the landed store's pq_code column and
+    the batch index artifact can never disagree."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "vpq_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+
+    cents = sv.load_centroids(spark, sf)
+    cb = sv.load_pq_codebook(spark, sf)
+    stream = rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA)
+    name = f"vpq_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        sv.vector_ingest_stream(stream, cents, pq_codebook=cb),
+        name,
+        os.path.join(tmpdir, "vpq_ckpt"),
+    )
+    got = {
+        r["vec_id"]: r["pq_code"]
+        for r in _memory_table(spark, name).collect()
+    }
+    batch = {
+        r["vec_id"]: r["pq_code"]
+        for r in QUERIES["pq_quantize"](spark, sf).collect()
+    }
+    # the stream drops zero-norm vectors; every landed code must match
+    assert got
+    assert all(batch[k] == v for k, v in got.items())
+
+
 def test_vector_ingest_stream_matches_batch(spark, tmpdir):
     """Streaming vector ingest: cell routing equals the batch IVF
     assignment bit-for-bit (expression argmax == window argmax, shared
