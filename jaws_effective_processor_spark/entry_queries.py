@@ -223,6 +223,11 @@ def _register_relational() -> None:
         osql.EVENTS_ROLLUP_MULTIRES_SQL,
     )
     register(
+        "events_debounce",
+        r.q_events_debounce,
+        osql.EVENTS_DEBOUNCE_SQL,
+    )
+    register(
         "parts_above_brand_avg",
         r.q_parts_above_brand_avg,
         osql.PARTS_ABOVE_BRAND_AVG_SQL,
@@ -722,6 +727,7 @@ _CHECK_FIRST = [
     "ann_pq_recall",
     "dsir_weights",
     "quality_calibration",
+    "events_debounce",
     # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
@@ -731,7 +737,6 @@ _CHECK_FIRST = [
     "dedup_simhash_pairs",
     "dedup_keep",
     "knn_label_vote",
-    "embedding_outliers",
     "multimodal_frames",
     "rag_bucket_report",
     "bpe_merge_round",

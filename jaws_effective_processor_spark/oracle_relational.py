@@ -421,3 +421,22 @@ SELECT key_a, key_b, name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
 FROM c WHERE levenshtein(name_a, name_b) <= 1
 """
+
+
+from .relational import DEBOUNCE_MS  # noqa: E402
+
+EVENTS_DEBOUNCE_SQL = f"""
+SELECT user_id, event_type, event_id, CAST(gap_ms AS BIGINT) AS gap_ms
+FROM (
+  SELECT user_id, event_type, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id, event_type ORDER BY event_id)
+                   IS NULL
+              THEN -1
+              ELSE epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id, event_type ORDER BY event_id)
+         END AS gap_ms
+  FROM events
+) t
+WHERE gap_ms < 0 OR gap_ms >= {DEBOUNCE_MS}
+"""

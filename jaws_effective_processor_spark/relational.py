@@ -845,3 +845,40 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "fuzzy_variants", build
         ),
     )
+
+
+DEBOUNCE_MS = 3_600_000  # drop repeats within an hour of the previous
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream debounce: within each (user, event_type) series,
+    drop events arriving less than DEBOUNCE_MS after the previous
+    event — the telemetry-hygiene dedup run before counting anything
+    (double-fired clicks, retried error beacons). Retained rows carry
+    their gap (-1 for the first event of a series) so downstream can
+    audit what the threshold ate.
+
+    Lag-vs-previous-event semantics (not previous RETAINED event):
+    expressible as ONE window pass in any engine, deterministic, and
+    the standard debounce; the chain-collapsing variant needs a
+    sequential scan both engines would pay a per-key sort for anyway.
+    Scale shape: one hash exchange on (user_id, event_type) — the
+    same partitioning the sessionizer uses — and a scan-local filter;
+    robust to the testdata's physical ts encoding via ms_of."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    base = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ms_of(events, "ts").alias("_ms"),
+    ).withColumn("_prev_ms", F.lag("_ms").over(w))
+    gap = (
+        F.when(F.col("_prev_ms").isNull(), F.lit(-1))
+        .otherwise(F.col("_ms") - F.col("_prev_ms"))
+        .cast("long")
+    )
+    return (
+        base.select("user_id", "event_type", "event_id", gap.alias("gap_ms"))
+        .filter((F.col("gap_ms") < 0) | (F.col("gap_ms") >= DEBOUNCE_MS))
+    )
