@@ -38,6 +38,46 @@ def test_revenue_join_strategy(spark):
     assert shuffle_count(df) == 1
 
 
+def test_dsir_weights_two_exchanges(spark):
+    """DSIR hashed features: exactly the bounded bucket aggregation +
+    the doc-keyed aggregation — the bounded stats table joins back by
+    BROADCAST (DSIR's whole point: 2^16 buckets stay broadcastable at
+    any corpus size, never a vocab-sized shuffle join). Raw query
+    function (the registry plan cache would hand back an AQE plan)."""
+    from jaws_effective_processor_spark.functions.corpus import (
+        q_dsir_weights,
+    )
+
+    df = q_dsir_weights(spark, SF_SMOKE)
+    assert shuffle_count(df) == 2
+    assert broadcast_join_count(df) >= 1
+
+
+def test_media_neardup_single_band_exchange(spark):
+    """Perceptual-hash candidates: ONE exchange (the banded
+    candidate/verify path over the cached phash table) and the
+    doc->media join broadcasts — never an all-pairs compare."""
+    from jaws_effective_processor_spark.functions.multimodal import (
+        q_media_neardup,
+    )
+
+    df = q_media_neardup(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
+    assert broadcast_join_count(df) >= 1
+
+
+def test_events_debounce_single_window_exchange(spark):
+    """Debounce is one (user, event_type) hash exchange for the lag
+    window — the same partitioning the sessionizer uses."""
+    from jaws_effective_processor_spark.relational import (
+        q_events_debounce,
+    )
+
+    df = q_events_debounce(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
+    assert broadcast_join_count(df) == 0
+
+
 def test_pq_quantize_scan_local(spark):
     """PQ coding is entirely scan-local: the codebook folds into
     literal expressions, so the plan has ZERO exchanges and no join —
