@@ -584,6 +584,11 @@ def _register_llm() -> None:
         corpus.q_quality_calibration,
         osql.QUALITY_CALIBRATION_SQL,
     )
+    register(
+        "pq_train_round",
+        similarity.q_pq_train_round,
+        osql.PQ_TRAIN_ROUND_SQL,
+    )
 
 
 _register_rules()
@@ -728,10 +733,10 @@ _CHECK_FIRST = [
     "dsir_weights",
     "quality_calibration",
     "events_debounce",
+    "pq_train_round",
     # retained r7-greens — family representation
     "effective_alarms_nested",
     "heavy_hitters",
-    "language_confusion",
     "pii_redact",
     "source_quality_report",
     "dedup_simhash_pairs",

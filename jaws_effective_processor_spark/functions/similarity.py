@@ -18,6 +18,7 @@ on vec_id so both engines order identically.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -537,6 +538,89 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[f"code_{m}" for m in range(PQ_M)],
         pq_pack_expr().alias("pq_code"),
+    )
+
+
+def q_pq_train_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PQ codebook training step, reported: per (subspace m,
+    sub-centroid j) the member count and the total integer centroid
+    displacement a Lloyd update would apply (sum over the subspace's
+    dims of |member-mean - seed|, exact micro fixed-point) — the
+    per-round convergence numbers a PQ trainer logs, and the
+    quantified answer to "how untrained is the seed codebook"
+    (q_ann_pq_recall measures the same thing from the recall side;
+    kmeans_centroid_shift is this report's full-vector sibling).
+
+    All integer math: member components floor to micro units BEFORE
+    the mean (floor(x*1e6) is the same IEEE expression both engines
+    evaluate; integer DIV pairs with DuckDB //), so the twin is
+    bit-exact. Scale shape: one (m, j) aggregation over the cached
+    code table joined to the embedding scan — map-side partials, at
+    most PQ_M x PQ_K output rows; the seed table is PQ_M x PQ_K rows
+    broadcast back."""
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    joined = emb.select("vec_id", v.alias("v")).join(codes, "vec_id")
+    per_m = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.col(f"code_{m}").alias("j"),
+                        F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(
+                            "x"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.m").alias("m"),
+        F.col("s.j").alias("j"),
+        *[
+            F.floor(F.element_at(F.col("s.x"), d + 1) * OUTLIER_MICRO)
+            .cast("long")
+            .alias(f"_s{d}")
+            for d in range(PQ_SUB)
+        ],
+    )
+    sums = per_m.groupBy("m", "j").agg(
+        F.count("*").cast("long").alias("n_members"),
+        *[F.sum(f"_s{d}").alias(f"_t{d}") for d in range(PQ_SUB)],
+    )
+    seeds = spark.createDataFrame(
+        [
+            tuple(
+                [m, j]
+                + [
+                    int(math.floor(x * OUTLIER_MICRO))
+                    for x in cb[m][j]
+                ]
+            )
+            for m in range(PQ_M)
+            for j in range(PQ_K)
+        ],
+        "m long, j long, "
+        + ", ".join(f"_c{d} long" for d in range(PQ_SUB)),
+    )
+    shift = None
+    for d in range(PQ_SUB):
+        term = F.abs(
+            F.expr(f"_t{d} DIV n_members") - F.col(f"_c{d}")
+        )
+        shift = term if shift is None else shift + term
+    return (
+        sums.join(F.broadcast(seeds), ["m", "j"])
+        .select(
+            "m",
+            "j",
+            "n_members",
+            shift.cast("long").alias("shift_micro_sum"),
+        )
     )
 
 

@@ -1321,6 +1321,49 @@ FROM codes
 """
 
 
+# Twin of q_pq_train_round: same codes CTE, same floor-to-micro-
+# before-mean integer discipline, seed components from the same
+# centroid rows
+PQ_TRAIN_ROUND_SQL = f"""
+WITH codes AS (
+  {PQ_QUANTIZE_SQL}
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+px AS (
+  SELECT m,
+         CASE m {" ".join(f"WHEN {m} THEN k.code_{m}" for m in range(PQ_M))}
+         END AS j,
+         {", ".join(
+           "CAST(floor(e.v[CAST(m*" + str(PQ_SUB) + "+" + str(d + 1)
+           + " AS INT)] * 1000000) AS BIGINT) AS s" + str(d)
+           for d in range(PQ_SUB)
+         )}
+  FROM e JOIN codes k USING (vec_id), unnest(range({PQ_M})) AS t(m)
+),
+sums AS (
+  SELECT m, j, CAST(count(*) AS BIGINT) AS n_members,
+         {", ".join(
+           f"CAST(sum(s{d}) AS BIGINT) AS t{d}" for d in range(PQ_SUB)
+         )}
+  FROM px GROUP BY m, j
+)
+SELECT s.m, s.j, s.n_members,
+       CAST({" + ".join(
+         "abs(s.t" + str(d) + " // s.n_members"
+         + " - CAST(floor(c.cv[CAST(s.m*" + str(PQ_SUB) + "+"
+         + str(d + 1) + " AS INT)] * 1000000) AS BIGINT))"
+         for d in range(PQ_SUB)
+       )} AS BIGINT) AS shift_micro_sum
+FROM sums s JOIN cent c ON c.j = s.j
+"""
+
+
 # Twin of q_ann_pq_recall: same codebook, same ADC lookup-table
 # scoring with fixed-order sums (4 explicit LUT joins, never a float
 # aggregation), same (cos_hat DESC, neighbor) ranking, exact side =
