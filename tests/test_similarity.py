@@ -170,3 +170,27 @@ def test_ann_pq_recall_matches_python_replay(spark):
         for r in QUERIES["ann_pq_recall"](spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def test_pq_train_round_conserves_members(spark):
+    """Every coded vector appears in exactly one (m, j) cell per
+    subspace, so member counts sum to PQ_M x corpus; each codebook
+    vector sits in its own cell (self-coding), so no seed cell is
+    empty and every row's displacement is non-negative."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    n_vecs = load_table(spark, SF_ORACLE, "embeddings").count()
+    rows = QUERIES["pq_train_round"](spark, SF_ORACLE).collect()
+    per_m: dict[int, int] = {}
+    cells = set()
+    for r in rows:
+        per_m[r["m"]] = per_m.get(r["m"], 0) + r["n_members"]
+        cells.add((r["m"], r["j"]))
+        assert r["shift_micro_sum"] >= 0
+    assert per_m == {m: n_vecs for m in range(PQ_M)}
+    # self-coding guarantees every (m, j) cell is populated
+    assert cells == {(m, j) for m in range(PQ_M) for j in range(PQ_K)}
