@@ -102,6 +102,14 @@ EDGE_QUERIES = (
     "dedup_threshold_curve",
     "minhash_calibration",
     "packing_report",
+    # round-8 operators (media hashes over degenerate payloads incl.
+    # the empty doc; importance/quality/DSIR on sub-shingle docs —
+    # the gram table is empty for most of the corpus)
+    "media_neardup",
+    "media_dedup_keep",
+    "importance_resampling",
+    "quality_calibration",
+    "dsir_weights",
 )
 
 
@@ -139,7 +147,10 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "knn_ivf_multiprobe", "semdedup_keep",
                "embedding_quantize", "ann_recall", "embedding_outliers",
                "kmeans_assign", "kmeans_report", "kmeans_label_purity",
-               "kmeans_balanced_sample", "kmeans_centroid_shift")
+               "kmeans_balanced_sample", "kmeans_centroid_shift",
+               # round 8: PQ family — the codebook seed rows include
+               # the zero vector's neighborhood and exact duplicates
+               "pq_quantize", "pq_train_round", "ann_pq_recall")
 
 
 @pytest.fixture(scope="module")
