@@ -589,6 +589,18 @@ def _register_llm() -> None:
         similarity.q_pq_train_round,
         osql.PQ_TRAIN_ROUND_SQL,
     )
+    # round-9 additions: the DSIR pipeline composed end-to-end
+    # (weights -> resample -> mixture-shift report)
+    register(
+        "dsir_resample",
+        corpus.q_dsir_resample,
+        osql.DSIR_RESAMPLE_SQL,
+    )
+    register(
+        "dsir_mixture_shift",
+        corpus.q_dsir_mixture_shift,
+        osql.DSIR_MIXTURE_SHIFT_SQL,
+    )
 
 
 _register_rules()
@@ -657,6 +669,56 @@ _register_llm()
 # (gram/shingle dedup machinery), inverted_index via rag_bucket_report
 # + stopword_candidates (posting/df artifacts over the same cached
 # term stats).
+# Round 9 rotation — close the EVIDENCE_AGE backlog (COVERAGE.md
+# ledger rule added this round: any driver-green older than ~4 rounds
+# auto-requeues, oldest first, after keepers / new / rewritten).
+# Composition:
+#   15 alarm-core keepers (every round).
+#    8 pre-environment-reset evidence (last checked r1/r2, the
+#      round-8 verdict's item 2): knn_lsh, knn_ivf, top_customers,
+#      order_priority, distinct_counts, json_array_functions,
+#      event_type_unpivot, text_stats.
+#    8 REWRITTEN_SINCE_CHECK (this round's PQ/top-k work):
+#      pq_quantize, pq_train_round, ann_pq_recall (trained codebook +
+#      transform coder), events_debounce (NULL series-start gap,
+#      ADVICE r8), knn_bruteforce + knn_label_vote + hard_negatives +
+#      ann_recall (the shared _brute_neighbors ground truth moved to
+#      the two-level partial_topk — outputs identical, but their
+#      green rows describe the old plan).
+#    2 round-9 additions (dsir_resample, dsir_mixture_shift) — in
+#      window the round they land, per the standing rule.
+#   12 r3-only evidence (EVIDENCE_AGE): lineitem_rollup,
+#      customer_order_windows, events_daily, event_type_pivot,
+#      doc_fingerprint, knn_ivf_multiprobe, multimodal_features,
+#      stratified_sample, doc_chunks, dedup_clusters, contamination,
+#      vocab_topk.
+#    5 oldest r5 evidence chosen for family representation:
+#      effective_registrations_nested (nested), pricing_summary
+#      (relational agg), embedding_neardup (perf-weak watch — fresh
+#      evidence), dedup_exact (dedup root), gopher_quality (rule
+#      filter).
+# Swapped-out r8-greens all keep in-window siblings: source_overlap/
+# split_leakage via contamination + dedup_exact (same cached gram
+# machinery), dedup_threshold_curve/minhash_calibration/
+# dedup_minhash_lsh/dedup_simhash/dedup_simhash_pairs/doc_repetition
+# via dedup_exact + dedup_clusters + embedding_neardup, media_neardup/
+# media_dedup_keep via multimodal_features (same decode/phash
+# mapInPandas shape), importance_resampling/quality_calibration/
+# quality_logit via gopher_quality + dsir_resample (same quality-stat
+# scan + draw), dsir_weights via dsir_resample + dsir_mixture_shift
+# (strictly downstream composites), bm25_search/rag_bucket_report via
+# doc_fingerprint + vocab_topk (term-stats artifacts), bpe_pair_counts/
+# bpe_merge_round via vocab_topk + text_stats (token family),
+# heavy_hitters via distinct_counts + top_customers (sketch/agg
+# surface), pii_redact via text_stats (scan-local string family),
+# effective_alarms_nested via effective_registrations_nested,
+# kmeans_report via knn_ivf + knn_ivf_multiprobe (trained-centroid
+# artifacts), packed_token_ids/packing_report via doc_chunks +
+# stratified_sample, mixture_rebalance via stratified_sample +
+# dsir_mixture_shift (census/rate family), user_retention_cohorts via
+# events_daily + event_type_pivot, source_quality_report via
+# dsir_mixture_shift (per-source conditional aggregates), dedup_keep
+# via dedup_clusters, multimodal_frames via multimodal_features.
 # Round 8 rotation — every query's driver evidence must match its
 # CURRENT code. Composition:
 #   15 alarm-core keepers (SURVEY §2 S/P/J/A/T/E/W rows, every round).
@@ -711,45 +773,46 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # NEVER_CHECKED round-7 post-window additions
-    "hard_negatives",
-    "source_overlap",
-    "dedup_threshold_curve",
-    "minhash_calibration",
-    "packing_report",
-    "user_retention_cohorts",
-    # REWRITTEN_SINCE_CHECK (r7 perf sweep postdates last driver check)
-    "bm25_search",
-    "doc_repetition",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "bpe_pair_counts",
-    # round-8 additions — driver-checked the round they land
-    "media_neardup",
-    "media_dedup_keep",
+    # pre-environment-reset evidence (r1/r2 — r8 verdict item 2)
+    "knn_lsh",
+    "knn_ivf",
+    "top_customers",
+    "order_priority",
+    "distinct_counts",
+    "json_array_functions",
+    "event_type_unpivot",
+    "text_stats",
+    # REWRITTEN_SINCE_CHECK (r9 PQ/top-k/debounce work)
     "pq_quantize",
-    "importance_resampling",
-    "ann_pq_recall",
-    "dsir_weights",
-    "quality_calibration",
-    "events_debounce",
     "pq_train_round",
-    # retained r7-greens — family representation
-    "effective_alarms_nested",
-    "heavy_hitters",
-    "pii_redact",
-    "source_quality_report",
-    "dedup_simhash_pairs",
-    "dedup_keep",
+    "ann_pq_recall",
+    "events_debounce",
+    "knn_bruteforce",
     "knn_label_vote",
-    "multimodal_frames",
-    "rag_bucket_report",
-    "bpe_merge_round",
-    "packed_token_ids",
-    "mixture_rebalance",
-    "kmeans_report",
-    "quality_logit",
-    "split_leakage",
+    "hard_negatives",
+    "ann_recall",
+    # round-9 additions — driver-checked the round they land
+    "dsir_resample",
+    "dsir_mixture_shift",
+    # EVIDENCE_AGE: r3-only driver evidence
+    "lineitem_rollup",
+    "customer_order_windows",
+    "events_daily",
+    "event_type_pivot",
+    "doc_fingerprint",
+    "knn_ivf_multiprobe",
+    "multimodal_features",
+    "stratified_sample",
+    "doc_chunks",
+    "dedup_clusters",
+    "contamination",
+    "vocab_topk",
+    # EVIDENCE_AGE: oldest r5 evidence, family representatives
+    "effective_registrations_nested",
+    "pricing_summary",
+    "embedding_neardup",
+    "dedup_exact",
+    "gopher_quality",
 ]
 
 

@@ -1873,6 +1873,143 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR resampling rate: a clamped LINEAR map of per_gram_milli around
+# the corpus-typical -1 bit/gram (the first-order integer-exact
+# approximation of the exponential importance ratio, slope 2 =
+# temperature sharpening — the observed per-gram spread on hashed
+# 2^16-bucket features is ~0.2 bits, so the raw exponential would
+# barely separate documents).
+DSIR_CENTER_MILLI = -1000
+DSIR_SLOPE = 2
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLE half of the DSIR pipeline (Xie et al.): keep each
+    train document with probability proportional to its hashed-n-gram
+    importance weight — q_dsir_weights' per_gram_milli mapped to a
+    clamped keep-rate permille, decided against the deterministic
+    md5(doc_id) uniform draw (same engine-reproducible draw discipline
+    as q_importance_resampling, which resamples on the RULE-based
+    quality score; this is the target-distribution-driven variant the
+    DSIR paper actually runs: weights -> resample -> mixture shift,
+    see q_dsir_mixture_shift for the shift report).
+
+    Scale shape: rides the session-cached gram/bucket artifacts via
+    q_dsir_weights (one bounded 2^16-bucket aggregation broadcast
+    back + one doc-keyed aggregation); the rate map and draw are
+    scan-local expressions over that per-doc table — no new shuffle.
+    Domain = featurizable train docs (>= CONTAM_K tokens), exactly the
+    set DSIR can score."""
+    w = q_dsir_weights(spark, sf_dir)
+    rate = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(1000).cast("long"),
+            (
+                F.lit(1000)
+                + (F.col("per_gram_milli") - DSIR_CENTER_MILLI) * DSIR_SLOPE
+            ).cast("long"),
+        ),
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    return w.select(
+        "doc_id",
+        "per_gram_milli",
+        rate.alias("rate_permille"),
+        draw.alias("hash_permille"),
+        (draw < rate).alias("kept"),
+    )
+
+
+def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR pipeline's acceptance report: per source, the token
+    share of the RAW train corpus, of the RESAMPLED (kept) corpus, and
+    of the TARGET (holdout) — plus shift_milli = how much closer the
+    kept mixture sits to the target than the raw mixture did
+    (|raw - target| - |kept - target|, positive = moved toward the
+    target). This is the row a data-selection run is judged on before
+    anyone trains on the resampled corpus.
+
+    Measured honesty note (r9, sf0.01): the synthetic testdata's
+    holdout is doc_id % HOLDOUT_MOD — uniform over sources, with
+    per-source mean per_gram_milli flat within ~3% — so the measured
+    shift here is ~0 by construction, and no resampler could steer
+    this corpus's source mixture. On a real corpus, sources have
+    distinctive vocabulary, target-likeness concentrates, and
+    shift_milli is the acceptance number.
+
+    Scale shape: one documents scan for (source, n_tokens) + an AQE
+    broadcast join of the kept-id set projected off the cached DSIR
+    decision table, then a bounded per-source aggregation; the three
+    share denominators are window sums over the <= #sources rows of
+    the aggregate — bounded by geometry, not data."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_n_tok"),
+    )
+    kept = (
+        q_dsir_resample(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id", F.lit(True).alias("_kept"))
+    )
+    is_target = F.col("doc_id") % HOLDOUT_MOD == 0
+    flagged = docs.join(kept, "doc_id", "left").select(
+        "source",
+        "_n_tok",
+        is_target.alias("_t"),
+        F.coalesce(F.col("_kept"), F.lit(False)).alias("_k"),
+    )
+    per = flagged.groupBy("source").agg(
+        F.sum(F.when(~F.col("_t"), F.col("_n_tok")).otherwise(0))
+        .cast("long")
+        .alias("train_tokens"),
+        F.sum(F.when(F.col("_k"), F.col("_n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("_t"), F.col("_n_tok")).otherwise(0))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    shares = per.select(
+        "source",
+        "train_tokens",
+        "kept_tokens",
+        "target_tokens",
+        F.expr("1000 * train_tokens").alias("_tr"),
+        F.expr("1000 * kept_tokens").alias("_ke"),
+        F.expr("1000 * target_tokens").alias("_tg"),
+        F.sum("train_tokens").over(tot).alias("_str"),
+        F.sum("kept_tokens").over(tot).alias("_ske"),
+        F.sum("target_tokens").over(tot).alias("_stg"),
+    ).select(
+        "source",
+        "train_tokens",
+        "kept_tokens",
+        "target_tokens",
+        F.expr("_tr DIV _str").alias("train_permille"),
+        F.expr("_ke DIV _ske").alias("kept_permille"),
+        F.expr("_tg DIV _stg").alias("target_permille"),
+    )
+    return shares.select(
+        "*",
+        (
+            F.abs(F.col("train_permille") - F.col("target_permille"))
+            - F.abs(F.col("kept_permille") - F.col("target_permille"))
+        )
+        .cast("long")
+        .alias("shift_milli"),
+    )
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score reliability table: for each composite score band
     (the rule score takes values {0,250,500,750,1000}), the doc/token

@@ -25,12 +25,21 @@ from ..tables import load_table
 MEDIA_TYPES = ("image", "audio", "video")
 
 
+def media_type_expr() -> F.Column:
+    """The modality assignment (doc_id -> image/audio/video) as ONE
+    shared expression — consumed by with_media_columns AND the
+    streaming phash gate (ADVICE r8: an inline duplicate would let
+    the stream gate and the batch near-dup classify the same asset
+    differently if the mapping ever changes)."""
+    return F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+    )
+
+
 def with_media_columns(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct."""
-    media_type = F.element_at(
-        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
+    media_type = media_type_expr()
     blob = F.col("text").cast("binary")
     return docs.select(
         "doc_id",

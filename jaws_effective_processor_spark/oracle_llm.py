@@ -1246,6 +1246,71 @@ SELECT doc_id, n_grams, weight_bits,
 FROM per_doc
 """
 
+from .functions.corpus import (  # noqa: E402
+    DSIR_CENTER_MILLI,
+    DSIR_SLOPE,
+)
+
+# Twin of q_dsir_resample: DSIR_WEIGHTS_SQL's per-doc table + the
+# clamped linear rate map + the md5(doc_id) 12-hex uniform draw
+_DSIR_RATE = (
+    f"LEAST(1000, GREATEST(0, 1000 + (per_gram_milli"
+    f" - ({DSIR_CENTER_MILLI})) * {DSIR_SLOPE}))"
+)
+_DSIR_DRAW = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))"
+    " AS BIGINT) % 1000"
+)
+
+DSIR_RESAMPLE_SQL = f"""
+SELECT doc_id, per_gram_milli,
+       CAST({_DSIR_RATE} AS BIGINT) AS rate_permille,
+       CAST({_DSIR_DRAW} AS BIGINT) AS hash_permille,
+       ({_DSIR_DRAW}) < ({_DSIR_RATE}) AS kept
+FROM ({DSIR_WEIGHTS_SQL})
+"""
+
+# Twin of q_dsir_mixture_shift: per-source raw/kept/target token
+# shares + the toward-target delta
+DSIR_MIXTURE_SHIFT_SQL = f"""
+WITH kept AS (
+  SELECT doc_id FROM ({DSIR_RESAMPLE_SQL}) WHERE kept
+),
+d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         doc_id % {HOLDOUT_MOD} = 0 AS t,
+         doc_id IN (SELECT doc_id FROM kept) AS k
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN NOT t THEN n_tok ELSE 0 END) AS BIGINT)
+           AS train_tokens,
+         CAST(sum(CASE WHEN k THEN n_tok ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+         CAST(sum(CASE WHEN t THEN n_tok ELSE 0 END) AS BIGINT)
+           AS target_tokens
+  FROM d GROUP BY source
+),
+shares AS (
+  SELECT source, train_tokens, kept_tokens, target_tokens,
+         (1000 * train_tokens)
+           // CAST(sum(train_tokens) OVER () AS BIGINT) AS train_permille,
+         (1000 * kept_tokens)
+           // CAST(sum(kept_tokens) OVER () AS BIGINT) AS kept_permille,
+         (1000 * target_tokens)
+           // CAST(sum(target_tokens) OVER () AS BIGINT) AS target_permille
+  FROM per
+)
+SELECT source, train_tokens, kept_tokens, target_tokens,
+       train_permille, kept_permille, target_permille,
+       CAST(abs(train_permille - target_permille)
+            - abs(kept_permille - target_permille) AS BIGINT)
+         AS shift_milli
+FROM shares
+"""
+
 
 # Twin of q_importance_resampling: QUALITY_SCORE_SQL's stats subquery
 # + the md5-12-hex-chars uniform draw, strict < verdict
@@ -1269,108 +1334,123 @@ FROM (
 ) t1
 """
 
-from .functions.similarity import PQ_K, PQ_M, PQ_SUB  # noqa: E402
+from .functions.similarity import (  # noqa: E402
+    PQ_K,
+    PQ_M,
+    PQ_MICRO,
+    PQ_SUB,
+    PQ_TRAIN_ROUNDS,
+)
 
-# Twin of q_pq_quantize: same data-derived codebook (subvectors of
-# corpus vectors N_QUERIES..N_QUERIES+PQ_K), same three-dot squared-L2
-# (list_dot_product is the sequential fold dot() matches), same
-# (dist, j) tie-break
-PQ_QUANTIZE_SQL = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+assert PQ_TRAIN_ROUNDS == 2, "the unrolled PQ oracle CTEs assume 2 rounds"
+
+# Shared trained-PQ CTE chain: the same deterministic fixed-point
+# Lloyd rounds the Spark trainer runs (functions/similarity.py
+# _pq_seed/_pq_assign/_pq_centroids), unrolled — micro table from the
+# UNFILTERED embeddings scan (ADVICE r8: a zero-norm vector inside the
+# seed range must seed its cell), seed = designated vectors, per-round
+# integer-mean update with empty cells carried forward (LEFT JOIN +
+# coalesce), then the coding assignment against the final centroids.
+_PQ_ASSIGN = """
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist_sq, j) AS rn
+    FROM (
+      SELECT px.vec_id, px.m, c.j,
+             CAST(sum((px.xm - c.cm) * (px.xm - c.cm)) AS BIGINT)
+               AS dist_sq
+      FROM px JOIN {cent} c ON px.m = c.m AND px.d = c.d
+      GROUP BY px.vec_id, px.m, c.j
+    )
+  ) WHERE rn = 1
+"""
+
+_PQ_UPDATE = """
+  SELECT c.m, c.j, c.d, coalesce(n.cm, c.cm) AS cm
+  FROM {prev} c LEFT JOIN (
+    SELECT a.m, a.j, e.d,
+           CAST(sum(e.xm) AS BIGINT) // count(*) AS cm
+    FROM {assign} a JOIN px e ON e.vec_id = a.vec_id AND e.m = a.m
+    GROUP BY a.m, a.j, e.d
+  ) n ON n.m = c.m AND n.j = c.j AND n.d = c.d
+"""
+
+_PQ_CTES = f"""px AS MATERIALIZED (
+  SELECT vec_id, CAST(u.dim // {PQ_SUB} AS BIGINT) AS m,
+         CAST(u.dim % {PQ_SUB} AS BIGINT) AS d, u.xm AS xm FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+             i -> struct_pack(dim := i - 1,
+                  xm := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                   * {PQ_MICRO}) AS BIGINT)))) AS u
+    FROM embeddings
+  )
 ),
-cent AS (
-  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+pc0 AS (
+  SELECT m, CAST(vec_id - {N_QUERIES} AS BIGINT) AS j, d, xm AS cm
+  FROM px WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
 ),
-sub AS (
-  SELECT e.vec_id, m,
-         e.v[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
-           AS x
-  FROM e, unnest(range({PQ_M})) AS t(m)
-),
-scored AS (
-  SELECT s.vec_id, s.m, c.j,
-         list_dot_product(s.x, s.x)
-           + list_dot_product(cx, cx)
-           - 2 * list_dot_product(s.x, cx) AS dist
-  FROM sub s, cent c,
-       LATERAL (SELECT c.cv[CAST(s.m*{PQ_SUB}+1 AS INT)
-                            : CAST(s.m*{PQ_SUB}+{PQ_SUB} AS INT)]
-                  AS cx) lx
-),
-best AS (
-  SELECT vec_id, m, j,
-         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j)
-           AS rn
-  FROM scored
-),
-codes AS (
+pa1 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc0")}),
+pc1 AS MATERIALIZED ({_PQ_UPDATE.format(prev="pc0", assign="pa1")}),
+pa2 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc1")}),
+pc2 AS MATERIALIZED ({_PQ_UPDATE.format(prev="pc1", assign="pa2")}),
+pa3 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc2")}),
+pcodes AS MATERIALIZED (
   SELECT vec_id,
          {", ".join(
            f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT)"
            f" AS code_{m}" for m in range(PQ_M)
          )}
-  FROM best WHERE rn = 1 GROUP BY vec_id
-)
+  FROM pa3 GROUP BY vec_id
+)"""
+
+# Twin of q_pq_quantize: trained codebook (2 unrolled Lloyd rounds),
+# exact-integer squared-L2 coding, same (dist, j) tie-break
+PQ_QUANTIZE_SQL = f"""
+WITH {_PQ_CTES}
 SELECT vec_id, {", ".join(f"code_{m}" for m in range(PQ_M))},
        CAST({"".join("(" for _ in range(PQ_M - 1))}code_0
             {"".join(f") * {PQ_K} + code_{m}" for m in range(1, PQ_M))}
             AS BIGINT) AS pq_code
-FROM codes
+FROM pcodes
 """
 
 
-# Twin of q_pq_train_round: same codes CTE, same floor-to-micro-
-# before-mean integer discipline, seed components from the same
-# centroid rows
+# Twin of q_pq_train_round: the final round's member counts (round-2
+# assignment) and integer centroid displacement |pc2 - pc1| per cell
 PQ_TRAIN_ROUND_SQL = f"""
-WITH codes AS (
-  {PQ_QUANTIZE_SQL}
+WITH {_PQ_CTES},
+memb AS (
+  SELECT m, j, CAST(count(*) AS BIGINT) AS n_members
+  FROM pa2 GROUP BY m, j
 ),
-e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cent AS (
-  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-),
-px AS (
-  SELECT m,
-         CASE m {" ".join(f"WHEN {m} THEN k.code_{m}" for m in range(PQ_M))}
-         END AS j,
-         {", ".join(
-           "CAST(floor(e.v[CAST(m*" + str(PQ_SUB) + "+" + str(d + 1)
-           + " AS INT)] * 1000000) AS BIGINT) AS s" + str(d)
-           for d in range(PQ_SUB)
-         )}
-  FROM e JOIN codes k USING (vec_id), unnest(range({PQ_M})) AS t(m)
-),
-sums AS (
-  SELECT m, j, CAST(count(*) AS BIGINT) AS n_members,
-         {", ".join(
-           f"CAST(sum(s{d}) AS BIGINT) AS t{d}" for d in range(PQ_SUB)
-         )}
-  FROM px GROUP BY m, j
+shift AS (
+  SELECT c2.m, c2.j,
+         CAST(sum(abs(c2.cm - c1.cm)) AS BIGINT) AS shift_micro_sum
+  FROM pc2 c2 JOIN pc1 c1
+    ON c1.m = c2.m AND c1.j = c2.j AND c1.d = c2.d
+  GROUP BY c2.m, c2.j
 )
-SELECT s.m, s.j, s.n_members,
-       CAST({" + ".join(
-         "abs(s.t" + str(d) + " // s.n_members"
-         + " - CAST(floor(c.cv[CAST(s.m*" + str(PQ_SUB) + "+"
-         + str(d + 1) + " AS INT)] * 1000000) AS BIGINT))"
-         for d in range(PQ_SUB)
-       )} AS BIGINT) AS shift_micro_sum
-FROM sums s JOIN cent c ON c.j = s.j
+SELECT s.m, s.j,
+       CAST(coalesce(mb.n_members, 0) AS BIGINT) AS n_members,
+       s.shift_micro_sum
+FROM shift s LEFT JOIN memb mb ON mb.m = s.m AND mb.j = s.j
 """
 
 
-# Twin of q_ann_pq_recall: same codebook, same ADC lookup-table
-# scoring with fixed-order sums (4 explicit LUT joins, never a float
-# aggregation), same (cos_hat DESC, neighbor) ranking, exact side =
-# the brute-force cosine top-k
+# Twin of q_ann_pq_recall: trained codebook reconstructions (micro
+# ints / 1e6 — exact doubles), same ADC lookup-table scoring with
+# fixed-order sums (explicit LUT joins, never a float aggregation),
+# same (cos_hat DESC, neighbor) ranking, exact side = the brute-force
+# cosine top-k
 ANN_PQ_RECALL_SQL = f"""
-WITH codes AS (
-  {PQ_QUANTIZE_SQL}
+WITH {_PQ_CTES},
+codes AS (SELECT * FROM pcodes),
+cvd AS (
+  SELECT m, j,
+         list(CAST(cm AS DOUBLE) / {PQ_MICRO}.0 ORDER BY d) AS cv
+  FROM pc2 GROUP BY m, j
 ),
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1380,21 +1460,15 @@ e AS (
   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
 ),
-cent AS (
-  SELECT vec_id - {N_QUERIES} AS j, v AS cv FROM e
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-),
-lut AS (
-  SELECT q.vec_id AS query_id, m, c.j,
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.m, c.j,
          list_dot_product(
-           q.v[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)],
-           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
+           q.v[CAST(c.m*{PQ_SUB}+1 AS INT)
+               : CAST(c.m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv
          ) AS d,
-         list_dot_product(
-           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)],
-           c.cv[CAST(m*{PQ_SUB}+1 AS INT) : CAST(m*{PQ_SUB}+{PQ_SUB} AS INT)]
-         ) AS cn2
-  FROM e q, cent c, unnest(range({PQ_M})) AS t(m)
+         list_dot_product(c.cv, c.cv) AS cn2
+  FROM e q, cvd c
   WHERE q.vec_id < {N_QUERIES}
 ),
 scored AS (

@@ -429,14 +429,10 @@ EVENTS_DEBOUNCE_SQL = f"""
 SELECT user_id, event_type, event_id, CAST(gap_ms AS BIGINT) AS gap_ms
 FROM (
   SELECT user_id, event_type, event_id,
-         CASE WHEN lag(epoch_ms(ts)) OVER
-                   (PARTITION BY user_id, event_type ORDER BY event_id)
-                   IS NULL
-              THEN -1
-              ELSE epoch_ms(ts) - lag(epoch_ms(ts)) OVER
-                   (PARTITION BY user_id, event_type ORDER BY event_id)
-         END AS gap_ms
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+             (PARTITION BY user_id, event_type ORDER BY event_id)
+           AS gap_ms
   FROM events
 ) t
-WHERE gap_ms < 0 OR gap_ms >= {DEBOUNCE_MS}
+WHERE gap_ms IS NULL OR gap_ms < 0 OR gap_ms >= {DEBOUNCE_MS}
 """

@@ -855,8 +855,11 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop events arriving less than DEBOUNCE_MS after the previous
     event — the telemetry-hygiene dedup run before counting anything
     (double-fired clicks, retried error beacons). Retained rows carry
-    their gap (-1 for the first event of a series) so downstream can
-    audit what the threshold ate.
+    their gap (NULL for the first event of a series — ADVICE r8: a
+    sentinel value would be indistinguishable from a genuine
+    out-of-order gap of the same magnitude; negative gaps from
+    ts-decreasing event sequences stay visible and retained, they are
+    reorderings, not debounce repeats).
 
     Lag-vs-previous-event semantics (not previous RETAINED event):
     expressible as ONE window pass in any engine, deterministic, and
@@ -873,12 +876,12 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ms_of(events, "ts").alias("_ms"),
     ).withColumn("_prev_ms", F.lag("_ms").over(w))
-    gap = (
-        F.when(F.col("_prev_ms").isNull(), F.lit(-1))
-        .otherwise(F.col("_ms") - F.col("_prev_ms"))
-        .cast("long")
-    )
+    gap = (F.col("_ms") - F.col("_prev_ms")).cast("long")
     return (
         base.select("user_id", "event_type", "event_id", gap.alias("gap_ms"))
-        .filter((F.col("gap_ms") < 0) | (F.col("gap_ms") >= DEBOUNCE_MS))
+        .filter(
+            F.col("gap_ms").isNull()
+            | (F.col("gap_ms") < 0)
+            | (F.col("gap_ms") >= DEBOUNCE_MS)
+        )
     )

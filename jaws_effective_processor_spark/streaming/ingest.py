@@ -175,14 +175,12 @@ def importance_gate_stream(docs: DataFrame) -> DataFrame:
         )
         % 1000
     )
-    stat_names = [
-        "len_chars",
-        "n_tokens",
-        "n_distinct_tokens",
-        "n_stopwords",
-        "tok_chars",
-    ]
-    staged = docs.select("*", *quality_stat_columns())
+    stats = quality_stat_columns()
+    # drop list derived from the shared expressions' own aliases
+    # (ADVICE r8: a parallel literal list would silently leak any
+    # newly added stat column into the gate's output schema)
+    stat_names = docs.select(*stats).columns
+    staged = docs.select("*", *stats)
     return staged.filter(draw < score).drop(*stat_names)
 
 
@@ -381,8 +379,8 @@ def media_phash_gate_stream(
     from ..functions.multimodal import (
         MEDIA_PHASH_BAND_BITS,
         MEDIA_PHASH_N_BANDS,
-        MEDIA_TYPES,
         media_phash_py,
+        media_type_expr,
     )
 
     if mode not in ("auto", "broadcast", "shuffle"):
@@ -395,11 +393,7 @@ def media_phash_gate_stream(
         )
 
     def with_phash(df: DataFrame) -> DataFrame:
-        mt = F.element_at(
-            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        )
-        staged = df.withColumn("media_type", mt).withColumn(
+        staged = df.withColumn("media_type", media_type_expr()).withColumn(
             "_payload", F.col("text").cast("binary")
         )
         keep = [f for f in staged.schema.fields if f.name != "_payload"]
@@ -522,6 +516,75 @@ def token_threshold_stream(docs: DataFrame, threshold: int) -> DataFrame:
         P.make_heavy_hitter_fn(threshold),
         P.HEAVY_OUT,
         P.HEAVY_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+DEBOUNCE_OUT = "user_id long, event_type string, event_id long, gap_ms long"
+DEBOUNCE_STATE = "last_ms long"
+
+
+def debounce_gate_stream(
+    events: DataFrame, debounce_ms: int | None = None
+) -> DataFrame:
+    """Streaming debounce gate for the telemetry family: per
+    (user_id, event_type) series, drop an arriving event whose gap to
+    the PREVIOUS SEEN event is in [0, DEBOUNCE_MS) — the live half of
+    relational.q_events_debounce, with identical verdict semantics
+    (first event of a series passes with NULL gap; a negative gap is
+    a reordering, not a repeat, and passes; state tracks the previous
+    event whether or not it was retained, exactly the batch window's
+    lag).
+
+    State is ONE long (last event-time ms) per live (user,
+    event_type) key, hash-partitioned across executors — the same
+    partitioning the batch window pays per run, paid here only on
+    arrival. Rows within a micro-batch are processed in event_id
+    order (the batch window's ORDER BY), so replaying a day through
+    availableNow triggers lands the exact batch answer
+    (tests/test_streaming.py::test_debounce_gate_matches_batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..relational import DEBOUNCE_MS, ms_of
+
+    thr = DEBOUNCE_MS if debounce_ms is None else debounce_ms
+    base = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        ms_of(events, "ts").cast("long").alias("_ms"),
+    )
+
+    def fn(key, chunks, state):
+        parts = [pdf for pdf in chunks if len(pdf)]
+        last = int(state.get[0]) if state.exists else None
+        out = []
+        if parts:
+            batch = pd.concat(parts).sort_values("event_id")
+            for eid, ms in zip(batch["event_id"], batch["_ms"]):
+                ms = int(ms)
+                gap = None if last is None else ms - last
+                if gap is None or gap < 0 or gap >= thr:
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_type": key[1],
+                            "event_id": int(eid),
+                            "gap_ms": gap,
+                        }
+                    )
+                last = ms
+        if last is not None:
+            state.update((last,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return base.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        DEBOUNCE_OUT,
+        DEBOUNCE_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -93,6 +93,54 @@ def test_pq_quantize_scan_local(spark):
     assert broadcast_join_count(df) == 0
 
 
+def test_pq_quantize_plan_build_bounded(spark):
+    """The round-8 Catalyst-analysis pathology pin: with the coder's
+    per-subspace transform-lambda form, ANALYSIS of a fresh coding
+    plan at M=8/K=16 stays bounded (measured ~1.5 s; the old
+    literal-argmin expression trees ran MINUTES at M=4/K=16, capping
+    the design at K=8). Times with_pq_codes directly — codebook
+    pre-collected, no cached frame in the way — so the bound is on
+    plan build, not training jobs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        _pq_codebook,
+        with_pq_codes,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+
+    cb = _pq_codebook(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    t0 = time.monotonic()
+    df = with_pq_codes(emb, cb)
+    _ = df.columns  # forces analysis
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_brute_and_adc_topk_have_no_corpus_sized_window(spark):
+    """The exact/ADC evaluation family ranks via the two-level
+    partial_topk: the first window partitions by (query_id,
+    input-partition id), so no single reducer ever sorts a
+    corpus-sized per-query partition (round-8 verdict watch item).
+    The staged _tk_pid column appearing in the window spec is the
+    plan-level witness."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        _brute_neighbors,
+        q_ann_pq_recall,
+    )
+    from jaws_effective_processor_spark.plans.inspect import explain_str
+
+    for df in (
+        _brute_neighbors(spark, SF_SMOKE),
+        q_ann_pq_recall(spark, SF_SMOKE),
+    ):
+        assert "_tk_pid" in explain_str(df)
+
+
 def test_pricing_summary_pushdown(spark):
     """The shipdate predicate reaches the parquet scan (PushedFilters)
     and column pruning drops unused lineitem columns (ReadSchema)."""

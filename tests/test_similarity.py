@@ -75,30 +75,115 @@ def test_hard_negatives_match_ground_truth_replay(spark):
     assert got == expected
 
 
-def test_pq_codebook_vectors_code_to_themselves(spark):
-    """Sharpest PQ invariant: every codebook vector's subspace
-    distance to its own centroid is exactly 0.0 in IEEE (x.x + x.x -
-    2*x.x with identical folds), so vector N_QUERIES+j must emit code
-    j in EVERY subspace, and its packed code is the base-PQ_K
-    repunit of j."""
+def test_pq_training_reduces_distortion(spark):
+    """The trained codebook is a real Lloyd trainer: total
+    quantization error (sum over vectors x subspaces of the coded
+    cell's squared distance, exact integer micro^2) strictly DECREASES
+    seed -> round 1 -> round 2 on this corpus (measured ~23% total
+    drop at sf0.01/sf0.1) — the training-objective claim behind
+    shipping trained codes, and the invariant the old untrained-seed
+    coder could not make."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    px = s._pq_micro(spark, SF_ORACLE)
+    dist = [
+        s._pq_assign(px, cent).agg(F.sum("dist_sq")).collect()[0][0]
+        for cent in (
+            s._pq_seed(spark, SF_ORACLE),
+            s._pq_centroids(spark, SF_ORACLE, 1),
+            s._pq_centroids(spark, SF_ORACLE, 2),
+        )
+    ]
+    assert dist[0] > dist[1] > dist[2], dist
+
+
+def test_pq_trained_recall_not_worse_than_seed(spark):
+    """ADC recall with the trained codebook is at least the seed
+    codebook's (equal at sf0.01 where recall@5 over 500 near-uniform
+    synthetic vectors is noise-bound; at sf0.1 the trained codebook
+    measured 2x the seed's mean recall, 60 -> 120 permille). The
+    parametrized _adc_recall exists exactly for this lift
+    measurement."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    cb0 = s._pq_codebook_at(spark, SF_ORACLE, 0)
+    codes0 = s._pq_codes_for(spark, SF_ORACLE, cb0, "pq_codes_seed")
+    seed = [
+        r["recall_permille"]
+        for r in s._adc_recall(spark, SF_ORACLE, cb0, codes0).collect()
+    ]
+    cb = s._pq_codebook(spark, SF_ORACLE)
+    trained = [
+        r["recall_permille"]
+        for r in s._adc_recall(
+            spark, SF_ORACLE, cb, s._pq_codes(spark, SF_ORACLE)
+        ).collect()
+    ]
+    assert sum(trained) / len(trained) >= sum(seed) / len(seed)
+
+
+def test_pq_exact_duplicates_code_identically(spark):
+    """Coding is a pure function of the vector: exact-duplicate
+    embeddings get identical codes (and the packed code is the base-K
+    fold of the per-subspace codes)."""
     from jaws_effective_processor_spark.functions.similarity import (
-        N_QUERIES,
         PQ_K,
         PQ_M,
     )
+    from jaws_effective_processor_spark.tables import load_table
 
+    emb = {
+        r["vec_id"]: tuple(float(x) for x in r["embedding"])
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
     rows = {
         r["vec_id"]: r
         for r in QUERIES["pq_quantize"](spark, SF_ORACLE).collect()
     }
-    for j in range(PQ_K):
-        r = rows[N_QUERIES + j]
-        for m in range(PQ_M):
-            assert r[f"code_{m}"] == j, (j, m, dict(r.asDict()))
+    by_vec: dict[tuple, set] = {}
+    for i, v in emb.items():
+        by_vec.setdefault(v, set()).add(rows[i]["pq_code"])
+    assert all(len(codes) == 1 for codes in by_vec.values())
+    for r in rows.values():
         packed = 0
-        for _ in range(PQ_M):
-            packed = packed * PQ_K + j
+        for m in range(PQ_M):
+            packed = packed * PQ_K + r[f"code_{m}"]
         assert r["pq_code"] == packed
+
+
+def test_partial_topk_matches_naive_window(spark):
+    """partial_topk is IDENTICAL to the naive per-group window it
+    replaces (the scale-safe two-level form cannot change results:
+    a row beaten by k rows inside its own input partition cannot be
+    in the global top-k) — exercised over a multi-partition input
+    with heavy per-group duplication of scores."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        partial_topk,
+    )
+
+    df = (
+        spark.range(0, 5000, 1, 16)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 13).alias("score"),
+            F.col("id").alias("uid"),
+        )
+    )
+    order = [F.col("score").desc(), F.col("uid")]
+    w = Window.partitionBy("g").orderBy(*order)
+    naive = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 9)
+    )
+    fast = partial_topk(df, ["g"], order, 9, rank_col="rank")
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
 
 
 def test_ann_pq_recall_matches_python_replay(spark):
@@ -108,15 +193,17 @@ def test_ann_pq_recall_matches_python_replay(spark):
     exact cosine top-k."""
     from jaws_effective_processor_spark.functions.similarity import (
         N_QUERIES,
-        PQ_K,
         PQ_M,
         PQ_SUB,
         TOP_K,
         _pq_codebook,
+        _pq_codebook_double,
     )
     from jaws_effective_processor_spark.tables import load_table
 
-    cb = _pq_codebook(spark, SF_ORACLE)
+    # reconstruction values: trained micro ints / 1e6 — the doubles
+    # the engine's ADC LUTs are built from
+    cb = _pq_codebook_double(_pq_codebook(spark, SF_ORACLE))
     emb = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in load_table(spark, SF_ORACLE, "embeddings").collect()
@@ -173,10 +260,11 @@ def test_ann_pq_recall_matches_python_replay(spark):
 
 
 def test_pq_train_round_conserves_members(spark):
-    """Every coded vector appears in exactly one (m, j) cell per
-    subspace, so member counts sum to PQ_M x corpus; each codebook
-    vector sits in its own cell (self-coding), so no seed cell is
-    empty and every row's displacement is non-negative."""
+    """Every vector appears in exactly one (m, j) cell per subspace
+    of the final training round's assignment, so member counts sum to
+    PQ_M x corpus; the carry-forward update keeps ALL M x K cells
+    present (an emptied cell reports n_members 0, shift 0); every
+    displacement is non-negative."""
     from jaws_effective_processor_spark.functions.similarity import (
         PQ_K,
         PQ_M,

@@ -483,6 +483,58 @@ def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     assert all(batch[k] == v for k, v in got.items())
 
 
+def test_debounce_gate_matches_batch(spark, tmpdir):
+    """Replaying the events table through the streaming debounce gate
+    (two micro-batches, split by event_id so state carries across the
+    trigger boundary) lands EXACTLY the batch q_events_debounce
+    verdicts — same retained event_ids, same gaps, NULL for series
+    starts."""
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.streaming.ingest import (
+        debounce_gate_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = os.path.join(tmpdir, "deb_feed")
+    events.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "batch0")
+    )
+    events.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "batch1")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = rules.dir_stream(spark, f"{src}/*", schema, max_files=1)
+    name = f"deb_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        debounce_gate_stream(stream),
+        name,
+        os.path.join(tmpdir, "deb_ckpt"),
+    )
+    got = {
+        (r["user_id"], r["event_type"], r["event_id"]): r["gap_ms"]
+        for r in _memory_table(spark, name).collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"], r["event_id"]): r["gap_ms"]
+        for r in QUERIES["events_debounce"](spark, sf).collect()
+    }
+    assert got == batch
+    assert any(v is None for v in batch.values())  # series starts
+
+
 def test_vector_ingest_stream_matches_batch(spark, tmpdir):
     """Streaming vector ingest: cell routing equals the batch IVF
     assignment bit-for-bit (expression argmax == window argmax, shared
