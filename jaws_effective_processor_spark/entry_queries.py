@@ -601,6 +601,18 @@ def _register_llm() -> None:
         corpus.q_dsir_mixture_shift,
         osql.DSIR_MIXTURE_SHIFT_SQL,
     )
+    # round-9 additions: the composed IVFADC serve path + the PQ
+    # trainer's convergence trace
+    register(
+        "ann_ivfpq",
+        similarity.q_ann_ivfpq,
+        osql.ANN_IVFPQ_SQL,
+    )
+    register(
+        "pq_train_trace",
+        similarity.q_pq_train_trace,
+        osql.PQ_TRAIN_TRACE_SQL,
+    )
 
 
 _register_rules()
@@ -685,18 +697,22 @@ _register_llm()
 #      ann_recall (the shared _brute_neighbors ground truth moved to
 #      the two-level partial_topk — outputs identical, but their
 #      green rows describe the old plan).
-#    2 round-9 additions (dsir_resample, dsir_mixture_shift) — in
-#      window the round they land, per the standing rule.
+#    4 round-9 additions (dsir_resample, dsir_mixture_shift,
+#      ann_ivfpq, pq_train_trace) — in window the round they land,
+#      per the standing rule.
 #   12 r3-only evidence (EVIDENCE_AGE): lineitem_rollup,
 #      customer_order_windows, events_daily, event_type_pivot,
 #      doc_fingerprint, knn_ivf_multiprobe, multimodal_features,
 #      stratified_sample, doc_chunks, dedup_clusters, contamination,
 #      vocab_topk.
-#    5 oldest r5 evidence chosen for family representation:
-#      effective_registrations_nested (nested), pricing_summary
-#      (relational agg), embedding_neardup (perf-weak watch — fresh
-#      evidence), dedup_exact (dedup root), gopher_quality (rule
-#      filter).
+#    3 oldest r5 evidence chosen for family representation:
+#      pricing_summary (relational agg), embedding_neardup (perf-weak
+#      watch — fresh evidence), dedup_exact (dedup root);
+#      effective_registrations_nested and gopher_quality head the r10
+#      EVIDENCE_AGE queue instead (displaced by the two extra round-9
+#      additions, which take window priority per the ledger rules —
+#      nested is covered r6 via three siblings, rule-filter via
+#      dsir_resample's shared quality-stat scan).
 # Swapped-out r8-greens all keep in-window siblings: source_overlap/
 # split_leakage via contamination + dedup_exact (same cached gram
 # machinery), dedup_threshold_curve/minhash_calibration/
@@ -794,6 +810,8 @@ _CHECK_FIRST = [
     # round-9 additions — driver-checked the round they land
     "dsir_resample",
     "dsir_mixture_shift",
+    "ann_ivfpq",
+    "pq_train_trace",
     # EVIDENCE_AGE: r3-only driver evidence
     "lineitem_rollup",
     "customer_order_windows",
@@ -808,11 +826,9 @@ _CHECK_FIRST = [
     "contamination",
     "vocab_topk",
     # EVIDENCE_AGE: oldest r5 evidence, family representatives
-    "effective_registrations_nested",
     "pricing_summary",
     "embedding_neardup",
     "dedup_exact",
-    "gopher_quality",
 ]
 
 

@@ -186,13 +186,13 @@ def bucket_of(v: Column) -> Column:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k within the query's LSH bucket (the 100 TB path)."""
+    """ANN top-k within the query's LSH bucket (the 100 TB path).
+    Ranking is the two-level partial_topk (r9): a bucket still holds
+    ~corpus/2^N_PLANES rows at scale, so a bare per-query window
+    would sort a bucket-sized partition on one reducer."""
     e = _vectors(spark, sf_dir).withColumn("bucket", bucket_of(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = e.alias("c")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
     scored = (
         q.join(
             c,
@@ -206,8 +206,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        partial_topk(
+            scored,
+            ["query_id"],
+            [F.col("cos").desc(), F.col("neighbor_id")],
+            TOP_K,
+            rank_col="rank",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -284,9 +289,6 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = cells.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = cells.alias("c")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
     scored = q.join(
         c,
         (F.col("q.cell") == F.col("c.cell"))
@@ -300,8 +302,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        partial_topk(
+            scored,
+            ["query_id"],
+            [F.col("cos").desc(), F.col("neighbor_id")],
+            TOP_K,
+            rank_col="rank",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -332,9 +339,6 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "v", "norm", F.col("cent_id").alias("cell")
     ).alias("q")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
     scored = probes.join(
         c,
         (F.col("q.cell") == F.col("c.cell"))
@@ -348,8 +352,13 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        partial_topk(
+            scored,
+            ["query_id"],
+            [F.col("cos").desc(), F.col("neighbor_id")],
+            TOP_K,
+            rank_col="rank",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -715,6 +724,18 @@ def pq_pack_expr() -> Column:
     return packed
 
 
+def pq_unpack_exprs() -> list:
+    """code_0..code_{PQ_M-1} back out of a packed `pq_code` column —
+    the inverse of pq_pack_expr, for serving from a store that
+    persists only the packed code (streaming/vectors.py)."""
+    return [
+        (F.expr(f"pq_code DIV {PQ_K ** (PQ_M - 1 - m)}") % PQ_K)
+        .cast("long")
+        .alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, code_0..code_{PQ_M-1}) — every vector coded against
     the literal TRAINED codebook; session-cached under 'pq_codes' (the
@@ -815,20 +836,21 @@ def q_pq_train_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adc_recall(
-    spark: SparkSession, sf_dir: str, cb: list, codes: DataFrame
-) -> DataFrame:
-    """Per-query recall@TOP_K of asymmetric-distance search over the
-    code table `codes` (coded against micro-int codebook `cb`) vs the
-    exact cosine top-k — parametrized so the trained codebook and the
-    round-0 seed can be evaluated side by side (the recall-lift
-    measurement, tests/test_similarity.py)."""
-    cd = _pq_codebook_double(cb)
-    e = _vectors(spark, sf_dir)
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
+def adc_query_luts(q: DataFrame, cd: list, keep: tuple = ()) -> DataFrame:
+    """The broadcast query side of asymmetric-distance scoring:
+    (query_id, *keep, _qnorm, _lut0.._lut{M-1}) over a frame carrying
+    (query_id, v array<double>, norm) — per query, K dots per
+    subspace against the reconstruction codebook `cd` (doubles), each
+    LUT built by ONE transform lambda over the literal codebook (the
+    with_pq_codes analysis-tree discipline; the dot fold inside the
+    lambda is list_dot_product-bit-compat). Shared by the recall
+    evaluation, the batch IVFADC query, and the streaming store
+    server (streaming/vectors.adc_topk_against_store) so a query
+    scores bit-identically whichever path served it."""
+    return (
+        q.select(
+            "query_id",
+            *keep,
             F.col("norm").alias("_qnorm"),
             *[
                 F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
@@ -837,11 +859,8 @@ def _adc_recall(
         )
         .select(
             "query_id",
+            *keep,
             "_qnorm",
-            # one transform lambda per subspace over the literal
-            # reconstruction codebook — K dots from ONE lambda, the
-            # same analysis-tree discipline as with_pq_codes; the dot
-            # fold inside the lambda is list_dot_product-bit-compat
             *[
                 F.transform(
                     F.array(
@@ -855,7 +874,24 @@ def _adc_recall(
             ],
         )
     )
-    corpus = e.select("vec_id").join(codes, "vec_id")
+
+
+def _adc_query_luts(spark: SparkSession, sf_dir: str, cd: list) -> DataFrame:
+    """adc_query_luts over the corpus's designated query vectors."""
+    e = _vectors(spark, sf_dir)
+    return adc_query_luts(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "v", "norm"
+        ),
+        cd,
+    )
+
+
+def _adc_cos_hat(cd: list) -> Column:
+    """cos_hat = sum_m LUT_m[code_m] / (|q| * |x_hat|), numerator and
+    |x_hat|^2 both summed in fixed m-order as EXPRESSIONS (never a
+    float aggregation), zero-reconstruction rows sentineled to -2.0 —
+    evaluated over a frame carrying code_0.., _lut0.., _qnorm."""
     num = None
     recon2 = None
     for m in range(PQ_M):
@@ -866,13 +902,27 @@ def _adc_recall(
         )
         num = term if num is None else num + term
         recon2 = n2 if recon2 is None else recon2 + n2
-    cos_hat = F.when(
+    return F.when(
         recon2 > 0, num / (F.col("_qnorm") * F.sqrt(recon2))
     ).otherwise(F.lit(-2.0))
+
+
+def _adc_recall(
+    spark: SparkSession, sf_dir: str, cb: list, codes: DataFrame
+) -> DataFrame:
+    """Per-query recall@TOP_K of asymmetric-distance search over the
+    code table `codes` (coded against micro-int codebook `cb`) vs the
+    exact cosine top-k — parametrized so the trained codebook and the
+    round-0 seed can be evaluated side by side (the recall-lift
+    measurement, tests/test_similarity.py)."""
+    cd = _pq_codebook_double(cb)
+    e = _vectors(spark, sf_dir)
+    q = _adc_query_luts(spark, sf_dir, cd)
+    corpus = e.select("vec_id").join(codes, "vec_id")
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos_hat.alias("_cos_hat"))
+        .select("query_id", "vec_id", _adc_cos_hat(cd).alias("_cos_hat"))
     )
     approx = partial_topk(
         scored,
@@ -930,6 +980,99 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached ground-truth table."""
     cb = _pq_codebook(spark, sf_dir)
     return _adc_recall(spark, sf_dir, cb, _pq_codes(spark, sf_dir))
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving — the composed two-level index every large ANN
+    deployment actually serves from (the FAISS IVFADC stack): the
+    coarse IVF level routes each query to its IVF_NPROBE nearest
+    cells, and candidates inside the probed cells are scored
+    ASYMMETRICALLY from their 8x4-bit PQ codes — the serve path never
+    touches a raw corpus vector (that is the memory win that lets a
+    100 TB corpus serve from RAM-resident codes). Output: per query
+    the TOP_K candidates by reconstructed cosine with rank and
+    adc_permyriad.
+
+    Composes the session-cached artifacts end to end: the IVF cell
+    ranking (ivf_cell_ranked), the trained codebook (pq_c2), and the
+    code table (pq_codes). Scale shape: the query side (probe cells +
+    128-entry ADC LUTs) is N_QUERIES x IVF_NPROBE rows, broadcast;
+    the corpus side is a cell equi-join touching ~nprobe/N_CELLS of
+    the code table; scoring is element_at arithmetic per candidate;
+    ranking is the two-level partial_topk. Float parity: LUT dots and
+    the fixed m-order sums are the bit-compat folds the recall twin
+    pins; floor(cos_hat * 10000) is exact on identical doubles."""
+    cb = _pq_codebook(spark, sf_dir)
+    cd = _pq_codebook_double(cb)
+    codes = _pq_codes(spark, sf_dir)
+    ranked = _ranked_cells(spark, sf_dir)
+    corpus = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(codes, "vec_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    scored = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+    return partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        TOP_K,
+        rank_col="rank",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.floor(F.col("_cos_hat") * 10000)
+        .cast("long")
+        .alias("adc_permyriad"),
+    )
+
+
+def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ trainer's headline convergence curve: per round, the
+    TOTAL quantization distortion (sum over vectors x subspaces of
+    the assigned cell's exact integer squared distance) and the
+    assignment count — round 1 scores the seed codebook, round 2 the
+    first update, round 3 the shipped (trained) codebook, i.e. the
+    coding assignment itself. Lloyd guarantees the curve falls;
+    q_pq_train_round is the per-cell detail of the final update,
+    this is the number a trainer plots to decide PQ_TRAIN_ROUNDS
+    (measured here: ~23% total drop over 2 rounds).
+
+    Scale shape: three single-row aggregations over the session-
+    cached assignment artifacts (pq_a1..pq_a3) — map-side partials,
+    nothing recomputed."""
+    parts = []
+    for rnd in range(1, PQ_TRAIN_ROUNDS + 2):
+        a = _pq_assignment(spark, sf_dir, rnd)
+        parts.append(
+            a.agg(
+                F.sum("dist_sq").cast("long").alias("total_dist_sq"),
+                F.count("*").cast("long").alias("n_assignments"),
+            ).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "total_dist_sq",
+                "n_assignments",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1352,8 +1352,8 @@ assert PQ_TRAIN_ROUNDS == 2, "the unrolled PQ oracle CTEs assume 2 rounds"
 # integer-mean update with empty cells carried forward (LEFT JOIN +
 # coalesce), then the coding assignment against the final centroids.
 _PQ_ASSIGN = """
-  SELECT vec_id, m, j FROM (
-    SELECT vec_id, m, j,
+  SELECT vec_id, m, j, dist_sq FROM (
+    SELECT vec_id, m, j, dist_sq,
            row_number() OVER (PARTITION BY vec_id, m
                               ORDER BY dist_sq, j) AS rn
     FROM (
@@ -1439,14 +1439,28 @@ FROM shift s LEFT JOIN memb mb ON mb.m = s.m AND mb.j = s.j
 """
 
 
-# Twin of q_ann_pq_recall: trained codebook reconstructions (micro
-# ints / 1e6 — exact doubles), same ADC lookup-table scoring with
-# fixed-order sums (explicit LUT joins, never a float aggregation),
-# same (cos_hat DESC, neighbor) ranking, exact side = the brute-force
-# cosine top-k
-ANN_PQ_RECALL_SQL = f"""
-WITH {_PQ_CTES},
-codes AS (SELECT * FROM pcodes),
+# Twin of q_pq_train_trace: per-round total distortion over the three
+# materialized assignment CTEs (round 3 = coding vs the trained
+# codebook)
+PQ_TRAIN_TRACE_SQL = f"""
+WITH {_PQ_CTES}
+SELECT CAST(1 AS BIGINT) AS round,
+       CAST(sum(dist_sq) AS BIGINT) AS total_dist_sq,
+       CAST(count(*) AS BIGINT) AS n_assignments FROM pa1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(sum(dist_sq) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM pa2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(sum(dist_sq) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM pa3
+"""
+
+
+# Shared ADC CTEs: the trained reconstruction codebook as DOUBLE
+# lists (micro ints / 1e6 — exact in both engines), the norm-filtered
+# vector view, and the per-query 128-entry LUT (list_dot_product is
+# the sequential fold the Spark transform lambdas match).
+_PQ_ADC_CTES = f"""codes AS (SELECT * FROM pcodes),
 cvd AS (
   SELECT m, j,
          list(CAST(cm AS DOUBLE) / {PQ_MICRO}.0 ORDER BY d) AS cv
@@ -1459,7 +1473,16 @@ e AS (
   FROM embeddings
   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
-),
+)"""
+
+# Twin of q_ann_pq_recall: trained codebook reconstructions (micro
+# ints / 1e6 — exact doubles), same ADC lookup-table scoring with
+# fixed-order sums (explicit LUT joins, never a float aggregation),
+# same (cos_hat DESC, neighbor) ranking, exact side = the brute-force
+# cosine top-k
+ANN_PQ_RECALL_SQL = f"""
+WITH {_PQ_CTES},
+{_PQ_ADC_CTES},
 lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.j,
          list_dot_product(
@@ -1508,6 +1531,71 @@ SELECT q.query_id,
          AS recall_permille
 FROM (SELECT DISTINCT query_id FROM bf) q
 LEFT JOIN hits h USING (query_id)
+"""
+
+
+# Twin of q_ann_ivfpq: the composed IVFADC serve path — IVF cell
+# routing (KNN_IVF_MULTIPROBE_SQL's assigned/cells/probes) + ADC
+# scoring from codes via the shared LUT joins; floor(cos_hat * 10000)
+# is exact on identical doubles
+ANN_IVFPQ_SQL = f"""
+WITH {_PQ_CTES},
+{_PQ_ADC_CTES},
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.m, c.j,
+         list_dot_product(
+           q.v[CAST(c.m*{PQ_SUB}+1 AS INT)
+               : CAST(c.m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv
+         ) AS d,
+         list_dot_product(c.cv, c.cv) AS cn2
+  FROM e q, cvd c
+  WHERE q.vec_id < {N_QUERIES}
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, norm, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cent_id
+         ) AS rn
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, norm, cent_id AS cell FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CASE WHEN ({" + ".join(f"l{m}.cn2" for m in range(PQ_M))}) > 0
+              THEN ({" + ".join(f"l{m}.d" for m in range(PQ_M))})
+                   / (p.norm * sqrt(
+                        {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
+              ELSE -2.0 END AS cos_hat
+  FROM probes p
+  JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {" ".join(
+    f"JOIN lut l{m} ON l{m}.query_id = p.vec_id AND l{m}.m = {m}"
+    f" AND l{m}.j = k.code_{m}" for m in range(PQ_M)
+  )}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_hat,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_hat DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos_hat * 10000) AS BIGINT) AS adc_permyriad
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 

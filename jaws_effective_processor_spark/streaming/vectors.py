@@ -167,13 +167,17 @@ def start_vector_shards(
     path: str,
     checkpoint: str,
     available_now: bool = False,
+    pq_codebook: list | None = None,
 ):
     """Run the vector ingest continuously into a cell-partitioned
     parquet store — each cell directory is exactly the file set an
     IVF probe of that cell reads, so the landed layout IS the index
-    (exactly-once via the checkpointed file-sink commit log)."""
+    (exactly-once via the checkpointed file-sink commit log). With
+    `pq_codebook` each landed row also carries its packed PQ code,
+    which adc_topk_against_store serves from without touching the
+    int8 payload."""
     writer = (
-        vector_ingest_stream(vecs, centroids)
+        vector_ingest_stream(vecs, centroids, pq_codebook=pq_codebook)
         .writeStream.format("parquet")
         .partitionBy("cell")
         .option("path", path)
@@ -312,6 +316,98 @@ def knn_topk_against_store(
                     .alias("cos_permyriad"),
                 ),
             ).alias("topk"),
+        )
+    )
+
+
+def adc_topk_against_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    pq_codebook: list,
+    k: int = 5,
+    nprobe: int = 2,
+    prune: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVFADC serving against the landed store: route each query to
+    its nprobe nearest cells, read ONLY those cell partitions, and
+    score candidates ASYMMETRICALLY from the persisted pq_code column
+    — the serve path never touches q_csv/scale_micro, so a pure-PQ
+    store tier (codes only, ~4 bytes/vector at M=8/K=16) could answer
+    it. The streaming twin of functions/similarity.q_ann_ivfpq: codes
+    unpack via pq_unpack_exprs (the pack inverse), LUTs and the
+    fixed-m-order cos_hat are the SHARED adc_query_luts/_adc_cos_hat
+    expressions, so a stored vector scores bit-identically to the
+    batch index (parity pinned by
+    tests/test_streaming.py::test_adc_store_server_matches_batch).
+
+    `exclude_self` drops neighbor_id == query_id pairs — the batch
+    evaluation queries' convention when the query set is a corpus
+    slice; a real serving tier keeps it False (query ids are their
+    own domain). Per-query ranking is the same bounded
+    collect_list -> array_sort -> slice fold as
+    knn_topk_against_store."""
+    from ..functions.similarity import (
+        _adc_cos_hat,
+        _pq_codebook_double,
+        adc_query_luts,
+        pq_unpack_exprs,
+    )
+
+    cd = _pq_codebook_double(pq_codebook)
+    routed = route_query_cells(queries, centroids, nprobe)
+    cells = [
+        r["c"]
+        for r in routed.select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    ]
+    store = spark.read.parquet(store_path)
+    if prune:
+        store = store.filter(F.col("cell").isin(cells))
+    corpus = store.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        "pq_code",
+    ).select("neighbor_id", "cell", *pq_unpack_exprs())
+    q = adc_query_luts(
+        routed.select(
+            "query_id", F.explode("cells").alias("cell"), "v", "norm"
+        ),
+        cd,
+        keep=("cell",),
+    )
+    scored = q.join(corpus, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _adc_cos_hat(cd).alias("cos_hat")
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos_hat")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            "query_id",
+            F.col("_s.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+            F.floor(-F.col("_s.neg_cos") * 10000)
+            .cast("long")
+            .alias("adc_permyriad"),
         )
     )
 

@@ -148,9 +148,13 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "embedding_quantize", "ann_recall", "embedding_outliers",
                "kmeans_assign", "kmeans_report", "kmeans_label_purity",
                "kmeans_balanced_sample", "kmeans_centroid_shift",
-               # round 8: PQ family — the codebook seed rows include
-               # the zero vector's neighborhood and exact duplicates
-               "pq_quantize", "pq_train_round", "ann_pq_recall")
+               # round 8/9: PQ family — the K=16 codebook seed rows
+               # (vec_id 10..25) now CONTAIN the zero vector, the
+               # exact-duplicate pair, and the antipode, so training
+               # itself is exercised on degenerate seeds (a duplicate
+               # seed pair forces an emptied cell + carry-forward)
+               "pq_quantize", "pq_train_round", "ann_pq_recall",
+               "ann_ivfpq", "pq_train_trace")
 
 
 @pytest.fixture(scope="module")

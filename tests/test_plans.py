@@ -141,6 +141,24 @@ def test_brute_and_adc_topk_have_no_corpus_sized_window(spark):
         assert "_tk_pid" in explain_str(df)
 
 
+def test_ann_ivfpq_broadcasts_query_side(spark):
+    """IVFADC serving: the probe+LUT query side (N_QUERIES x
+    IVF_NPROBE rows) is the broadcast relation; the code table
+    streams partition-parallel past it, touching only the probed
+    cells — the serve shape that scales to a 100 TB code store."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_ivfpq,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+    from jaws_effective_processor_spark.plans.inspect import explain_str
+
+    df = q_ann_ivfpq(spark, SF_SMOKE)
+    subs = broadcast_subtrees(df)
+    assert subs, "expected a broadcast of the probe/LUT query side"
+    assert any("< 10" in s for s in subs), subs
+    assert "_tk_pid" in explain_str(df)  # partial_topk ranking
+
+
 def test_pricing_summary_pushdown(spark):
     """The shipdate predicate reaches the parquet scan (PushedFilters)
     and column pruning drops unused lineitem columns (ReadSchema)."""

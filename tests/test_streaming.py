@@ -1275,6 +1275,74 @@ def test_knn_query_stream_matches_batch(spark, tmpdir):
     assert got == batch
 
 
+def test_adc_store_server_matches_batch(spark, tmpdir):
+    """IVFADC served FROM THE LANDED STORE equals the batch index:
+    land the cell-partitioned store with PQ codes, serve the corpus's
+    designated query vectors from the persisted pq_code column only
+    (unpack -> shared LUT/cos_hat expressions), and land EXACTLY
+    q_ann_ivfpq's rows — same neighbors, same ranks, same
+    adc_permyriad. Pins the whole round trip: pack -> parquet ->
+    unpack -> ADC scores bit-identical to the batch codes."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "adc_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "adc_store")
+    cents = sv.load_centroids(spark, sf)
+    cb = sv.load_pq_codebook(spark, sf)
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        cents,
+        store,
+        os.path.join(tmpdir, "adc_ckpt"),
+        available_now=True,
+        pq_codebook=cb,
+    )
+    q.awaitTermination()
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    served = {
+        tuple(r)
+        for r in sv.adc_topk_against_store(
+            spark,
+            queries,
+            store,
+            cents,
+            cb,
+            k=TOP_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in QUERIES["ann_ivfpq"](spark, sf).collect()
+    }
+    assert served == batch
+
+
 def test_knn_store_server_prunes_partitions(spark, tmpdir):
     """The closed loop between the vector store and the kNN server:
     start_vector_shards lands the cell-partitioned store, then the
