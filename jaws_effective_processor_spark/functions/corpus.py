@@ -1832,45 +1832,63 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-cached contamination gram table; docs with no grams
     (shorter than CONTAM_K tokens) have no feature mass and emit no
     row, like the contamination report."""
-    g = _contam_gram_table(spark, sf_dir)
-    is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
-    exploded = g.select(
-        "doc_id",
-        F.explode("grams").alias("_gram_h"),
-        is_tgt.alias("_t"),
-    ).select(
-        "doc_id",
-        F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
-        "_t",
-    )
-    stats = exploded.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0))
-        .cast("long")
-        .alias("tgt_n"),
-        F.sum(F.when(~F.col("_t"), 1).otherwise(0))
-        .cast("long")
-        .alias("raw_n"),
-    )
+    return _dsir_weights_frame(spark, sf_dir)
 
-    def L(c: F.Column) -> F.Column:
-        return F.length(F.bin(c)).cast("long")
 
-    bits = L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)
-    per_doc = (
-        exploded.filter(~F.col("_t"))
-        .join(stats, "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(bits).cast("long").alias("weight_bits"),
+def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DSIR weight table, session-cached ('dsir_weights'):
+    a data-selection run computes weights ONCE per corpus snapshot and
+    the whole pipeline reads them — the report (q_dsir_weights), the
+    resampler (q_dsir_resample), and the acceptance report
+    (q_dsir_mixture_shift) — instead of re-running the gram explode +
+    bucket join per consumer (r9 bench: the repeated chain was each
+    consumer's dominant cost)."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        g = _contam_gram_table(spark, sf_dir)
+        is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
+        exploded = g.select(
+            "doc_id",
+            F.explode("grams").alias("_gram_h"),
+            is_tgt.alias("_t"),
+        ).select(
+            "doc_id",
+            F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
+            "_t",
         )
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_grams",
-        "weight_bits",
-        F.expr("(1000 * weight_bits) DIV n_grams").alias("per_gram_milli"),
-    )
+        stats = exploded.groupBy("bucket").agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("tgt_n"),
+            F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("raw_n"),
+        )
+
+        def L(c: F.Column) -> F.Column:
+            return F.length(F.bin(c)).cast("long")
+
+        bits = L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)
+        per_doc = (
+            exploded.filter(~F.col("_t"))
+            .join(stats, "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_grams"),
+                F.sum(bits).cast("long").alias("weight_bits"),
+            )
+        )
+        return per_doc.select(
+            "doc_id",
+            "n_grams",
+            "weight_bits",
+            F.expr("(1000 * weight_bits) DIV n_grams").alias(
+                "per_gram_milli"
+            ),
+        )
+
+    return _cached_frame(spark, sf_dir, "dsir_weights", _build)
 
 
 # DSIR resampling rate: a clamped LINEAR map of per_gram_milli around
@@ -1976,10 +1994,12 @@ def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_tokens"),
     )
-    from pyspark.sql import Window
-
-    tot = Window.partitionBy()
-    shares = per.select(
+    totals = per.agg(
+        F.sum("train_tokens").alias("_str"),
+        F.sum("kept_tokens").alias("_ske"),
+        F.sum("target_tokens").alias("_stg"),
+    )
+    shares = per.crossJoin(F.broadcast(totals)).select(
         "source",
         "train_tokens",
         "kept_tokens",
@@ -1987,9 +2007,9 @@ def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000 * train_tokens").alias("_tr"),
         F.expr("1000 * kept_tokens").alias("_ke"),
         F.expr("1000 * target_tokens").alias("_tg"),
-        F.sum("train_tokens").over(tot).alias("_str"),
-        F.sum("kept_tokens").over(tot).alias("_ske"),
-        F.sum("target_tokens").over(tot).alias("_stg"),
+        "_str",
+        "_ske",
+        "_stg",
     ).select(
         "source",
         "train_tokens",

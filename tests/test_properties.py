@@ -1578,3 +1578,32 @@ def test_user_retention_cohorts_replay_and_triangle(spark):
     for (c, off), n in got.items():
         assert n <= cohort_size[c], (c, off)
     assert sum(got.values()) == len(ud)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=15), min_size=8, max_size=8
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_pq_pack_unpack_inverse(codes):
+    """pq_unpack_exprs is the exact inverse of pq_pack_expr for every
+    code tuple in the M x K domain — the round-trip the code-only
+    store serving path (adc_topk_against_store) depends on. Pure
+    Python replay of the integer arithmetic (the Spark expressions
+    are the same DIV/% formulas; the store round trip itself is
+    pinned end-to-end by test_adc_store_server_matches_batch)."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+    )
+
+    assert len(codes) == PQ_M and all(0 <= c < PQ_K for c in codes)
+    packed = 0
+    for c in codes:
+        packed = packed * PQ_K + c
+    unpacked = [
+        (packed // (PQ_K ** (PQ_M - 1 - m))) % PQ_K for m in range(PQ_M)
+    ]
+    assert unpacked == codes
+    assert 0 <= packed < PQ_K**PQ_M
