@@ -521,6 +521,52 @@ def token_threshold_stream(docs: DataFrame, threshold: int) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"  # == relational.q_events_sessionization's
+# 1800000 ms lag threshold
+SESSION_WATERMARK = "2 hours"
+
+
+def sessionize_stream(
+    events: DataFrame, watermark: str = SESSION_WATERMARK
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE session windows —
+    the live half of relational.q_events_sessionization: per user,
+    events within SESSION_GAP of each other merge into one session;
+    the watermark closes sessions whose merge horizon has passed and
+    EVICTS their state, which is exactly the bounded-state guarantee
+    the batch twin's lag+cumsum idiom cannot give a continuous feed.
+    Emits one row per CLOSED session (append mode):
+    (user_id, n_events, start_ms, end_ms) — the batch query's output
+    minus its per-user ordinal session_id, which has no stable
+    meaning under continuous arrival.
+
+    Boundary semantics: the built-in window opens a NEW session at a
+    gap of exactly the threshold (exclusive horizon) where the batch
+    lag idiom's strict > merges it — real event-time gaps are
+    continuous so the boundary is measure-zero; replay parity is
+    pinned by tests/test_streaming.py::
+    test_sessionize_stream_matches_batch (the testdata has no
+    exact-threshold gap, verified there)."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", SESSION_GAP),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("_min_ts"),
+            F.max("ts").alias("_max_ts"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.unix_millis(F.col("_min_ts")).alias("start_ms"),
+        F.unix_millis(F.col("_max_ts")).alias("end_ms"),
+    )
+
+
 DEBOUNCE_OUT = "user_id long, event_type string, event_id long, gap_ms long"
 DEBOUNCE_STATE = "last_ms long"
 

@@ -483,6 +483,74 @@ def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     assert all(batch[k] == v for k, v in got.items())
 
 
+def test_sessionize_stream_matches_batch(spark, tmpdir):
+    """Replaying the events table through the native session-window
+    sessionizer lands the batch q_events_sessionization sessions —
+    same (user, start, end, n_events) set (the batch ordinal
+    session_id has no streaming meaning). A far-future sentinel event
+    in a second micro-batch pushes the watermark past every real
+    session so append mode flushes them all; the sentinel user is
+    excluded from the comparison. Precondition asserted: no
+    exact-threshold gap in the feed (the one measure-zero boundary
+    where the built-in window and the batch lag idiom differ)."""
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.streaming.ingest import (
+        sessionize_stream,
+    )
+
+    from pyspark.sql import Window
+
+    from jaws_effective_processor_spark.relational import ms_of
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    ev = raw.select("user_id", ms_of(raw, "ts").alias("ms"))
+    w = Window.partitionBy("user_id").orderBy("ms")
+    gaps = (
+        ev.withColumn("_gap", F.col("ms") - F.lag("ms").over(w))
+        .filter(F.col("_gap") == 1800000)
+        .count()
+    )
+    assert gaps == 0  # boundary-difference precondition
+
+    events = ev.select(
+        "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    src = os.path.join(tmpdir, "sess_feed")
+    events.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    far = ev.agg(
+        F.timestamp_millis(F.max("ms") + 10 * 86400000).alias("ts")
+    ).select(F.lit(-1).cast("long").alias("user_id"), "ts")
+    far.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = rules.dir_stream(spark, f"{src}/*", schema, max_files=1)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        sessionize_stream(stream),
+        name,
+        os.path.join(tmpdir, "sess_ckpt"),
+    )
+    got = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in _memory_table(spark, name).collect()
+        if r["user_id"] != -1
+    }
+    batch = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in QUERIES["events_sessionization"](spark, sf).collect()
+    }
+    assert got == batch
+    assert got  # non-vacuous
+
+
 def test_debounce_gate_matches_batch(spark, tmpdir):
     """Replaying the events table through the streaming debounce gate
     (two micro-batches, split by event_id so state carries across the
