@@ -567,6 +567,41 @@ def sessionize_stream(
     )
 
 
+def daily_rollup_stream(
+    events: DataFrame, watermark: str = SESSION_WATERMARK
+) -> DataFrame:
+    """Streaming tumbling-day rollup — the live half of
+    relational.q_events_daily: per (UTC epoch day, event_type), event
+    count + exact cents sum, via the built-in 1-day tumbling window
+    with watermark-driven state eviction (append mode emits a day the
+    moment the watermark passes it — the continuous complement of the
+    batch DIV-86400000 bucketing, whose buckets these windows align
+    with exactly under the UTC session TZ). Completes the telemetry
+    streaming trio next to the debounce gate and the sessionizer;
+    replay parity pinned by
+    tests/test_streaming.py::test_daily_rollup_stream_matches_batch."""
+    from ..relational import cents
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).cast("long").alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    return agg.select(
+        F.expr("unix_millis(window.start) DIV 86400000").alias(
+            "day_bucket"
+        ),
+        "event_type",
+        "n",
+        "sum_value_cents",
+    )
+
+
 DEBOUNCE_OUT = "user_id long, event_type string, event_id long, gap_ms long"
 DEBOUNCE_STATE = "last_ms long"
 

@@ -551,6 +551,63 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
     assert got  # non-vacuous
 
 
+def test_daily_rollup_stream_matches_batch(spark, tmpdir):
+    """Replaying the events table through the tumbling-day rollup
+    stream lands the batch q_events_daily rows exactly (same UTC
+    epoch-day buckets, same counts, same exact cents sums); the
+    far-future sentinel closes every real day so append mode flushes
+    them all."""
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.relational import ms_of
+    from jaws_effective_processor_spark.streaming.ingest import (
+        daily_rollup_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    ev = raw.select(
+        ms_of(raw, "ts").alias("ms"), "event_type", "value"
+    )
+    events = ev.select(
+        F.timestamp_millis(F.col("ms")).alias("ts"), "event_type", "value"
+    )
+    src = os.path.join(tmpdir, "daily_feed")
+    events.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    far = ev.agg(
+        F.timestamp_millis(F.max("ms") + 30 * 86400000).alias("ts")
+    ).select("ts", F.lit("_flush").alias("event_type"),
+             F.lit(0.0).alias("value"))
+    far.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = rules.dir_stream(spark, f"{src}/*", schema, max_files=1)
+    name = f"daily_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        daily_rollup_stream(stream),
+        name,
+        os.path.join(tmpdir, "daily_ckpt"),
+    )
+    got = {
+        (r["day_bucket"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in _memory_table(spark, name).collect()
+        if r["event_type"] != "_flush"
+    }
+    batch = {
+        (r["day_bucket"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in QUERIES["events_daily"](spark, sf).collect()
+    }
+    assert got == batch
+    assert got
+
+
 def test_debounce_gate_matches_batch(spark, tmpdir):
     """Replaying the events table through the streaming debounce gate
     (two micro-batches, split by event_id so state carries across the
