@@ -1845,50 +1845,57 @@ def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's dominant cost)."""
     from .dedup import _cached_frame
 
-    def _build() -> DataFrame:
-        g = _contam_gram_table(spark, sf_dir)
-        is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
-        exploded = g.select(
-            "doc_id",
-            F.explode("grams").alias("_gram_h"),
-            is_tgt.alias("_t"),
-        ).select(
-            "doc_id",
-            F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
-            "_t",
-        )
-        stats = exploded.groupBy("bucket").agg(
-            F.sum(F.when(F.col("_t"), 1).otherwise(0))
-            .cast("long")
-            .alias("tgt_n"),
-            F.sum(F.when(~F.col("_t"), 1).otherwise(0))
-            .cast("long")
-            .alias("raw_n"),
-        )
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "dsir_weights",
+        lambda: _build_dsir_weights(spark, sf_dir),
+    )
 
-        def L(c: F.Column) -> F.Column:
-            return F.length(F.bin(c)).cast("long")
 
-        bits = L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)
-        per_doc = (
-            exploded.filter(~F.col("_t"))
-            .join(stats, "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").cast("long").alias("n_grams"),
-                F.sum(bits).cast("long").alias("weight_bits"),
-            )
-        )
-        return per_doc.select(
-            "doc_id",
-            "n_grams",
-            "weight_bits",
-            F.expr("(1000 * weight_bits) DIV n_grams").alias(
-                "per_gram_milli"
-            ),
-        )
+def _build_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached weight plan — what _dsir_weights_frame
+    materializes, and what the plan-shape pin inspects (the cached
+    frame would show only an InMemoryTableScan)."""
+    g = _contam_gram_table(spark, sf_dir)
+    is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
+    exploded = g.select(
+        "doc_id",
+        F.explode("grams").alias("_gram_h"),
+        is_tgt.alias("_t"),
+    ).select(
+        "doc_id",
+        F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        "_t",
+    )
+    stats = exploded.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_n"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("raw_n"),
+    )
 
-    return _cached_frame(spark, sf_dir, "dsir_weights", _build)
+    def L(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    bits = L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)
+    per_doc = (
+        exploded.filter(~F.col("_t"))
+        .join(stats, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(bits).cast("long").alias("weight_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "weight_bits",
+        F.expr("(1000 * weight_bits) DIV n_grams").alias("per_gram_milli"),
+    )
 
 
 # DSIR resampling rate: a clamped LINEAR map of per_gram_milli around

@@ -42,13 +42,15 @@ def test_dsir_weights_two_exchanges(spark):
     """DSIR hashed features: exactly the bounded bucket aggregation +
     the doc-keyed aggregation — the bounded stats table joins back by
     BROADCAST (DSIR's whole point: 2^16 buckets stay broadcastable at
-    any corpus size, never a vocab-sized shuffle join). Raw query
-    function (the registry plan cache would hand back an AQE plan)."""
+    any corpus size, never a vocab-sized shuffle join). Inspects the
+    RAW weight-plan builder — the registered query reads the
+    session-cached 'dsir_weights' artifact (r9), whose plan is just
+    an InMemoryTableScan."""
     from jaws_effective_processor_spark.functions.corpus import (
-        q_dsir_weights,
+        _build_dsir_weights,
     )
 
-    df = q_dsir_weights(spark, SF_SMOKE)
+    df = _build_dsir_weights(spark, SF_SMOKE)
     assert shuffle_count(df) == 2
     assert broadcast_join_count(df) >= 1
 
@@ -131,12 +133,18 @@ def test_brute_and_adc_topk_have_no_corpus_sized_window(spark):
     from jaws_effective_processor_spark.functions.similarity import (
         _brute_neighbors,
         q_ann_pq_recall,
+        q_knn_ivf,
+        q_knn_ivf_multiprobe,
+        q_knn_lsh,
     )
     from jaws_effective_processor_spark.plans.inspect import explain_str
 
     for df in (
         _brute_neighbors(spark, SF_SMOKE),
         q_ann_pq_recall(spark, SF_SMOKE),
+        q_knn_lsh(spark, SF_SMOKE),
+        q_knn_ivf(spark, SF_SMOKE),
+        q_knn_ivf_multiprobe(spark, SF_SMOKE),
     ):
         assert "_tk_pid" in explain_str(df)
 
