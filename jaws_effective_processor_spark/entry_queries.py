@@ -613,6 +613,19 @@ def _register_llm() -> None:
         similarity.q_pq_train_trace,
         osql.PQ_TRAIN_TRACE_SQL,
     )
+    # round-9 POST-WINDOW additions (registered after the r9 window
+    # was pinned; NEVER_CHECKED until they rotate into the r10 window
+    # per the ledger rule — tracked in COVERAGE.md)
+    register(
+        "vocab_coverage",
+        corpus.q_vocab_coverage,
+        osql.VOCAB_COVERAGE_SQL,
+    )
+    register(
+        "ann_cell_balance",
+        similarity.q_ann_cell_balance,
+        osql.ANN_CELL_BALANCE_SQL,
+    )
 
 
 _register_rules()

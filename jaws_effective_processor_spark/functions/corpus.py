@@ -509,6 +509,58 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage by language: per lang, the token
+    mass, the mass covered by the top-VOCAB_TOP_K corpus vocabulary,
+    and the OOV rate in permille — the acceptance report read before
+    freezing a vocabulary (a language whose OOV permille is high is
+    about to be byte-fallback-shredded by the tokenizer; the per-lang
+    view catches exactly the low-resource languages a corpus-global
+    cut hides).
+
+    Scale shape: the vocabulary is a TakeOrdered head over the cached
+    token_freq artifact — VOCAB_TOP_K rows, broadcast by construction
+    — LEFT-joined under AQE onto the cached token_tf table; lang
+    rides a doc-keyed join with the documents projection (in a
+    deployed pipeline lang is a column OF the tf table; the join
+    stands in for that ride-along), then one bounded per-lang
+    aggregation."""
+    tf = token_tf(spark, sf_dir)
+    vocab = (
+        token_freq(spark, sf_dir)
+        .orderBy(F.col("tok_count").desc(), "token")
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(True).alias("_inv"))
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = (
+        tf.join(F.broadcast(vocab), "token", "left")
+        .join(langs, "doc_id")
+        .select(
+            "lang",
+            "tf",
+            F.coalesce(F.col("_inv"), F.lit(False)).alias("_inv"),
+        )
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "covered_tokens",
+            F.expr(
+                "(1000 * (n_tokens - covered_tokens)) DIV n_tokens"
+            ).alias("oov_permille"),
+        )
+    )
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture report: per language, doc count, token mass, and
     each language's share of total tokens in permille — the numbers a

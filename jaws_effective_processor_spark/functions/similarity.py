@@ -368,6 +368,35 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-population balance report: per cell, member count,
+    share of the corpus in permille, and load_permille = 1000 x the
+    cell's load relative to perfect balance (1000 = exactly
+    corpus/N_CELLS) — the serving-latency QA view of the inverted
+    file (a hot cell is a straggler probe at serve time; an empty
+    cell is wasted routing resolution). The IVF-geometry sibling of
+    kmeans_report, read whenever the coarse quantizer is retrained.
+
+    Scale shape: one bounded aggregation over the session-cached cell
+    ranking (rn=1 assignment) — at most N_CELLS output rows; the
+    share denominators ride a one-row broadcast total."""
+    cells = _ranked_cells(spark, sf_dir).filter(F.col("rn") == 1).select(
+        F.col("cent_id").alias("cell_id")
+    )
+    per = cells.groupBy("cell_id").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    total = per.agg(F.sum("n_vectors").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cell_id",
+        "n_vectors",
+        F.expr("(1000 * n_vectors) DIV _total").alias("share_permille"),
+        F.expr(f"(1000 * n_vectors * {N_CELLS}) DIV _total").alias(
+            "load_permille"
+        ),
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification — the canonical end-use of the
     ANN family: predict each query vector's label from its TOP_K exact

@@ -1534,6 +1534,73 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+# Twin of q_ann_cell_balance: same cell assignment as the IVF twins,
+# one GROUP BY cell + window totals
+ANN_CELL_BALANCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cent_id
+         ) AS rn
+  FROM e CROSS JOIN cent
+),
+per AS (
+  SELECT cent_id AS cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM assigned WHERE rn = 1 GROUP BY cent_id
+)
+SELECT cell_id, n_vectors,
+       (1000 * n_vectors) // CAST(sum(n_vectors) OVER () AS BIGINT)
+         AS share_permille,
+       (1000 * n_vectors * {N_CELLS})
+         // CAST(sum(n_vectors) OVER () AS BIGINT) AS load_permille
+FROM per
+"""
+
+
+# Twin of q_vocab_coverage: the vocab head (VOCAB_TOPK's order/limit)
+# marked into the tf table, per-lang mass + OOV permille
+VOCAB_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+freq AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY token
+),
+vocab AS (
+  SELECT token FROM freq ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+),
+j AS (
+  SELECT d.lang, tf.tf,
+         tf.token IN (SELECT token FROM vocab) AS inv
+  FROM tf JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN inv THEN tf ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       (1000 * (CAST(sum(tf) AS BIGINT)
+                - CAST(sum(CASE WHEN inv THEN tf ELSE 0 END) AS BIGINT)))
+         // CAST(sum(tf) AS BIGINT) AS oov_permille
+FROM j GROUP BY lang
+"""
+
+
 # Twin of q_ann_ivfpq: the composed IVFADC serve path — IVF cell
 # routing (KNN_IVF_MULTIPROBE_SQL's assigned/cells/probes) + ADC
 # scoring from codes via the shared LUT joins; floor(cos_hat * 10000)

@@ -52,6 +52,7 @@ EDGE_QUERIES = (
     "doc_chunks",
     "pack_sequences",
     "vocab_topk",
+    "vocab_coverage",
     "token_rarity",
     "corpus_mixture",
     "contamination",
@@ -154,7 +155,7 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                # itself is exercised on degenerate seeds (a duplicate
                # seed pair forces an emptied cell + carry-forward)
                "pq_quantize", "pq_train_round", "ann_pq_recall",
-               "ann_ivfpq", "pq_train_trace")
+               "ann_ivfpq", "pq_train_trace", "ann_cell_balance")
 
 
 @pytest.fixture(scope="module")
