@@ -38,19 +38,24 @@ def test_revenue_join_strategy(spark):
     assert shuffle_count(df) == 1
 
 
-def test_dsir_weights_two_exchanges(spark):
+def test_dsir_weights_two_exchanges(spark, tmp_path):
     """DSIR hashed features: exactly the bounded bucket aggregation +
     the doc-keyed aggregation — the bounded stats table joins back by
     BROADCAST (DSIR's whole point: 2^16 buckets stay broadcastable at
     any corpus size, never a vocab-sized shuffle join). Inspects the
-    RAW weight-plan builder — the registered query reads the
-    session-cached 'dsir_weights' artifact (r9), whose plan is just
-    an InMemoryTableScan."""
+    RAW weight-plan builder through a SYMLINKED data dir: df.cache()
+    registers plans in Spark's CacheManager at build time, so once any
+    earlier test has touched the 'dsir_weights' artifact for this
+    path, an identical fresh plan is silently substituted with the
+    InMemoryRelation and would count 0 exchanges — distinct scan
+    paths defeat the substitution and expose the honest plan."""
     from jaws_effective_processor_spark.functions.corpus import (
         _build_dsir_weights,
     )
 
-    df = _build_dsir_weights(spark, SF_SMOKE)
+    link = tmp_path / "sfdata"
+    link.symlink_to(SF_SMOKE)
+    df = _build_dsir_weights(spark, str(link))
     assert shuffle_count(df) == 2
     assert broadcast_join_count(df) >= 1
 
