@@ -2006,11 +2006,15 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR pipeline's acceptance report: per source, the token
     share of the RAW train corpus, of the RESAMPLED (kept) corpus, and
-    of the TARGET (holdout) — plus shift_milli = how much closer the
-    kept mixture sits to the target than the raw mixture did
-    (|raw - target| - |kept - target|, positive = moved toward the
-    target). This is the row a data-selection run is judged on before
-    anyone trains on the resampled corpus.
+    of the TARGET (holdout) — plus shift_permille = how much closer
+    the kept mixture sits to the target than the raw mixture did
+    (|raw - target| - |kept - target|, in permille points of token
+    share, positive = moved toward the target). This is the row a
+    data-selection run is judged on before anyone trains on the
+    resampled corpus. An empty kept set (every rate_permille 0) is
+    reported honestly as kept_permille 0 everywhere instead of a
+    divide-by-zero (ADVICE r9) — the guard covers all three share
+    denominators.
 
     Measured honesty note (r9, sf0.01): the synthetic testdata's
     holdout is doc_id % HOLDOUT_MOD — uniform over sources, with
@@ -2018,7 +2022,7 @@ def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift here is ~0 by construction, and no resampler could steer
     this corpus's source mixture. On a real corpus, sources have
     distinctive vocabulary, target-likeness concentrates, and
-    shift_milli is the acceptance number.
+    shift_permille is the acceptance number.
 
     Scale shape: one documents scan for (source, n_tokens) + an AQE
     broadcast join of the kept-id set projected off the cached DSIR
@@ -2074,9 +2078,15 @@ def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "train_tokens",
         "kept_tokens",
         "target_tokens",
-        F.expr("_tr DIV _str").alias("train_permille"),
-        F.expr("_ke DIV _ske").alias("kept_permille"),
-        F.expr("_tg DIV _stg").alias("target_permille"),
+        F.expr(
+            "CASE WHEN _str > 0 THEN _tr DIV _str ELSE 0 END"
+        ).alias("train_permille"),
+        F.expr(
+            "CASE WHEN _ske > 0 THEN _ke DIV _ske ELSE 0 END"
+        ).alias("kept_permille"),
+        F.expr(
+            "CASE WHEN _stg > 0 THEN _tg DIV _stg ELSE 0 END"
+        ).alias("target_permille"),
     )
     return shares.select(
         "*",
@@ -2085,7 +2095,7 @@ def q_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.abs(F.col("kept_permille") - F.col("target_permille"))
         )
         .cast("long")
-        .alias("shift_milli"),
+        .alias("shift_permille"),
     )
 
 

@@ -687,13 +687,21 @@ def with_pq_codes(df: DataFrame, cb: list, v_col: str = "v") -> DataFrame:
     round-8 pathology fix); argmin = array_position(array_min), ties
     to the smallest j via first-match.
 
-    Staging columns use the _pq prefix and collisions raise here
-    (ADVICE r8) instead of as an ambiguous-column error deep in the
-    caller's plan."""
-    clash = [c for c in df.columns if c.startswith("_pq")]
+    Staging columns use the _pq prefix, and BOTH the staging prefix
+    and the output names (code_0..code_{PQ_M-1}) are collision-checked
+    here (ADVICE r8 + r9) — an input already carrying a code_{m}
+    column would otherwise pass the prefix-only guard and the final
+    select(*cols, *codes) would emit duplicate names, failing later
+    as an ambiguous-reference error deep in the caller's plan."""
+    out_names = {f"code_{m}" for m in range(PQ_M)}
+    clash = [
+        c
+        for c in df.columns
+        if c.startswith("_pq") or c in out_names
+    ]
     if clash:
         raise ValueError(
-            f"with_pq_codes staging prefix _pq collides with {clash}"
+            f"with_pq_codes staging/output columns collide with {clash}"
         )
     cols = list(df.columns)
     staged = df.select(

@@ -1295,19 +1295,25 @@ per AS (
 ),
 shares AS (
   SELECT source, train_tokens, kept_tokens, target_tokens,
-         (1000 * train_tokens)
-           // CAST(sum(train_tokens) OVER () AS BIGINT) AS train_permille,
-         (1000 * kept_tokens)
-           // CAST(sum(kept_tokens) OVER () AS BIGINT) AS kept_permille,
-         (1000 * target_tokens)
-           // CAST(sum(target_tokens) OVER () AS BIGINT) AS target_permille
+         CASE WHEN sum(train_tokens) OVER () > 0
+              THEN (1000 * train_tokens)
+                   // CAST(sum(train_tokens) OVER () AS BIGINT)
+              ELSE 0 END AS train_permille,
+         CASE WHEN sum(kept_tokens) OVER () > 0
+              THEN (1000 * kept_tokens)
+                   // CAST(sum(kept_tokens) OVER () AS BIGINT)
+              ELSE 0 END AS kept_permille,
+         CASE WHEN sum(target_tokens) OVER () > 0
+              THEN (1000 * target_tokens)
+                   // CAST(sum(target_tokens) OVER () AS BIGINT)
+              ELSE 0 END AS target_permille
   FROM per
 )
 SELECT source, train_tokens, kept_tokens, target_tokens,
        train_permille, kept_permille, target_permille,
        CAST(abs(train_permille - target_permille)
             - abs(kept_permille - target_permille) AS BIGINT)
-         AS shift_milli
+         AS shift_permille
 FROM shares
 """
 

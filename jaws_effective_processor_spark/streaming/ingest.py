@@ -521,8 +521,16 @@ def token_threshold_stream(docs: DataFrame, threshold: int) -> DataFrame:
     )
 
 
+# Boundary semantics, MEASURED (r10, settling the ADVICE r9 concern):
+# Spark's native session_window merges at gap <= G — an event landing
+# exactly at the previous window's end (prev_ts + G) EXTENDS the
+# session (empirically pinned by the boundary user in
+# test_sessionize_stream_matches_batch; a G+1 gap splits). That is
+# identical to the batch lag idiom's rule (strict > splits, <= 1800000
+# merges), so G = the batch threshold needs NO +1 ms correction and
+# parity holds on every input including an exact-threshold gap.
 SESSION_GAP = "30 minutes"  # == relational.q_events_sessionization's
-# 1800000 ms lag threshold
+# 1800000 ms lag threshold (inclusive merge horizon, see above)
 SESSION_WATERMARK = "2 hours"
 
 
@@ -540,13 +548,13 @@ def sessionize_stream(
     minus its per-user ordinal session_id, which has no stable
     meaning under continuous arrival.
 
-    Boundary semantics: the built-in window opens a NEW session at a
-    gap of exactly the threshold (exclusive horizon) where the batch
-    lag idiom's strict > merges it — real event-time gaps are
-    continuous so the boundary is measure-zero; replay parity is
-    pinned by tests/test_streaming.py::
-    test_sessionize_stream_matches_batch (the testdata has no
-    exact-threshold gap, verified there)."""
+    Boundary semantics: the built-in window's merge horizon is
+    INCLUSIVE (gap == SESSION_GAP merges, gap == SESSION_GAP + 1 ms
+    splits — measured, see the SESSION_GAP comment), which is exactly
+    the batch lag idiom's strict-> rule, so parity holds on EVERY
+    input including an exact-threshold gap; pinned by
+    tests/test_streaming.py::test_sessionize_stream_matches_batch,
+    which injects exact-boundary gaps on a synthetic user."""
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(
@@ -624,7 +632,17 @@ def debounce_gate_stream(
     arrival. Rows within a micro-batch are processed in event_id
     order (the batch window's ORDER BY), so replaying a day through
     availableNow triggers lands the exact batch answer
-    (tests/test_streaming.py::test_debounce_gate_matches_batch)."""
+    (tests/test_streaming.py::test_debounce_gate_matches_batch).
+
+    PRECONDITION (ADVICE r9, documented in COVERAGE.md next to the
+    parity claim): batch==stream parity additionally requires that a
+    (user, event_type) series arrives in event_id order ACROSS
+    micro-batch boundaries — state keeps only last_ms, so a source
+    that splits a series out of event_id order across triggers can
+    yield verdicts that differ from the batch window. Kafka gives
+    this for free when the series key is the partition key (per-
+    partition order); a file/replay source must feed files in id
+    order, as the parity test does."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -153,6 +153,36 @@ def test_pq_exact_duplicates_code_identically(spark):
         assert r["pq_code"] == packed
 
 
+def test_with_pq_codes_rejects_colliding_columns(spark):
+    """The coder refuses an input frame that would collide with its
+    staging prefix OR its output names (ADVICE r8 + r9) — loudly,
+    here, instead of as an ambiguous-reference error deep in the
+    caller's plan."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        DIM,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        with_pq_codes,
+    )
+
+    cb = [
+        [[0] * PQ_SUB for _ in range(PQ_K)] for _ in range(PQ_M)
+    ]
+    base = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.0)] * DIM).alias("v"),
+    )
+    for bad in ("_pq_stage", "code_0", f"code_{PQ_M - 1}"):
+        with _pytest.raises(ValueError, match="collide"):
+            with_pq_codes(base.withColumn(bad, F.lit(1)), cb)
+    # clean input still codes
+    assert f"code_{PQ_M - 1}" in with_pq_codes(base, cb).columns
+
+
 def test_partial_topk_matches_naive_window(spark):
     """partial_topk is IDENTICAL to the naive per-group window it
     replaces (the scale-safe two-level form cannot change results:

@@ -490,9 +490,12 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
     session_id has no streaming meaning). A far-future sentinel event
     in a second micro-batch pushes the watermark past every real
     session so append mode flushes them all; the sentinel user is
-    excluded from the comparison. Precondition asserted: no
-    exact-threshold gap in the feed (the one measure-zero boundary
-    where the built-in window and the batch lag idiom differ)."""
+    excluded from the comparison. The feed ALSO carries a synthetic
+    boundary user with an exact-1800000 ms gap (must MERGE, per the
+    batch rule's strict-> split) and an exact-1800001 ms gap (must
+    SPLIT) — pinning that the native session_window's merge horizon
+    is INCLUSIVE and therefore batch-identical at the exact-threshold
+    boundary (settles ADVICE r9: no exact-gap precondition needed)."""
     from pyspark.sql import types as T
 
     from jaws_effective_processor_spark.entry_queries import QUERIES
@@ -500,20 +503,21 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
         sessionize_stream,
     )
 
-    from pyspark.sql import Window
-
     from jaws_effective_processor_spark.relational import ms_of
 
     sf = "/root/testdata/sf0.001"
     raw = load_table(spark, sf, "events")
     ev = raw.select("user_id", ms_of(raw, "ts").alias("ms"))
-    w = Window.partitionBy("user_id").orderBy("ms")
-    gaps = (
-        ev.withColumn("_gap", F.col("ms") - F.lag("ms").over(w))
-        .filter(F.col("_gap") == 1800000)
-        .count()
+
+    # synthetic boundary user: gap of exactly 1800000 ms (merge) then
+    # exactly 1800001 ms (split) — expected sessions: (t0, t0+1800000,
+    # 2 events) and a singleton at t0+3600001
+    t0 = 86400000
+    boundary = spark.createDataFrame(
+        [(-2, t0), (-2, t0 + 1800000), (-2, t0 + 3600001)],
+        "user_id long, ms long",
     )
-    assert gaps == 0  # boundary-difference precondition
+    ev = ev.unionByName(boundary)
 
     events = ev.select(
         "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
@@ -538,17 +542,23 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
         name,
         os.path.join(tmpdir, "sess_ckpt"),
     )
-    got = {
+    rows = {
         (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
         for r in _memory_table(spark, name).collect()
         if r["user_id"] != -1
     }
+    got = {t for t in rows if t[0] != -2}
     batch = {
         (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
         for r in QUERIES["events_sessionization"](spark, sf).collect()
     }
     assert got == batch
     assert got  # non-vacuous
+    # the boundary user: exact-threshold gap MERGED, +1 ms gap SPLIT
+    assert {t for t in rows if t[0] == -2} == {
+        (-2, t0, t0 + 1800000, 2),
+        (-2, t0 + 3600001, t0 + 3600001, 1),
+    }
 
 
 def test_daily_rollup_stream_matches_batch(spark, tmpdir):
