@@ -1341,22 +1341,27 @@ FROM (
 """
 
 from .functions.similarity import (  # noqa: E402
+    PQ_CONVERGE_PERMILLE,
     PQ_K,
     PQ_M,
     PQ_MICRO,
     PQ_SUB,
-    PQ_TRAIN_ROUNDS,
+    PQ_TRAIN_CAP,
 )
-
-assert PQ_TRAIN_ROUNDS == 2, "the unrolled PQ oracle CTEs assume 2 rounds"
 
 # Shared trained-PQ CTE chain: the same deterministic fixed-point
 # Lloyd rounds the Spark trainer runs (functions/similarity.py
-# _pq_seed/_pq_assign/_pq_centroids), unrolled — micro table from the
-# UNFILTERED embeddings scan (ADVICE r8: a zero-norm vector inside the
-# seed range must seed its cell), seed = designated vectors, per-round
-# integer-mean update with empty cells carried forward (LEFT JOIN +
-# coalesce), then the coding assignment against the final centroids.
+# _pq_seed/_pq_assign/_pq_centroids), unrolled to the PQ_TRAIN_CAP
+# ceiling — micro table from the UNFILTERED embeddings scan (ADVICE
+# r8: a zero-norm vector inside the seed range must seed its cell),
+# seed = designated vectors, per-round integer-mean update with empty
+# cells carried forward (LEFT JOIN + coalesce) — plus the
+# CONVERGENCE-CHOSEN shipped round (r10): the `ship` CTE replays
+# _pq_ship_round's multiplicative integer stop rule over the per-round
+# distortion totals, and `pcodes`/`cvd` read the assignment/centroids
+# of exactly that round, so both engines ship the identical codebook
+# at any data. Static SQL must materialize all CAP+1 assignments even
+# when training stops early; the Spark side computes only K+1.
 _PQ_ASSIGN = """
   SELECT vec_id, m, j, dist_sq FROM (
     SELECT vec_id, m, j, dist_sq,
@@ -1382,7 +1387,14 @@ _PQ_UPDATE = """
   ) n ON n.m = c.m AND n.j = c.j AND n.d = c.d
 """
 
-_PQ_CTES = f"""px AS MATERIALIZED (
+def _pq_ctes() -> str:
+    """The unrolled trainer chain + convergence selection (see the
+    block comment above): pa1..pa{CAP+1}, pc1..pc{CAP}, the per-round
+    distortion table `tds`, the shipped-round scalar `ship`, the
+    round-tagged unions `pa_all`/`pc_all`, and the shipped code table
+    `pcodes`."""
+    parts = [
+        f"""px AS MATERIALIZED (
   SELECT vec_id, CAST(u.dim // {PQ_SUB} AS BIGINT) AS m,
          CAST(u.dim % {PQ_SUB} AS BIGINT) AS d, u.xm AS xm FROM (
     SELECT vec_id,
@@ -1392,24 +1404,75 @@ _PQ_CTES = f"""px AS MATERIALIZED (
                                    * {PQ_MICRO}) AS BIGINT)))) AS u
     FROM embeddings
   )
-),
-pc0 AS (
+)""",
+        f"""pc0 AS (
   SELECT m, CAST(vec_id - {N_QUERIES} AS BIGINT) AS j, d, xm AS cm
   FROM px WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-),
-pa1 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc0")}),
-pc1 AS MATERIALIZED ({_PQ_UPDATE.format(prev="pc0", assign="pa1")}),
-pa2 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc1")}),
-pc2 AS MATERIALIZED ({_PQ_UPDATE.format(prev="pc1", assign="pa2")}),
-pa3 AS MATERIALIZED ({_PQ_ASSIGN.format(cent="pc2")}),
-pcodes AS MATERIALIZED (
-  SELECT vec_id,
-         {", ".join(
-           f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT)"
-           f" AS code_{m}" for m in range(PQ_M)
-         )}
-  FROM pa3 GROUP BY vec_id
+)""",
+    ]
+    for r in range(1, PQ_TRAIN_CAP + 2):
+        parts.append(
+            f"pa{r} AS MATERIALIZED "
+            f"({_PQ_ASSIGN.format(cent=f'pc{r - 1}')})"
+        )
+        if r <= PQ_TRAIN_CAP:
+            parts.append(
+                f"pc{r} AS MATERIALIZED "
+                f"({_PQ_UPDATE.format(prev=f'pc{r - 1}', assign=f'pa{r}')})"
+            )
+    parts.append(
+        "tds AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS k,"
+            f" (SELECT CAST(sum(dist_sq) AS BIGINT) FROM pa{r}) AS td,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM pa{r}) AS n"
+            for r in range(1, PQ_TRAIN_CAP + 2)
+        )
+        + "\n)"
+    )
+    # _pq_ship_round's exact integer stop rule: first update k whose
+    # improvement (td_k - td_{k+1}) * 1000 < td_k * thresh (or a
+    # fully-converged td_k = 0), else the cap — multiplicative form,
+    # no division, so every engine agrees bit-for-bit
+    parts.append(
+        f"""ship AS (
+  SELECT coalesce(min(a.k), CAST({PQ_TRAIN_CAP} AS BIGINT)) AS r
+  FROM tds a JOIN tds b ON b.k = a.k + 1
+  WHERE a.td = 0
+     OR (a.td - b.td) * 1000 < a.td * {PQ_CONVERGE_PERMILLE}
 )"""
+    )
+    parts.append(
+        "pa_all AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r, vec_id, m, j, dist_sq"
+            f" FROM pa{r}"
+            for r in range(1, PQ_TRAIN_CAP + 2)
+        )
+        + "\n)"
+    )
+    parts.append(
+        "pc_all AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r, m, j, d, cm FROM pc{r}"
+            for r in range(0, PQ_TRAIN_CAP + 1)
+        )
+        + "\n)"
+    )
+    codes_cols = ", ".join(
+        f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    parts.append(
+        f"""pcodes AS MATERIALIZED (
+  SELECT vec_id, {codes_cols}
+  FROM pa_all WHERE r = (SELECT r + 1 FROM ship) GROUP BY vec_id
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_PQ_CTES = _pq_ctes()
 
 # Twin of q_pq_quantize: trained codebook (2 unrolled Lloyd rounds),
 # exact-integer squared-L2 coding, same (dist, j) tie-break
@@ -1423,18 +1486,20 @@ FROM pcodes
 """
 
 
-# Twin of q_pq_train_round: the final round's member counts (round-2
-# assignment) and integer centroid displacement |pc2 - pc1| per cell
+# Twin of q_pq_train_round: the SHIPPED round's member counts and
+# integer centroid displacement |pc_K - pc_{K-1}| per cell, K from
+# the shared `ship` convergence CTE
 PQ_TRAIN_ROUND_SQL = f"""
 WITH {_PQ_CTES},
 memb AS (
   SELECT m, j, CAST(count(*) AS BIGINT) AS n_members
-  FROM pa2 GROUP BY m, j
+  FROM pa_all WHERE r = (SELECT r FROM ship) GROUP BY m, j
 ),
 shift AS (
   SELECT c2.m, c2.j,
          CAST(sum(abs(c2.cm - c1.cm)) AS BIGINT) AS shift_micro_sum
-  FROM pc2 c2 JOIN pc1 c1
+  FROM (SELECT * FROM pc_all WHERE r = (SELECT r FROM ship)) c2
+  JOIN (SELECT * FROM pc_all WHERE r = (SELECT r - 1 FROM ship)) c1
     ON c1.m = c2.m AND c1.j = c2.j AND c1.d = c2.d
   GROUP BY c2.m, c2.j
 )
@@ -1445,20 +1510,13 @@ FROM shift s LEFT JOIN memb mb ON mb.m = s.m AND mb.j = s.j
 """
 
 
-# Twin of q_pq_train_trace: per-round total distortion over the three
-# materialized assignment CTEs (round 3 = coding vs the trained
-# codebook)
+# Twin of q_pq_train_trace: the per-round distortion table the stop
+# rule consumed — exactly rounds 1..K+1 (the K+1 row scores the
+# shipped codebook), K from the shared `ship` CTE
 PQ_TRAIN_TRACE_SQL = f"""
 WITH {_PQ_CTES}
-SELECT CAST(1 AS BIGINT) AS round,
-       CAST(sum(dist_sq) AS BIGINT) AS total_dist_sq,
-       CAST(count(*) AS BIGINT) AS n_assignments FROM pa1
-UNION ALL
-SELECT CAST(2 AS BIGINT), CAST(sum(dist_sq) AS BIGINT),
-       CAST(count(*) AS BIGINT) FROM pa2
-UNION ALL
-SELECT CAST(3 AS BIGINT), CAST(sum(dist_sq) AS BIGINT),
-       CAST(count(*) AS BIGINT) FROM pa3
+SELECT k AS round, td AS total_dist_sq, n AS n_assignments
+FROM tds WHERE k <= (SELECT r + 1 FROM ship)
 """
 
 
@@ -1470,7 +1528,7 @@ _PQ_ADC_CTES = f"""codes AS (SELECT * FROM pcodes),
 cvd AS (
   SELECT m, j,
          list(CAST(cm AS DOUBLE) / {PQ_MICRO}.0 ORDER BY d) AS cv
-  FROM pc2 GROUP BY m, j
+  FROM pc_all WHERE r = (SELECT r FROM ship) GROUP BY m, j
 ),
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

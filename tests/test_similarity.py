@@ -99,6 +99,32 @@ def test_pq_training_reduces_distortion(spark):
     assert dist[0] > dist[1] > dist[2], dist
 
 
+def test_pq_training_stops_at_convergence(spark):
+    """The shipped depth IS the stop rule (r10): every update before
+    the last improved distortion by >= PQ_CONVERGE_PERMILLE, and the
+    final update is the first sub-threshold one (the flat tail) —
+    unless the PQ_TRAIN_CAP ceiling cut training short. The trace has
+    exactly ship+1 rows, and the multiplicative integer rule here is
+    the same expression the DuckDB twin's `ship` CTE replays."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    K = s._pq_ship_round(spark, SF_ORACLE)
+    rows = sorted(
+        s.q_pq_train_trace(spark, SF_ORACLE).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, K + 2))
+    tds = [r["total_dist_sq"] for r in rows]
+
+    def converged(a: int, b: int) -> bool:
+        return a == 0 or (a - b) * 1000 < a * s.PQ_CONVERGE_PERMILLE
+
+    for k in range(1, K):  # every earlier update cleared the bar
+        assert not converged(tds[k - 1], tds[k]), (k, tds)
+    if K < s.PQ_TRAIN_CAP:  # the final update is the first flat one
+        assert converged(tds[K - 1], tds[K]), tds
+
+
 def test_pq_trained_recall_not_worse_than_seed(spark):
     """ADC recall with the trained codebook is at least the seed
     codebook's (equal at sf0.01 where recall@5 over 500 near-uniform
