@@ -626,6 +626,18 @@ def _register_llm() -> None:
         similarity.q_ann_cell_balance,
         osql.ANN_CELL_BALANCE_SQL,
     )
+    # round-10 additions: the IVFADC refine stage (exact re-rank of
+    # the ADC shortlist — the r9 verdict's top gap) + its recall gate
+    register(
+        "ann_ivfpq_refined",
+        similarity.q_ann_ivfpq_refined,
+        osql.ANN_IVFPQ_REFINED_SQL,
+    )
+    register(
+        "ann_refine_recall",
+        similarity.q_ann_refine_recall,
+        osql.ANN_REFINE_RECALL_SQL,
+    )
 
 
 _register_rules()

@@ -1107,6 +1107,28 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is the two-level partial_topk. Float parity: LUT dots and
     the fixed m-order sums are the bit-compat folds the recall twin
     pins; floor(cos_hat * 10000) is exact on identical doubles."""
+    scored = _ivfpq_scored(spark, sf_dir)
+    return partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        TOP_K,
+        rank_col="rank",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.floor(F.col("_cos_hat") * 10000)
+        .cast("long")
+        .alias("adc_permyriad"),
+    )
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC candidate frame (query_id, neighbor_id, _cos_hat):
+    probe routing + code-only ADC scoring, shared by the ADC-ranked
+    serve path (q_ann_ivfpq) and the refine stage's shortlist
+    (q_ann_ivfpq_refined) so both rank the identical candidates."""
     cb = _pq_codebook(spark, sf_dir)
     cd = _pq_codebook_double(cb)
     codes = _pq_codes(spark, sf_dir)
@@ -1122,7 +1144,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
     )
     q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
-    scored = corpus.join(
+    return corpus.join(
         F.broadcast(q),
         (corpus["cell"] == q["cell"])
         & (F.col("vec_id") != F.col("query_id")),
@@ -1131,19 +1153,71 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         _adc_cos_hat(cd).alias("_cos_hat"),
     )
-    return partial_topk(
+
+
+REFINE_K = 4 * TOP_K  # ADC shortlist size k' ahead of the exact re-rank
+
+
+def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact re-rank — the REFINE stage every production
+    IVFADC deployment adds on top of code-only serving (FAISS's
+    IndexRefine pattern): ADC-shortlist REFINE_K = 4 x TOP_K
+    candidates per query from the probed cells (the identical
+    _ivfpq_scored frame q_ann_ivfpq ranks), then fetch ONLY those
+    candidates' raw vectors and re-rank by EXACT cosine. Code-only
+    scoring keeps the corpus scan RAM-resident; the refine trades
+    k' raw-vector fetches per query for the recall a reconstructed
+    score cannot reach (measured at sf0.1: mean recall@5 doubles vs
+    the ADC-only ranking — see test_refine_lifts_recall).
+
+    Scale shape — candidates-only, pinned by
+    tests/test_plans.py::test_ivfpq_refined_exact_stage_candidates_only:
+    the shortlist (N_QUERIES x REFINE_K rows) BROADCASTS into the
+    vector scan, so the exact stage is a broadcast-hash semi-lookup
+    that scores exactly k' rows per query — the corpus is never
+    exact-scored, no shuffle is added, and the never-read-raw-vectors
+    property of the ADC stage is traded only for those k' fetches
+    (the standard refine bargain). Ranking both levels is the
+    two-level partial_topk. Float parity: the exact cosine is the
+    same list_dot_product-bit-compat fold as the brute-force path;
+    floor(cos * 10000) is exact on identical doubles."""
+    scored = _ivfpq_scored(spark, sf_dir)
+    short = partial_topk(
         scored,
         ["query_id"],
         [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_cv"),
+        F.col("norm").alias("_cnorm"),
+    ).join(F.broadcast(short), "neighbor_id")
+    exact = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qnorm") * F.col("_cnorm"))
+        ).alias("_cos"),
+    )
+    return partial_topk(
+        exact,
+        ["query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
         TOP_K,
         rank_col="rank",
     ).select(
         "query_id",
         "neighbor_id",
         "rank",
-        F.floor(F.col("_cos_hat") * 10000)
-        .cast("long")
-        .alias("adc_permyriad"),
+        F.floor(F.col("_cos") * 10000).cast("long").alias("cos_permyriad"),
     )
 
 
@@ -1197,12 +1271,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, so the join input is O(queries * k), never corpus-sized.
     Queries whose index list misses everything still emit a row
     (recall 0) via the left join on the query list."""
-    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
-    iv = q_knn_ivf_multiprobe(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    return _recall_vs_truth(
+        spark,
+        sf_dir,
+        q_knn_ivf_multiprobe(spark, sf_dir).select("query_id", "neighbor_id"),
     )
+
+
+def _recall_vs_truth(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Per-query recall@TOP_K of an approximate (query_id, neighbor_id)
+    list against the session-cached exact ground truth — the shared
+    evaluation harness of the ANN family (IVF-multiprobe, IVFADC
+    refine). O(queries x k) join inputs, never corpus-sized."""
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
-        bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+        bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1218,6 +1303,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr(f"(1000 * n_hits) DIV {TOP_K}").alias("recall_permille"),
         )
+    )
+
+
+def q_ann_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine stage's acceptance gate: per-query recall@TOP_K of
+    the REFINED IVFADC serve path (q_ann_ivfpq_refined) against the
+    exact cosine top-k — the number that decides whether the k'
+    raw-vector fetches bought back the recall code-only ADC loses
+    (its ceiling is the probe routing itself: a true neighbor in an
+    unprobed cell is unreachable at any k'). Read next to
+    ann_pq_recall (full-corpus ADC, no routing) and ann_recall
+    (exact-scored multiprobe, the routing ceiling); same
+    O(queries x k) evaluation shape via the shared harness."""
+    return _recall_vs_truth(
+        spark,
+        sf_dir,
+        q_ann_ivfpq_refined(spark, sf_dir).select("query_id", "neighbor_id"),
     )
 
 

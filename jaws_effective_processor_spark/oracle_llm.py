@@ -1347,6 +1347,7 @@ from .functions.similarity import (  # noqa: E402
     PQ_MICRO,
     PQ_SUB,
     PQ_TRAIN_CAP,
+    REFINE_K,
 )
 
 # Shared trained-PQ CTE chain: the same deterministic fixed-point
@@ -1665,12 +1666,11 @@ FROM j GROUP BY lang
 """
 
 
-# Twin of q_ann_ivfpq: the composed IVFADC serve path — IVF cell
-# routing (KNN_IVF_MULTIPROBE_SQL's assigned/cells/probes) + ADC
-# scoring from codes via the shared LUT joins; floor(cos_hat * 10000)
-# is exact on identical doubles
-ANN_IVFPQ_SQL = f"""
-WITH {_PQ_CTES},
+# Shared IVFADC scored-candidate CTE chain (through `scored`): IVF
+# cell routing (KNN_IVF_MULTIPROBE_SQL's assigned/cells/probes) + ADC
+# scoring from codes via the shared LUT joins — consumed by the
+# ADC-ranked serve twin, the refine twin, and the refine recall twin
+_IVFPQ_SCORED_CTES = f"""{_PQ_CTES},
 {_PQ_ADC_CTES},
 lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.j,
@@ -1716,7 +1716,12 @@ scored AS (
     f"JOIN lut l{m} ON l{m}.query_id = p.vec_id AND l{m}.m = {m}"
     f" AND l{m}.j = k.code_{m}" for m in range(PQ_M)
   )}
-),
+)"""
+
+# Twin of q_ann_ivfpq: ADC-ranked top-k over the shared scored chain;
+# floor(cos_hat * 10000) is exact on identical doubles
+ANN_IVFPQ_SQL = f"""
+WITH {_IVFPQ_SCORED_CTES},
 ranked AS (
   SELECT query_id, neighbor_id, cos_hat,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1727,6 +1732,64 @@ ranked AS (
 SELECT query_id, neighbor_id, rank,
        CAST(floor(cos_hat * 10000) AS BIGINT) AS adc_permyriad
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+# Refined serve-path CTE tail: ADC shortlist of REFINE_K, exact
+# cosine over ONLY those candidates, re-rank — shared by the refined
+# twin and its recall twin
+_IVFPQ_REFINED_CTES = f"""{_IVFPQ_SCORED_CTES},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {REFINE_K}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+refined AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM exact
+)"""
+
+# Twin of q_ann_ivfpq_refined: the exact re-rank of the ADC shortlist
+ANN_IVFPQ_REFINED_SQL = f"""
+WITH {_IVFPQ_REFINED_CTES}
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM refined WHERE rank <= {TOP_K}
+"""
+
+# Twin of q_ann_refine_recall: the refined top-k intersected with the
+# brute-force exact top-k (ANN_PQ_RECALL_SQL's evaluation shape)
+ANN_REFINE_RECALL_SQL = f"""
+WITH {_IVFPQ_REFINED_CTES},
+approx AS (
+  SELECT query_id, neighbor_id FROM refined WHERE rank <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN approx USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // {TOP_K}
+         AS recall_permille
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
 """
 
 

@@ -172,6 +172,34 @@ def test_ann_ivfpq_broadcasts_query_side(spark):
     assert "_tk_pid" in explain_str(df)  # partial_topk ranking
 
 
+def test_ivfpq_refined_exact_stage_candidates_only(spark):
+    """The refine stage (r10) is candidates-only: the exact cosine is
+    computed through BROADCAST joins of the ADC shortlist
+    (N_QUERIES x REFINE_K rows, keyed neighbor_id) and the query
+    vectors into the raw-vector scan — the corpus is never
+    exact-scored and never shuffles for the refine (a real deployment
+    does k' point lookups; the broadcast-hash lookup is Spark's
+    equivalent). Both ranking levels ride partial_topk (_tk_pid
+    witness), and nothing degenerates into a cartesian."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_ivfpq_refined,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = q_ann_ivfpq_refined(spark, SF_SMOKE)
+    plan = explain_str(df)
+    subs = broadcast_subtrees(df)
+    # probe/LUT side (ADC stage) + shortlist + query vectors
+    assert len(subs) >= 3, subs
+    # the exact stage's candidate lookup is a hash join keyed on
+    # neighbor_id (the shortlist side broadcast — it appears among the
+    # broadcast subtrees above, and no SortMergeJoin exists here)
+    assert "Left keys [1]: [neighbor_id" in plan
+    assert "SortMergeJoin" not in plan
+    assert not has_cartesian(df)
+    assert "_tk_pid" in plan  # partial_topk at both ranking levels
+
+
 def test_pricing_summary_pushdown(spark):
     """The shipdate predicate reaches the parquet scan (PushedFilters)
     and column pruning drops unused lineitem columns (ReadSchema)."""

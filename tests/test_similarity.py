@@ -150,6 +150,36 @@ def test_pq_trained_recall_not_worse_than_seed(spark):
     assert sum(trained) / len(trained) >= sum(seed) / len(seed)
 
 
+def test_refine_lifts_recall(spark):
+    """The refine stage's reason to exist, measured: exact re-ranking
+    the ADC shortlist recovers recall that code-only ranking loses —
+    mean recall@TOP_K of q_ann_ivfpq_refined is at least the
+    ADC-ranked q_ann_ivfpq's over the identical probed candidates
+    (measured: 220 vs 100 permille at sf0.01, 300 vs 180 at sf0.1),
+    and is bounded above by the routing ceiling (exact-scored
+    multiprobe, q_ann_recall) since the refine can only rescore what
+    the probes reached."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    def mean_recall(df):
+        rows = df.collect()
+        return sum(r["recall_permille"] for r in rows) / len(rows)
+
+    adc_ranked = mean_recall(
+        s._recall_vs_truth(
+            spark,
+            SF_ORACLE,
+            s.q_ann_ivfpq(spark, SF_ORACLE).select(
+                "query_id", "neighbor_id"
+            ),
+        )
+    )
+    refined = mean_recall(s.q_ann_refine_recall(spark, SF_ORACLE))
+    ceiling = mean_recall(s.q_ann_recall(spark, SF_ORACLE))
+    assert refined >= adc_ranked, (refined, adc_ranked)
+    assert refined <= ceiling, (refined, ceiling)
+
+
 def test_pq_exact_duplicates_code_identically(spark):
     """Coding is a pure function of the vector: exact-duplicate
     embeddings get identical codes (and the packed code is the base-K
