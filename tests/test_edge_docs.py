@@ -155,7 +155,12 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                # itself is exercised on degenerate seeds (a duplicate
                # seed pair forces an emptied cell + carry-forward)
                "pq_quantize", "pq_train_round", "ann_pq_recall",
-               "ann_ivfpq", "pq_train_trace", "ann_cell_balance")
+               "ann_ivfpq", "pq_train_trace", "ann_cell_balance",
+               # round 10: the refine stage over the same degenerate
+               # seeds (zero vector in the shortlist exercises the
+               # norm>0 fetch guard; convergence-chosen depth runs on
+               # a 40-vector corpus)
+               "ann_ivfpq_refined", "ann_refine_recall")
 
 
 @pytest.fixture(scope="module")
