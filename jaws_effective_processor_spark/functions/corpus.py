@@ -1950,6 +1950,49 @@ def _build_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_bucket_bits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, bits): the per-bucket DSIR log-ratio table — THE
+    broadcastable artifact of the DSIR pipeline (<= DSIR_BUCKETS =
+    2^16 rows at ANY corpus size, the hashed-feature trick's whole
+    point). bits = L(tgt_n+1) - L(raw_n+1) with L(x) = length(bin(x)),
+    exactly the per-bucket term _build_dsir_weights folds per doc; a
+    bucket no snapshot gram hashed into carries implicit bits 0
+    (L(1) - L(1)), which is what a consumer's missing-key lookup must
+    coalesce to. Session-cached 'dsir_bucket_bits'; the streaming
+    resample gate (streaming/ingest.dsir_gate_stream) broadcasts it
+    to score documents ON ARRIVAL with the identical integer rule the
+    batch resampler applies."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        g = _contam_gram_table(spark, sf_dir)
+        is_tgt = F.col("doc_id") % HOLDOUT_MOD == 0
+        exploded = g.select(
+            F.explode("grams").alias("_gram_h"), is_tgt.alias("_t")
+        ).select(
+            F.pmod(F.col("_gram_h"), F.lit(DSIR_BUCKETS)).alias("bucket"),
+            "_t",
+        )
+        stats = exploded.groupBy("bucket").agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("tgt_n"),
+            F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("raw_n"),
+        )
+
+        def L(c: F.Column) -> F.Column:
+            return F.length(F.bin(c)).cast("long")
+
+        return stats.select(
+            "bucket",
+            (L(F.col("tgt_n") + 1) - L(F.col("raw_n") + 1)).alias("bits"),
+        )
+
+    return _cached_frame(spark, sf_dir, "dsir_bucket_bits", _build)
+
+
 # DSIR resampling rate: a clamped LINEAR map of per_gram_milli around
 # the corpus-typical -1 bit/gram (the first-order integer-exact
 # approximation of the exponential importance ratio, slope 2 =

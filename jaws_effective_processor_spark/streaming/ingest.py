@@ -689,6 +689,95 @@ def debounce_gate_stream(
     )
 
 
+def dsir_gate_stream(docs: DataFrame, bucket_bits: DataFrame) -> DataFrame:
+    """Streaming DSIR resample gate: keep an arriving document with
+    the IDENTICAL decision the batch q_dsir_resample would make — the
+    target-distribution-driven sibling of importance_gate_stream
+    (which draws against the rule-based quality score; r9 verdict
+    item 5).
+
+    `bucket_bits` is corpus.dsir_bucket_bits_frame's (bucket, bits)
+    table — bounded at DSIR_BUCKETS = 2^16 rows at ANY corpus size
+    (DSIR's hashed-feature trick), so collapsing it to a one-row
+    broadcast map is legitimate forever, like the fixed-vocabulary
+    weight table of logit_gate_stream_weighted and unlike the
+    corpus-growing near-dup fingerprint set. Per arriving doc, the
+    gate folds the SAME distinct CONTAM_K-gram hashes the batch gram
+    table computes (shared with_contam_grams expressions), looks each
+    gram's bucket up in the map (absent bucket -> bits 0, exactly
+    L(1) - L(1) for a bucket no snapshot gram hashed into), and
+    applies the batch chain verbatim: per_gram_milli =
+    (1000 * weight_bits) DIV n_grams, the clamped linear rate map,
+    and the md5(doc_id) permille draw — so a doc draws the same
+    verdict whichever path saw it (parity pinned by
+    test_dsir_gate_matches_batch_resample). Documents too short to
+    featurize (< CONTAM_K tokens) are DROPPED: the batch weight table
+    emits no row for them — no feature mass, no score to admit on
+    (same domain rule as the batch resampler).
+
+    Scan-local per-row map lookups + integer fold — stateless,
+    append-safe, composes anywhere in the ingest chain."""
+    from ..functions.corpus import (
+        DSIR_BUCKETS,
+        DSIR_CENTER_MILLI,
+        DSIR_SLOPE,
+        with_contam_grams,
+    )
+
+    bmap = bucket_bits.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "bits"))
+        ).alias("_bb")
+    )
+    staged = (
+        with_contam_grams(docs, out="_grams")
+        .crossJoin(F.broadcast(bmap))
+        .withColumn("_ng", F.size("_grams").cast("long"))
+        .withColumn(
+            "_wb",
+            F.aggregate(
+                F.transform(
+                    F.col("_grams"),
+                    lambda gh: F.coalesce(
+                        F.element_at(
+                            F.col("_bb"),
+                            F.pmod(gh, F.lit(DSIR_BUCKETS)),
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + b,
+            ),
+        )
+    )
+    rate = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(1000).cast("long"),
+            (
+                F.lit(1000)
+                + (
+                    F.expr("(1000 * _wb) DIV _ng")
+                    - F.lit(DSIR_CENTER_MILLI)
+                )
+                * DSIR_SLOPE
+            ).cast("long"),
+        ),
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    return (
+        staged.filter(F.col("_ng") > 0)
+        .filter(draw < rate)
+        .drop("_grams", "_bb", "_ng", "_wb")
+    )
+
+
 def pii_redact_stream(docs: DataFrame) -> DataFrame:
     """Streaming PII redaction: rewrite arriving documents with the
     IDENTICAL sequential replace chain as the batch q_pii_redact

@@ -1113,6 +1113,61 @@ def test_importance_gate_stream_matches_batch(spark, tmpdir):
     assert got == batch_kept
 
 
+def test_dsir_gate_matches_batch_resample(spark, tmpdir):
+    """The streaming DSIR gate keeps exactly the documents the batch
+    q_dsir_resample marks kept=true on the same corpus: the sf0.001
+    train docs replayed as a feed against the broadcast 2^16-bucket
+    bits table land the identical kept set (shared gram hashing,
+    bucket lookup, DIV weight, rate map, and md5 draw), and a doc too
+    short to featurize never passes the gate (the batch weight table
+    has no row for it). The fixture must actually split."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.corpus import (
+        CONTAM_K,
+        HOLDOUT_MOD,
+        dsir_bucket_bits_frame,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    batch_rows = QUERIES["dsir_resample"](spark, sf).collect()
+    batch_kept = {r["doc_id"] for r in batch_rows if r["kept"]}
+    assert 0 < len(batch_kept) < len(batch_rows)  # real split
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = load_table(spark, sf, "documents")
+    feed = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.lit(t0).cast("timestamp").alias("ingest_ts"),
+    )
+    # an unfeaturizable short doc (< CONTAM_K tokens) must be dropped
+    short = spark.createDataFrame(
+        [(-7, " ".join(["w"] * (CONTAM_K - 1)), "en", "crawl", t0)],
+        ingest.DOC_FEED_SCHEMA,
+    )
+    feed = feed.unionByName(short)
+
+    src = os.path.join(tmpdir, "dsir_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"dsir_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.dsir_gate_stream(
+            stream, dsir_bucket_bits_frame(spark, sf)
+        ),
+        name,
+        os.path.join(tmpdir, "dsir_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert -7 not in got
+    assert got == batch_kept
+
+
 def test_media_gate_parity(spark, tmpdir):
     """The streaming perceptual-hash media gate: (1) broadcast and
     shuffle shapes keep/drop identical rows on the same feed+corpus,
