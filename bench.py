@@ -69,6 +69,19 @@ def main() -> None:
     spark = get_spark("jaws-spark-bench")
     queries = entry_queries.QUERIES
 
+    # Pairing-set reconciliation (r9 verdict item 4): the Spark sweep
+    # and the oracle sweep must cover the SAME registry this process
+    # imported — a registry addition can never silently fall out of
+    # the pairing. Every oracle twin must pair with a registered
+    # query, and the (few, documented) oracle-less queries are named
+    # in the output rather than silently shrinking the denominator.
+    import __spark_entry__ as entry_mod
+
+    assert set(queries) == set(entry_mod.queries()), "bench/registry drift"
+    oracle_names = set(entry_mod.oracle_sql())
+    assert oracle_names <= set(queries), sorted(oracle_names - set(queries))
+    unpaired = sorted(set(queries) - oracle_names)
+
     # Warm-up. Timed medians only stabilize once the JVM has JIT-
     # compiled the Spark internals every plan exercises (shuffle
     # writers, broadcast build, codegen harness, digest/regex paths) —
@@ -195,6 +208,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "n_oracle": len(oracle_names),
+        "unpaired": unpaired,
         "sf": float(sf) if sf else None,
         "n": sweeps_done,
         "loadavg_per_sweep": sweep_loads,

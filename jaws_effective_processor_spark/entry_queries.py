@@ -797,6 +797,50 @@ _register_llm()
 # heavy_hitters in-window), unigram_surprisal (r7-green; unigram family
 # via token-family multi-round greens — all seven members were
 # driver-checked r7).
+#
+# Round 10 rotation — drain the r5 EVIDENCE_AGE cohort. Composition:
+#   15 alarm-core keepers (every round).
+#    2 NEVER_CHECKED r9 post-window additions (vocab_coverage,
+#      ann_cell_balance — first in line per the ledger).
+#    2 round-10 additions (ann_ivfpq_refined + ann_refine_recall, the
+#      IVFADC exact re-rank stage) — in window the round they land.
+#    7 REWRITTEN_SINCE_CHECK: pq_quantize / pq_train_round /
+#      pq_train_trace / ann_pq_recall / ann_ivfpq (the
+#      convergence-chosen training depth changes the shipped codebook
+#      every consumer codes against), ann_recall (plan-identical
+#      _recall_vs_truth extraction — re-entered anyway under the
+#      touched-implementation reading of the rule), and
+#      dsir_mixture_shift (share-denominator guards + the
+#      shift_permille rename change its output schema).
+#   24 EVIDENCE_AGE r5-only rows, oldest first:
+#      effective_registrations_nested + gopher_quality (displaced
+#      from r9, head of queue) + 22 more of the 26-row r5 cohort.
+# r5 rows NOT fitting this window (r11 head of queue, after any new/
+# rewritten entries): token_counts (siblings in-window/r9-green:
+# quality_score, text_stats r9, vocab_coverage in-window) and
+# multimodal_meta (sibling multimodal_features r9-green, same
+# decode-stub mapInPandas family). Then the 18-row r6 cohort.
+# Swapped-out r9-greens all keep in-window siblings: the ANN family
+# (knn_lsh/knn_ivf/knn_ivf_multiprobe/knn_bruteforce/knn_label_vote/
+# hard_negatives) via the five in-window PQ/IVFADC rows + ann_recall
+# + ann_refine_recall, which compose the same cell routing, cached
+# ground truth, and partial_topk machinery; dedup/gram family
+# (dedup_exact, dedup_clusters, contamination, embedding_neardup,
+# doc_fingerprint) via dedup_ngram_jaccard + decontaminate +
+# bloom_dedup_gate + semdedup_keep; events family (events_daily,
+# event_type_pivot/unpivot, events_debounce) via
+# events_sessionization + event_funnel; relational §2.9
+# (lineitem_rollup, customer_order_windows, top_customers,
+# order_priority, distinct_counts, json_array_functions,
+# pricing_summary) via the 10 in-window r5 relational rows
+# (lineitem_cube, order_percentiles, revenue_by_nation,
+# approx_distinct, merge_upsert, scalar_functions, setops, asof,
+# range, customer_value_bands); dsir_resample via dsir_mixture_shift
+# (strictly downstream of its kept set); text/token (text_stats,
+# vocab_topk) via quality_score + language_id + vocab_coverage;
+# multimodal_features + stratified_sample + doc_chunks via
+# multimodal frames/meta r8 evidence + the packing family's
+# in-window gopher/quality rows.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -814,46 +858,49 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # pre-environment-reset evidence (r1/r2 — r8 verdict item 2)
-    "knn_lsh",
-    "knn_ivf",
-    "top_customers",
-    "order_priority",
-    "distinct_counts",
-    "json_array_functions",
-    "event_type_unpivot",
-    "text_stats",
-    # REWRITTEN_SINCE_CHECK (r9 PQ/top-k/debounce work)
+    # NEVER_CHECKED round-9 post-window additions (first in line per
+    # the ledger rule)
+    "vocab_coverage",
+    "ann_cell_balance",
+    # round-10 additions — driver-checked the round they land
+    "ann_ivfpq_refined",
+    "ann_refine_recall",
+    # REWRITTEN_SINCE_CHECK (r10 convergence-depth PQ trainer +
+    # helper extractions + the dsir share guard/rename)
     "pq_quantize",
     "pq_train_round",
-    "ann_pq_recall",
-    "events_debounce",
-    "knn_bruteforce",
-    "knn_label_vote",
-    "hard_negatives",
-    "ann_recall",
-    # round-9 additions — driver-checked the round they land
-    "dsir_resample",
-    "dsir_mixture_shift",
-    "ann_ivfpq",
     "pq_train_trace",
-    # EVIDENCE_AGE: r3-only driver evidence
-    "lineitem_rollup",
-    "customer_order_windows",
-    "events_daily",
-    "event_type_pivot",
-    "doc_fingerprint",
-    "knn_ivf_multiprobe",
-    "multimodal_features",
-    "stratified_sample",
-    "doc_chunks",
-    "dedup_clusters",
-    "contamination",
-    "vocab_topk",
-    # EVIDENCE_AGE: oldest r5 evidence, family representatives
-    "pricing_summary",
-    "embedding_neardup",
-    "dedup_exact",
+    "ann_pq_recall",
+    "ann_ivfpq",
+    "ann_recall",
+    "dsir_mixture_shift",
+    # EVIDENCE_AGE: the r5-evidence cohort, oldest first
+    # (effective_registrations_nested + gopher_quality head the queue
+    # per the r9 ledger; 24 of 26 fit this window)
+    "effective_registrations_nested",
+    "gopher_quality",
+    "approx_distinct",
+    "asof_last_purchase",
+    "bloom_dedup_gate",
+    "curation_funnel",
+    "customer_value_bands",
+    "decontaminate",
+    "dedup_ngram_jaccard",
+    "event_funnel",
+    "events_sessionization",
+    "fuzzy_name_pairs",
+    "language_id",
+    "lineitem_cube",
+    "merge_upsert",
+    "order_percentiles",
+    "parts_above_brand_avg",
+    "parts_without_orders",
+    "quality_score",
+    "range_copurchase",
+    "revenue_by_nation",
+    "scalar_functions",
+    "segment_custkeys_setops",
+    "semdedup_keep",
 ]
 
 
