@@ -412,6 +412,93 @@ def adc_topk_against_store(
     )
 
 
+def adc_refine_topk_against_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    pq_codebook: list,
+    vectors: DataFrame,
+    k: int = 5,
+    k_refine: int = 20,
+    nprobe: int = 2,
+    prune: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVFADC + REFINE serving against the landed store (the serving
+    twin of functions/similarity.q_ann_ivfpq_refined): ADC-shortlist
+    k_refine candidates per query from the persisted pq_code column
+    (adc_topk_against_store — codes only, partition-pruned probe),
+    then re-rank ONLY those candidates by exact cosine against the
+    raw-vector side table `vectors` ((vec_id, v array<double>, norm)
+    — the higher-fidelity tier a production refine fetches from; the
+    code store alone CANNOT refine, which is the point of keeping
+    one). The shortlist is bounded (queries x k_refine rows) and
+    broadcasts into the vector table, so the refine is a
+    candidates-only lookup exactly like the batch stage — the vector
+    tier is never scanned into the scorer. Exact cosine and
+    (cos DESC, neighbor_id) ordering are the shared fold expressions,
+    so the served answer equals the batch refined query row-for-row
+    (parity pinned inside
+    tests/test_streaming.py::test_adc_store_server_matches_batch).
+    """
+    short = adc_topk_against_store(
+        spark,
+        queries,
+        store_path,
+        centroids,
+        pq_codebook,
+        k=k_refine,
+        nprobe=nprobe,
+        prune=prune,
+        exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    v = F.col("embedding").cast("array<double>")
+    qv = queries.select(
+        "query_id",
+        v.alias("_qv"),
+        F.sqrt(dot(v, v)).alias("_qnorm"),
+    ).filter(F.col("_qnorm") > 0)
+    cand = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_cv"),
+        F.col("norm").alias("_cnorm"),
+    ).join(F.broadcast(short), "neighbor_id")
+    exact = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qnorm") * F.col("_cnorm"))
+        ).alias("cos"),
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            "query_id",
+            F.col("_s.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+            F.floor(-F.col("_s.neg_cos") * 10000)
+            .cast("long")
+            .alias("cos_permyriad"),
+        )
+    )
+
+
 def start_knn_store_server(
     spark: SparkSession,
     queries: DataFrame,

@@ -1532,6 +1532,35 @@ def test_adc_store_server_matches_batch(spark, tmpdir):
     }
     assert served == batch
 
+    # r10: the REFINE tier over the same landed store — ADC-shortlist
+    # from the persisted codes, exact re-rank against the raw-vector
+    # side table — equals the batch refined query row-for-row
+    from jaws_effective_processor_spark.functions.similarity import (
+        REFINE_K,
+        _vectors,
+    )
+
+    refined_served = {
+        tuple(r)
+        for r in sv.adc_refine_topk_against_store(
+            spark,
+            queries,
+            store,
+            cents,
+            cb,
+            _vectors(spark, sf),
+            k=TOP_K,
+            k_refine=REFINE_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+        ).collect()
+    }
+    refined_batch = {
+        tuple(r)
+        for r in QUERIES["ann_ivfpq_refined"](spark, sf).collect()
+    }
+    assert refined_served == refined_batch
+
 
 def test_knn_store_server_prunes_partitions(spark, tmpdir):
     """The closed loop between the vector store and the kNN server:
