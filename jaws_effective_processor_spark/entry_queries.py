@@ -638,6 +638,14 @@ def _register_llm() -> None:
         similarity.q_ann_refine_recall,
         osql.ANN_REFINE_RECALL_SQL,
     )
+    # round-10 POST-WINDOW addition (registered after the r10 window
+    # was pinned; NEVER_CHECKED — first in the r11 queue per the
+    # ledger): the refine stage's k' tuning curve
+    register(
+        "ann_refine_curve",
+        similarity.q_ann_refine_curve,
+        osql.ANN_REFINE_CURVE_SQL,
+    )
 
 
 _register_rules()

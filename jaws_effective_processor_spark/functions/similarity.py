@@ -1221,6 +1221,93 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REFINE_CURVE_KS = (TOP_K, 2 * TOP_K, REFINE_K)  # shortlist sizes swept
+
+
+def q_ann_refine_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine stage's TUNING CURVE: total recall@TOP_K of the
+    refined serve path as a function of the shortlist size k' —
+    the knob every refine deployment turns (k' = TOP_K is the
+    no-refine anchor: exact re-ranking of the ADC top-k cannot change
+    WHICH ids are served, only their order, so that row equals the
+    ADC ranking's recall; larger k' buys recall with k' raw-vector
+    fetches per query until the probe-routing ceiling flattens it).
+    dedup_threshold_curve is this report's dedup-family sibling.
+
+    Cost shape: the sweep is NOT k'-many re-scans — the max-k'
+    shortlist is exact-scored ONCE (the candidates-only broadcast
+    lookup of q_ann_ivfpq_refined), each smaller k' is then a filter
+    on the retained adc_rank over those queries x REFINE_K rows, and
+    the per-(k', query) re-rank runs on that bounded frame. Output is
+    one row per swept k' (emitted even at zero hits)."""
+    scored = _ivfpq_scored(spark, sf_dir)
+    short = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+        rank_col="_adc_rank",
+    ).select("query_id", "neighbor_id", "_adc_rank")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_cv"),
+        F.col("norm").alias("_cnorm"),
+    ).join(F.broadcast(short), "neighbor_id")
+    exact = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "_adc_rank",
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qnorm") * F.col("_cnorm"))
+        ).alias("_cos"),
+    )
+    staged = exact.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in REFINE_CURVE_KS])
+        ).alias("k_refine"),
+    ).filter(F.col("_adc_rank") <= F.col("k_refine"))
+    approx = partial_topk(
+        staged,
+        ["k_refine", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("k_refine", "query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("k_refine")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    nq = bf.agg(
+        F.countDistinct("query_id").cast("long").alias("_nq")
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in REFINE_CURVE_KS])
+        ).alias("k_refine")
+    )
+    return (
+        ks.join(hits, "k_refine", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "k_refine",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})")
+            .alias("recall_permille"),
+        )
+    )
+
+
 def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ trainer's convergence curve AS THE STOP RULE SAW IT:
     per round, the TOTAL quantization distortion (sum over vectors x

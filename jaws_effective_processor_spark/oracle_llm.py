@@ -1769,6 +1769,61 @@ SELECT query_id, neighbor_id, rank,
 FROM refined WHERE rank <= {TOP_K}
 """
 
+# Twin of q_ann_refine_curve: recall@TOP_K vs shortlist size k' —
+# the max-k' shortlist exact-scored once (adc_rank retained), each
+# swept k' a filter + per-(k', query) re-rank on those bounded rows
+from .functions.similarity import REFINE_CURVE_KS  # noqa: E402
+
+ANN_REFINE_CURVE_SQL = f"""
+WITH {_IVFPQ_SCORED_CTES},
+shortr AS (
+  SELECT query_id, neighbor_id, rn AS adc_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {REFINE_K}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_rank,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM shortr s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+ks AS (
+  SELECT CAST(k AS BIGINT) AS k_refine
+  FROM (VALUES {", ".join(f"({k})" for k in REFINE_CURVE_KS)}) t(k)
+),
+curanked AS (
+  SELECT k.k_refine, x.query_id, x.neighbor_id,
+         row_number() OVER (PARTITION BY k.k_refine, x.query_id
+                            ORDER BY x.cos DESC, x.neighbor_id) AS rank
+  FROM exact x JOIN ks k ON x.adc_rank <= k.k_refine
+),
+approx AS (
+  SELECT k_refine, query_id, neighbor_id FROM curanked
+  WHERE rank <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT a.k_refine, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN bf USING (query_id, neighbor_id)
+  GROUP BY a.k_refine
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT k.k_refine,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
+         // (nq.n * {TOP_K}) AS recall_permille
+FROM ks k LEFT JOIN hits h USING (k_refine), nq
+"""
+
+
 # Twin of q_ann_refine_recall: the refined top-k intersected with the
 # brute-force exact top-k (ANN_PQ_RECALL_SQL's evaluation shape)
 ANN_REFINE_RECALL_SQL = f"""

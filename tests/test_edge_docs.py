@@ -160,7 +160,8 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                # seeds (zero vector in the shortlist exercises the
                # norm>0 fetch guard; convergence-chosen depth runs on
                # a 40-vector corpus)
-               "ann_ivfpq_refined", "ann_refine_recall")
+               "ann_ivfpq_refined", "ann_refine_recall",
+               "ann_refine_curve")
 
 
 @pytest.fixture(scope="module")

@@ -180,6 +180,34 @@ def test_refine_lifts_recall(spark):
     assert refined <= ceiling, (refined, ceiling)
 
 
+def test_refine_curve_anchor_and_monotone(spark):
+    """The k' sweep is internally consistent: the k' = TOP_K row is
+    the no-refine anchor (re-ranking the ADC top-k cannot change
+    WHICH ids are served, so its recall equals the ADC ranking's),
+    and recall is monotone nondecreasing in k' (a larger shortlist is
+    a superset — dropping a true neighbor that a smaller k' kept is
+    impossible, by the global-top-k argument in
+    test_refine_lifts_recall)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    rows = {
+        r["k_refine"]: r["recall_permille"]
+        for r in s.q_ann_refine_curve(spark, SF_ORACLE).collect()
+    }
+    assert sorted(rows) == sorted(s.REFINE_CURVE_KS)
+    adc_rows = s._recall_vs_truth(
+        spark,
+        SF_ORACLE,
+        s.q_ann_ivfpq(spark, SF_ORACLE).select("query_id", "neighbor_id"),
+    ).collect()
+    adc_mean = sum(r["n_hits"] for r in adc_rows) * 1000 // (
+        len(adc_rows) * s.TOP_K
+    )
+    assert rows[s.TOP_K] == adc_mean
+    ks = sorted(rows)
+    assert all(rows[a] <= rows[b] for a, b in zip(ks, ks[1:])), rows
+
+
 def test_pq_exact_duplicates_code_identically(spark):
     """Coding is a pure function of the vector: exact-duplicate
     embeddings get identical codes (and the packed code is the base-K
