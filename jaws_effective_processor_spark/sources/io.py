@@ -436,3 +436,77 @@ def write_clustered(
         .mode("overwrite")
         .parquet(out_path)
     )
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def zorder_key(scaled: list, bits: int = ZORDER_BITS) -> "Column":
+    """The Morton (Z-order) key: interleave the bits of N columns
+    already scaled to [0, 2^bits) ints — bit i of column c lands at
+    position i * N + c, so locality in EVERY dimension maps to
+    locality in the single sort key. Pure shift/and/add column
+    arithmetic (N x bits terms inside whole-stage codegen), no UDF."""
+    n = len(scaled)
+    assert n >= 1 and n * bits <= 62, (n, bits)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for c_idx, c in enumerate(scaled):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (i * n + c_idx)).cast("long")
+    return z
+
+
+def write_zordered(
+    df: "DataFrame",
+    out_path: str,
+    by: list,
+    bits: int = ZORDER_BITS,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write a table Z-ORDERED on several numeric columns — the
+    multi-dimensional generalization of write_clustered: single-key
+    clustering makes row-group stats tight on ONE column and useless
+    on the others; interleaving the dimensions' bits into one Morton
+    key makes the stats usefully tight on EVERY `by` column at once,
+    so a later scan filtered on ANY of them (or a box over several)
+    skips row groups/files (what Delta/Iceberg ship as OPTIMIZE
+    ZORDER BY).
+
+    Each dimension is min/max-scaled to [0, 2^bits) through a ONE-ROW
+    broadcast stats frame (two aggregates per column, no shuffle of
+    the data for the scaling; a constant column scales to 0). That is
+    the sampling-free variant of Delta's range-id normalization —
+    linear, so heavily skewed dimensions get fewer effective buckets;
+    acceptable for the synthetic-uniform and timestamp/id shapes the
+    engine lands, and the stats pin in test_sources.py would surface
+    a regression. Layout only: the synthetic key is dropped before
+    the write and rows are untouched (pinned, with the per-dimension
+    row-group-span contrast vs single-key clustering, by
+    tests/test_sources.py::test_write_zordered_tightens_all_dims)."""
+    num = [F.col(c).cast("double") for c in by]
+    stats = df.agg(
+        *[F.min(c).alias(f"_zmin{i}") for i, c in enumerate(num)],
+        *[F.max(c).alias(f"_zmax{i}") for i, c in enumerate(num)],
+    )
+    top = (1 << bits) - 1
+    staged = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    for i, c in enumerate(num):
+        lo, hi = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
+        scaled.append(
+            F.when(
+                hi > lo,
+                F.floor((c - lo) * top / (hi - lo)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+    keyed = staged.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .select(*df.columns)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )

@@ -332,3 +332,66 @@ def test_write_clustered_tightens_rowgroup_stats(spark, tmpdir):
     ).total_seconds()
     assert span_c <= data_range * 1.01, (span_c, data_range)
     assert span_c * 3 < span_p, (span_c, span_p)
+
+
+def test_write_zordered_tightens_all_dims(spark, tmpdir):
+    """The Z-order layout makes row-group stats usefully tight on
+    EVERY interleaved dimension at once, where single-key clustering
+    helps only its own key: over a uniform 2-D grid, (1) rows are
+    untouched, (2) the x-clustered control's per-row-group y spans
+    cover ~the whole y range (no pruning power on y), (3) the
+    z-ordered layout's total row-group span is a small fraction of
+    (n_row_groups x data range) on BOTH x and y — read straight from
+    the parquet footers, which is what a pruning scan consults."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources.io import (
+        write_clustered,
+        write_zordered,
+    )
+
+    n = 1 << 14
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        # y decorrelated from x via a multiplicative permutation
+        ((F.col("id") * 37 + 11) % 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    xdir = os.path.join(str(tmpdir), "zx")
+    zdir = os.path.join(str(tmpdir), "zz")
+    write_clustered(grid, xdir, ["x"], max_records_per_file=2048)
+    write_zordered(grid, zdir, ["x", "y"], max_records_per_file=2048)
+
+    a = spark.read.parquet(xdir)
+    b = spark.read.parquet(zdir)
+    assert a.count() == b.count() == n
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def dim_spans(path, col):
+        spans, n_rg = 0.0, 0
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ci = idx[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                spans += st.max - st.min
+                n_rg += 1
+        return spans, n_rg
+
+    data_range = 127.0
+    # control: x-clustering leaves y unpruned — every row group spans
+    # ~the full y range
+    y_ctl, nrg_ctl = dim_spans(xdir, "y")
+    assert y_ctl >= 0.9 * nrg_ctl * data_range, (y_ctl, nrg_ctl)
+    # z-order: BOTH dims tight — total span well under half the
+    # no-layout worst case on each
+    for col in ("x", "y"):
+        got, nrg = dim_spans(zdir, col)
+        assert got <= 0.5 * nrg * data_range, (col, got, nrg)
