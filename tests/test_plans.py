@@ -30,6 +30,54 @@ def test_no_cartesian_products(spark, name):
     assert not has_cartesian(QUERIES[name](spark, SF_SMOKE)), name
 
 
+# Machine-checked shuffle CEILINGS for headline queries — PLANS.md's
+# narrative as enforcement: a rewrite that quietly adds an exchange to
+# any of these fails here, not in a round-over-round bench diff.
+# Counts are the steady-state serving shape (session artifacts appear
+# as InMemoryRelation, whose internal exchanges shuffle_count already
+# excludes; artifact registration happens at plan build, so the
+# numbers are deterministic under any test order — extra caching can
+# only lower them, never raise).
+_SHUFFLE_BUDGETS = {
+    "pricing_summary": 1,
+    "revenue_by_nation": 1,
+    "effective_alarms": 0,
+    "activation_transitions": 1,
+    "override_set": 3,
+    "effective_registrations": 1,
+    "events_daily": 1,
+    "events_debounce": 1,
+    "lineitem_rollup": 1,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 1,
+    "knn_bruteforce": 0,  # rides the cached ground-truth artifact
+    "knn_lsh": 2,
+    "knn_ivf": 4,
+    "ann_ivfpq": 2,
+    "ann_ivfpq_refined": 6,
+    "pq_quantize": 0,
+    "dsir_resample": 0,
+    "gopher_quality": 0,
+    "pii_redact": 0,
+    "doc_chunks": 0,
+    "contamination": 2,
+    "vocab_topk": 0,
+    "bm25_search": 1,
+    "packed_token_ids": 4,
+    "stratified_sample": 0,
+    "corpus_split": 2,
+    "quality_score": 0,
+    "multimodal_features": 0,
+    "event_type_pivot": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGETS))
+def test_shuffle_budgets(spark, name):
+    got = shuffle_count(QUERIES[name](spark, SF_SMOKE))
+    assert got <= _SHUFFLE_BUDGETS[name], (name, got)
+
+
 def test_revenue_join_strategy(spark):
     """Star join: all four dims broadcast, lineitem never shuffles for
     the joins — the only exchange is the final aggregation."""
