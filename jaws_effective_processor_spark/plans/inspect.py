@@ -99,4 +99,9 @@ def whole_stage_codegen_ids(df: DataFrame) -> list[int]:
     """Distinct whole-stage-codegen span ids — wider spans mean more
     of the plan runs as generated JVM code, not interpreted."""
     plan = explain_str(df, "simple")
-    return sorted({int(m) for m in re.findall(r"WholeStageCodegen \((\d+)\)", plan)})
+    # simple mode renders codegen spans as a "*(n)" operator prefix;
+    # formatted/tree modes spell out "WholeStageCodegen (n)" — match
+    # both so the helper works across render styles
+    ids = {int(m) for m in re.findall(r"WholeStageCodegen \((\d+)\)", plan)}
+    ids |= {int(m) for m in re.findall(r"\*\((\d+)\) ", plan)}
+    return sorted(ids)

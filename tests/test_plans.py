@@ -248,6 +248,31 @@ def test_ivfpq_refined_exact_stage_candidates_only(spark):
     assert "_tk_pid" in plan  # partial_topk at both ranking levels
 
 
+def test_scan_local_queries_stay_in_codegen(spark):
+    """The zero-exchange scan-local family must render whole-stage-
+    codegen spans — the JVM-generated-code property that makes the
+    hot path cheap at 100 TB (a CodegenFallback collapse to fully
+    interpreted projection would pass every correctness test and
+    silently cost 2-10x at scale). Only zero-exchange plans are
+    pinned: AQE's isFinalPlan=false rendering hides the markers for
+    any plan with an exchange, so absence there is a rendering
+    artifact, not a regression (verified r10: pii_redact's projection
+    codegens in isolation)."""
+    from jaws_effective_processor_spark.plans import (
+        whole_stage_codegen_ids,
+    )
+
+    for name in (
+        "pq_quantize",
+        "quality_score",
+        "gopher_quality",
+        "text_stats",
+        "stratified_sample",
+    ):
+        ids = whole_stage_codegen_ids(QUERIES[name](spark, SF_SMOKE))
+        assert ids, name
+
+
 def test_pricing_summary_pushdown(spark):
     """The shipdate predicate reaches the parquet scan (PushedFilters)
     and column pruning drops unused lineitem columns (ReadSchema)."""

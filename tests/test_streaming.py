@@ -1168,6 +1168,78 @@ def test_dsir_gate_matches_batch_resample(spark, tmpdir):
     assert got == batch_kept
 
 
+def test_dsir_gate_novel_vocab_matches_python_replay(spark, tmpdir):
+    """A doc whose grams hash into buckets NO snapshot gram occupies
+    (novel vocabulary) must score those grams at bits 0 — the
+    coalesce path the corpus-replay parity test cannot reach, checked
+    against a plain-Python replay of the whole chain: token md5
+    7-hex-char hashes, the rolling gram combine, bucket fold, DIV
+    weight, clamped rate map, md5(doc_id) draw."""
+    import datetime
+    import hashlib
+
+    from jaws_effective_processor_spark.functions import corpus as C
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    bb = {
+        r["bucket"]: r["bits"]
+        for r in C.dsir_bucket_bits_frame(spark, sf).collect()
+    }
+
+    def replay(doc_id: int, text: str):
+        toks = text.split(" ")
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:7], 16) for t in toks
+        ]
+        grams = []
+        for i in range(len(th) - C.CONTAM_K + 1):
+            acc = th[i]
+            for o in range(1, C.CONTAM_K):
+                acc = (acc * C.CONTAM_MULT + th[i + o]) % C.CONTAM_P
+            grams.append(acc)
+        grams = list(dict.fromkeys(grams))  # array_distinct order
+        if not grams:
+            return None, False
+        wb = sum(bb.get(g % C.DSIR_BUCKETS, 0) for g in grams)
+        # Spark's DIV truncates toward zero; Python // floors, so
+        # divide magnitudes and re-sign (exact integer arithmetic)
+        pgm = (abs(1000 * wb) // len(grams)) * (1 if wb >= 0 else -1)
+        rate = max(0, min(1000, 1000 + (pgm - C.DSIR_CENTER_MILLI) * C.DSIR_SLOPE))
+        draw = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+            % 1000
+        )
+        return sum(1 for g in grams if g % C.DSIR_BUCKETS not in bb), (
+            draw < rate
+        )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1000 + i, " ".join(f"zxqv{i}tok{j}" for j in range(12)), "xx",
+         "novel", t0)
+        for i in range(30)
+    ]
+    novel_misses = [replay(r[0], r[1])[0] for r in rows]
+    assert sum(novel_misses) > 0  # the fixture actually hits empty buckets
+    expected = {r[0] for r in rows if replay(r[0], r[1])[1]}
+
+    feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
+    src = os.path.join(tmpdir, "dsirn_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"dsirn_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.dsir_gate_stream(
+            stream, C.dsir_bucket_bits_frame(spark, sf)
+        ),
+        name,
+        os.path.join(tmpdir, "dsirn_ckpt"),
+    )
+    got = {r["doc_id"] for r in _memory_table(spark, name).collect()}
+    assert got == expected
+
+
 def test_media_gate_parity(spark, tmpdir):
     """The streaming perceptual-hash media gate: (1) broadcast and
     shuffle shapes keep/drop identical rows on the same feed+corpus,
