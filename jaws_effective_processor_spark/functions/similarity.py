@@ -193,9 +193,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir).withColumn("bucket", bucket_of(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = e.alias("c")
+    # the query side is N_QUERIES rows by construction — broadcast it
+    # EXPLICITLY (r10) so the corpus never shuffles on the bucket for
+    # this join at any scale, instead of leaving the static plan a
+    # sort-merge join AQE has to rescue at runtime
     scored = (
-        q.join(
-            c,
+        c.join(
+            F.broadcast(q),
             (F.col("q.bucket") == F.col("c.bucket"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
@@ -289,8 +293,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = cells.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = cells.alias("c")
-    scored = q.join(
-        c,
+    # explicit query-side broadcast (r10): the corpus side must never
+    # shuffle on the cell for a join against N_QUERIES rows
+    scored = c.join(
+        F.broadcast(q),
         (F.col("q.cell") == F.col("c.cell"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),
     ).select(
@@ -339,8 +345,9 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "v", "norm", F.col("cent_id").alias("cell")
     ).alias("q")
-    scored = probes.join(
-        c,
+    # explicit probe-side broadcast (r10): N_QUERIES x IVF_NPROBE rows
+    scored = c.join(
+        F.broadcast(probes),
         (F.col("q.cell") == F.col("c.cell"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),
     ).select(

@@ -52,7 +52,8 @@ _SHUFFLE_BUDGETS = {
     "dedup_minhash_lsh": 1,
     "knn_bruteforce": 0,  # rides the cached ground-truth artifact
     "knn_lsh": 2,
-    "knn_ivf": 4,
+    "knn_ivf": 2,
+    "knn_ivf_multiprobe": 2,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
     "pq_quantize": 0,
