@@ -201,6 +201,13 @@ def _register_relational() -> None:
     # emits exact values + Spark-side bound-check booleans; the oracle
     # emits the exact values + literal TRUE (see q_approx_distinct).
     register("approx_distinct", r.q_approx_distinct, osql.APPROX_DISTINCT_SQL)
+    # round-10 post-window addition (r11 queue per the ledger): the
+    # grouped quantile-vector sketch with integer-exact rank checks
+    register(
+        "approx_percentiles",
+        r.q_approx_percentiles,
+        osql.APPROX_PERCENTILES_SQL,
+    )
     # heavy hitters: same bound-check pattern (sketch inclusion
     # guarantee folded into booleans); registered past the driver's
     # first-50 window — approx_distinct represents the sketch family

@@ -114,6 +114,17 @@ SELECT count(DISTINCT l_partkey)  AS exact_parts,
 FROM lineitem
 """
 
+# Twin of q_approx_percentiles: exact group counts + literal TRUEs —
+# the hash gate passes iff the Spark sketch held its rank contract
+APPROX_PERCENTILES_SQL = """
+SELECT event_type, count(*) AS n_events,
+       TRUE AS p250_rank_ok,
+       TRUE AS p500_rank_ok,
+       TRUE AS p750_rank_ok,
+       TRUE AS p950_rank_ok
+FROM events GROUP BY event_type
+"""
+
 HEAVY_HITTERS_SQL = """
 SELECT event_type, count(*) AS n_events, TRUE AS in_sketch
 FROM events GROUP BY event_type

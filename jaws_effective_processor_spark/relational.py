@@ -325,6 +325,76 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_PERMILLE = (250, 500, 750, 950)  # swept quantiles
+APPROX_PCT_SLACK_PERMILLE = 5  # rank tolerance beyond the sketch's 1e-4
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-quantile sketch (KLL-style percentile_approx),
+    oracle-checkable: per event_type, the exact row count plus one
+    boolean per swept quantile asserting the sketch estimate's RANK
+    interval straddles the target quantile — the approx_distinct
+    pattern extended to a grouped quantile VECTOR (the p50/p95
+    latency-dashboard shape every telemetry pipeline serves).
+
+    Rank check, tie-tolerant and integer-exact: for target q with
+    slack s (both permille), assert 1000 * count(v < est) <=
+    (q + s) * n + 1000 AND 1000 * count(v <= est) >= (q - s) * n -
+    1000 — the +-1000 absorbs single-row discreteness at small
+    groups, and comparing products keeps both engines in BIGINT
+    arithmetic (no float division to disagree on). The oracle emits
+    the exact counts with literal TRUEs, so the hash gate passes iff
+    the sketch held its contract on this data.
+
+    Scale shape: ONE sketch aggregation (map-side partial KLL
+    registers per task — the whole point vs an exact percentile's
+    single-reducer sort), the per-group estimates broadcast back for
+    the rank-count pass, one more grouped aggregation. Never a
+    global sort, never a per-group value collect."""
+    ev = load_table(spark, sf_dir, "events")
+    v = cents(F.col("value"))
+    base = ev.select("event_type", v.alias("_v"))
+    qs = [p / 1000 for p in APPROX_PCT_PERMILLE]
+    sk = base.groupBy("event_type").agg(
+        F.percentile_approx("_v", qs).alias("_est")
+    )
+    j = base.join(F.broadcast(sk), "event_type")
+    counts = j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        *[
+            F.sum(
+                (F.col("_v") < F.element_at(F.col("_est"), i + 1)).cast(
+                    "long"
+                )
+            ).alias(f"_lt{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum(
+                (F.col("_v") <= F.element_at(F.col("_est"), i + 1)).cast(
+                    "long"
+                )
+            ).alias(f"_le{i}")
+            for i in range(len(qs))
+        ],
+    )
+    s = APPROX_PCT_SLACK_PERMILLE
+    checks = [
+        (
+            (
+                F.col(f"_lt{i}") * 1000
+                <= (p + s) * F.col("n_events") + 1000
+            )
+            & (
+                F.col(f"_le{i}") * 1000
+                >= (p - s) * F.col("n_events") - 1000
+            )
+        ).alias(f"p{p}_rank_ok")
+        for i, p in enumerate(APPROX_PCT_PERMILLE)
+    ]
+    return counts.select("event_type", "n_events", *checks)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters (frequent-items sketch) with an oracle-checkable
     inclusion guarantee — the skew-detection primitive of a 100 TB
