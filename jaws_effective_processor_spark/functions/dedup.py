@@ -833,7 +833,7 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{t}L, p{t}, d{t}" for t in DEDUP_LADDER
     )
     return (
-        pair_sums.crossJoin(doc_sums)
+        pair_sums.crossJoin(F.broadcast(doc_sums))
         .select(
             F.expr(
                 f"stack({len(DEDUP_LADDER)}, {stack_args})"

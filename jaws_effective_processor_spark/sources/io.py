@@ -9,6 +9,7 @@ constructed lazily and import-gated where the container lacks the jar.
 
 from __future__ import annotations
 
+import re
 from typing import Mapping, Sequence
 
 import pandas as pd
@@ -440,15 +441,41 @@ def write_clustered(
 
 ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
 
+_ZORDER_RESERVED = re.compile(r"_zkey$|_zmin\d+$|_zmax\d+$|_zrid\d+$")
+
+
+def _check_zorder_names(df: "DataFrame") -> None:
+    """Reject input frames already carrying the Z-order staging names
+    (_zkey, _zmin*/_zmax* stats, _zrid* rank ids) UP FRONT — the same
+    ambiguous-reference guard as with_pq_codes (ADVICE r10): without
+    it the collision surfaces as a deep analysis error inside the
+    write plan, or worse, scales a dimension against the wrong
+    column."""
+    clash = [c for c in df.columns if _ZORDER_RESERVED.match(c)]
+    if clash:
+        raise ValueError(
+            f"write_zordered staging names collide with input "
+            f"columns {clash}; rename them before writing"
+        )
+
 
 def zorder_key(scaled: list, bits: int = ZORDER_BITS) -> "Column":
     """The Morton (Z-order) key: interleave the bits of N columns
     already scaled to [0, 2^bits) ints — bit i of column c lands at
     position i * N + c, so locality in EVERY dimension maps to
     locality in the single sort key. Pure shift/and/add column
-    arithmetic (N x bits terms inside whole-stage codegen), no UDF."""
+    arithmetic (N x bits terms inside whole-stage codegen), no UDF.
+
+    The arity/bit-budget precondition raises ValueError (not assert,
+    which python -O strips — an oversized dimension count would then
+    silently overflow the 64-bit key and scramble the layout;
+    ADVICE r10)."""
     n = len(scaled)
-    assert n >= 1 and n * bits <= 62, (n, bits)
+    if n < 1 or n * bits > 62:
+        raise ValueError(
+            f"zorder_key needs 1 <= n_dims and n_dims * bits <= 62, "
+            f"got n_dims={n}, bits={bits}"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for c_idx, c in enumerate(scaled):
@@ -484,6 +511,7 @@ def write_zordered(
     the write and rows are untouched (pinned, with the per-dimension
     row-group-span contrast vs single-key clustering, by
     tests/test_sources.py::test_write_zordered_tightens_all_dims)."""
+    _check_zorder_names(df)
     num = [F.col(c).cast("double") for c in by]
     stats = df.agg(
         *[F.min(c).alias(f"_zmin{i}") for i, c in enumerate(num)],

@@ -713,7 +713,14 @@ def dsir_gate_stream(docs: DataFrame, bucket_bits: DataFrame) -> DataFrame:
     test_dsir_gate_matches_batch_resample). Documents too short to
     featurize (< CONTAM_K tokens) are DROPPED: the batch weight table
     emits no row for them — no feature mass, no score to admit on
-    (same domain rule as the batch resampler).
+    (same domain rule as the batch resampler). HOLDOUT/TARGET docs
+    (doc_id % HOLDOUT_MOD == 0) are likewise DROPPED at the gate
+    (ADVICE r10): they define the target distribution the weights
+    chase, so the batch resampler never emits a decision for them
+    (its weight table is train-docs only) — admitting one here would
+    leak the target sample into the training corpus AND invent a
+    verdict batch never makes. The gate's domain is therefore exactly
+    the batch domain, with no feed-side precondition.
 
     Scan-local per-row map lookups + integer fold — stateless,
     append-safe, composes anywhere in the ingest chain."""
@@ -721,9 +728,11 @@ def dsir_gate_stream(docs: DataFrame, bucket_bits: DataFrame) -> DataFrame:
         DSIR_BUCKETS,
         DSIR_CENTER_MILLI,
         DSIR_SLOPE,
+        HOLDOUT_MOD,
         with_contam_grams,
     )
 
+    docs = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
     bmap = bucket_bits.agg(
         F.map_from_entries(
             F.collect_list(F.struct("bucket", "bits"))

@@ -395,3 +395,35 @@ def test_write_zordered_tightens_all_dims(spark, tmpdir):
     for col in ("x", "y"):
         got, nrg = dim_spans(zdir, col)
         assert got <= 0.5 * nrg * data_range, (col, got, nrg)
+
+
+def test_zorder_preconditions_raise(spark, tmpdir):
+    """The Z-order guards fail FAST with ValueError (ADVICE r10):
+    (1) zorder_key's bit budget is a real exception, not an
+    -O-strippable assert — 4 dims x 16 bits overflows the 64-bit key;
+    (2) write_zordered rejects input frames already carrying its
+    staging names (_zkey / _zmin* / _zmax* / _zrid*) up front instead
+    of failing deep in the write plan or scaling against the wrong
+    column."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.sources.io import (
+        write_zordered,
+        zorder_key,
+    )
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key([F.col("a"), F.col("b"), F.col("c"), F.col("d")], 16)
+    with _pytest.raises(ValueError, match="n_dims"):
+        zorder_key([], 16)
+
+    out = os.path.join(str(tmpdir), "zclash")
+    for bad in ("_zkey", "_zmin0", "_zmax1", "_zrid0"):
+        df = spark.range(4).select(
+            F.col("id").alias("x"), F.col("id").alias(bad)
+        )
+        with _pytest.raises(ValueError, match="collide"):
+            write_zordered(df, out, ["x"])

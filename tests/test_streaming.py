@@ -1115,12 +1115,16 @@ def test_importance_gate_stream_matches_batch(spark, tmpdir):
 
 def test_dsir_gate_matches_batch_resample(spark, tmpdir):
     """The streaming DSIR gate keeps exactly the documents the batch
-    q_dsir_resample marks kept=true on the same corpus: the sf0.001
-    train docs replayed as a feed against the broadcast 2^16-bucket
-    bits table land the identical kept set (shared gram hashing,
-    bucket lookup, DIV weight, rate map, and md5 draw), and a doc too
-    short to featurize never passes the gate (the batch weight table
-    has no row for it). The fixture must actually split."""
+    q_dsir_resample marks kept=true on the same corpus: the FULL
+    sf0.001 documents table replayed as a feed (holdout/target docs
+    included — the gate itself must drop them, ADVICE r10: batch
+    emits no decision for the target sample, so admitting one would
+    both diverge from batch and leak the target into the training
+    corpus) against the broadcast 2^16-bucket bits table lands the
+    identical kept set (shared gram hashing, bucket lookup, DIV
+    weight, rate map, and md5 draw), and a doc too short to featurize
+    never passes the gate (the batch weight table has no row for it).
+    The fixture must actually split and must contain holdout docs."""
     import datetime
 
     from jaws_effective_processor_spark.entry_queries import QUERIES
@@ -1138,7 +1142,8 @@ def test_dsir_gate_matches_batch_resample(spark, tmpdir):
 
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     docs = load_table(spark, sf, "documents")
-    feed = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
+    assert docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0).count() > 0
+    feed = docs.select(
         "doc_id",
         "text",
         "lang",
@@ -1222,7 +1227,14 @@ def test_dsir_gate_novel_vocab_matches_python_replay(spark, tmpdir):
     ]
     novel_misses = [replay(r[0], r[1])[0] for r in rows]
     assert sum(novel_misses) > 0  # the fixture actually hits empty buckets
-    expected = {r[0] for r in rows if replay(r[0], r[1])[1]}
+    # doc_id 1000 is a HOLDOUT id (1000 % HOLDOUT_MOD == 0) — the gate
+    # must drop it regardless of its draw (ADVICE r10 domain rule)
+    assert any(r[0] % C.HOLDOUT_MOD == 0 for r in rows)
+    expected = {
+        r[0]
+        for r in rows
+        if r[0] % C.HOLDOUT_MOD != 0 and replay(r[0], r[1])[1]
+    }
 
     feed = spark.createDataFrame(rows, ingest.DOC_FEED_SCHEMA)
     src = os.path.join(tmpdir, "dsirn_feed")
