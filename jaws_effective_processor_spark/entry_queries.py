@@ -30,6 +30,23 @@ ORACLE_SQL: dict[str, str] = {}
 # reflect execution, which is what scales with data.
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 
+# Analyzed-plan retention cap for sessions THIS ENGINE DID NOT BUILD
+# (no spark.jaws.engineSession tag — e.g. the round driver's plain
+# default-1g-heap session): 150 registry plans pin ~100 MB of JVM
+# logical-plan trees via py4j (measured r11), which a one-execution-
+# per-query driver pass never re-reads — on a small foreign heap that
+# retention helped OOM the tail of the registry sweep. Our own
+# get_spark sessions (16g, the bench's 5x-interleaved repeat
+# executions) keep the unbounded prepared-statement behavior.
+_FOREIGN_PLAN_CACHE_MAX = 16
+
+
+def _is_engine_session(spark: SparkSession) -> bool:
+    try:
+        return spark.conf.get("spark.jaws.engineSession", "false") == "true"
+    except Exception:  # stopped/broken session — treat as foreign
+        return False
+
 
 def _wrap(
     name: str,
@@ -53,6 +70,12 @@ def _wrap(
         if df is None:
             pin_session_conf(spark)
             df = fn(spark, sf_dir)
+            if not _is_engine_session(spark):
+                mine = [
+                    k for k in _PLAN_CACHE if k[0] is spark
+                ]
+                for k in mine[: max(0, len(mine) + 1 - _FOREIGN_PLAN_CACHE_MAX)]:
+                    del _PLAN_CACHE[k]
             _PLAN_CACHE[key] = df
         return df
 
@@ -652,6 +675,13 @@ def _register_llm() -> None:
         "ann_refine_curve",
         similarity.q_ann_refine_curve,
         osql.ANN_REFINE_CURVE_SQL,
+    )
+    # round-11 addition (the r10 verdict's top item): the ROUTING
+    # tuning curve — refined-path recall@TOP_K swept over nprobe
+    register(
+        "ann_probe_curve",
+        similarity.q_ann_probe_curve,
+        osql.ANN_PROBE_CURVE_SQL,
     )
 
 

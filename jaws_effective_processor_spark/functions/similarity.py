@@ -1315,6 +1315,149 @@ def q_ann_refine_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_CURVE_NPROBES = (1, IVF_NPROBE, 4, N_CELLS)  # routing sweep
+
+
+def _ivfpq_scored_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC candidate frame at EXHAUSTIVE routing — nprobe =
+    max(PROBE_CURVE_NPROBES) = N_CELLS — with the probe rank
+    retained: (query_id, neighbor_id, probe_rn, _cos_hat), where
+    probe_rn is the rank (by query-to-centroid cosine) of the cell
+    the candidate lives in among the query's probes. Corpus vectors
+    live in exactly ONE cell, so the candidate sets of different
+    nprobe settings NEST: any swept nprobe's candidate frame is the
+    filter probe_rn <= nprobe over this one — the probe sweep scores
+    the corpus ADC-side exactly once, not once per setting. Same
+    session artifacts and physical shape as _ivfpq_scored (cell
+    equi-join against the broadcast probes x LUTs query side)."""
+    cb = _pq_codebook(spark, sf_dir)
+    cd = _pq_codebook_double(cb)
+    codes = _pq_codes(spark, sf_dir)
+    ranked = _ranked_cells(spark, sf_dir)
+    corpus = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(codes, "vec_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES)
+        & (F.col("rn") <= max(PROBE_CURVE_NPROBES))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("cell"),
+        F.col("rn").cast("long").alias("probe_rn"),
+    )
+    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    return corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "probe_rn",
+        _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+
+
+def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUTING tuning curve: total recall@TOP_K of the refined
+    IVFADC serve path as a function of nprobe — the standard FAISS
+    recall/latency trade, and the r10 verdict's #1 quality lever: the
+    refine stage lifted serve recall to the point where the PROBES,
+    not the scorer, are the binding constraint (a true neighbor in an
+    unprobed cell is unreachable at any shortlist size k'). Each row
+    is the full refined pipeline (ADC shortlist REFINE_K -> exact
+    re-rank -> top-k) at nprobe in PROBE_CURVE_NPROBES; the last row
+    (nprobe = N_CELLS) is exhaustive routing — the scorer-only
+    ceiling, read next to ann_pq_recall. ann_refine_curve is the k'
+    axis of the same trade; this is the nprobe axis.
+
+    COST DISCLOSURE: serve-time candidate count grows LINEARLY in
+    nprobe (each probe adds ~corpus/N_CELLS ADC-scored candidates per
+    query), so a default change is a latency decision, not a free
+    win — the curve plus that linear cost is exactly the evidence the
+    decision needs (see PLANS.md round-11 for the measured curve and
+    the default's rationale).
+
+    Cost shape of the CURVE itself: NOT |sweep|-many index passes —
+    the corpus is ADC-scored once at exhaustive routing with the
+    probe rank retained (_ivfpq_scored_probed; candidate sets nest,
+    so each swept nprobe is a filter), each per-(nprobe, query)
+    shortlist is the two-level partial_topk, and the exact stage is
+    q_ann_ivfpq_refined's candidates-only broadcast lookup with
+    nprobe riding along in the group key: the (nprobe, query) x
+    REFINE_K shortlist broadcasts into the raw-vector scan, so the
+    corpus is never exact-scored (a pair shortlisted under several
+    nprobe settings folds its dot once per setting — sweep x k'
+    bounded, cheaper than a distinct + join-back that re-shuffles the
+    shortlist). One row per swept nprobe, emitted even at zero
+    hits."""
+    scored = _ivfpq_scored_probed(spark, sf_dir)
+    ps = F.array(
+        *[F.lit(p).cast("long") for p in PROBE_CURVE_NPROBES]
+    )
+    staged = scored.select("*", F.explode(ps).alias("nprobe")).filter(
+        F.col("probe_rn") <= F.col("nprobe")
+    )
+    short = partial_topk(
+        staged,
+        ["nprobe", "query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("nprobe", "query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    approx = partial_topk(
+        exact,
+        ["nprobe", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("nprobe", "query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    ps_df = spark.range(1).select(F.explode(ps).alias("nprobe"))
+    return (
+        ps_df.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})")
+            .alias("recall_permille"),
+        )
+    )
+
+
 def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ trainer's convergence curve AS THE STOP RULE SAW IT:
     per round, the TOTAL quantization distortion (sum over vectors x

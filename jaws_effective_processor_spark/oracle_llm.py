@@ -1666,11 +1666,10 @@ FROM j GROUP BY lang
 """
 
 
-# Shared IVFADC scored-candidate CTE chain (through `scored`): IVF
-# cell routing (KNN_IVF_MULTIPROBE_SQL's assigned/cells/probes) + ADC
-# scoring from codes via the shared LUT joins — consumed by the
-# ADC-ranked serve twin, the refine twin, and the refine recall twin
-_IVFPQ_SCORED_CTES = f"""{_PQ_CTES},
+# Shared IVFADC ROUTING prefix (through `cells`): PQ artifacts + ADC
+# LUTs + the IVF cell assignment — consumed by the nprobe-pinned
+# scored chain below AND the probe-curve twin (which sweeps nprobe)
+_IVFPQ_ROUTE_CTES = f"""{_PQ_CTES},
 {_PQ_ADC_CTES},
 lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.j,
@@ -1697,25 +1696,38 @@ assigned AS (
 ),
 cells AS (
   SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1
-),
+)"""
+
+# the ADC score expression shared by the pinned chain and the sweep
+_ADC_COS_HAT_EXPR = f"""CASE
+         WHEN ({" + ".join(f"l{m}.cn2" for m in range(PQ_M))}) > 0
+              THEN ({" + ".join(f"l{m}.d" for m in range(PQ_M))})
+                   / (p.norm * sqrt(
+                        {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
+              ELSE -2.0 END"""
+
+_ADC_LUT_JOINS = " ".join(
+    f"JOIN lut l{m} ON l{m}.query_id = p.vec_id AND l{m}.m = {m}"
+    f" AND l{m}.j = k.code_{m}"
+    for m in range(PQ_M)
+)
+
+# Shared IVFADC scored-candidate CTE chain (through `scored`): the
+# routing prefix + probes at the serving default IVF_NPROBE + ADC
+# scoring from codes via the shared LUT joins — consumed by the
+# ADC-ranked serve twin, the refine twin, and the refine recall twin
+_IVFPQ_SCORED_CTES = f"""{_IVFPQ_ROUTE_CTES},
 probes AS (
   SELECT vec_id, norm, cent_id AS cell FROM assigned
   WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
 ),
 scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CASE WHEN ({" + ".join(f"l{m}.cn2" for m in range(PQ_M))}) > 0
-              THEN ({" + ".join(f"l{m}.d" for m in range(PQ_M))})
-                   / (p.norm * sqrt(
-                        {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
-              ELSE -2.0 END AS cos_hat
+         {_ADC_COS_HAT_EXPR} AS cos_hat
   FROM probes p
   JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
   JOIN codes k ON k.vec_id = c.vec_id
-  {" ".join(
-    f"JOIN lut l{m} ON l{m}.query_id = p.vec_id AND l{m}.m = {m}"
-    f" AND l{m}.j = k.code_{m}" for m in range(PQ_M)
-  )}
+  {_ADC_LUT_JOINS}
 )"""
 
 # Twin of q_ann_ivfpq: ADC-ranked top-k over the shared scored chain;
@@ -1821,6 +1833,79 @@ SELECT k.k_refine,
        (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
          // (nq.n * {TOP_K}) AS recall_permille
 FROM ks k LEFT JOIN hits h USING (k_refine), nq
+"""
+
+
+# Twin of q_ann_probe_curve: refined-path recall@TOP_K vs nprobe —
+# the corpus ADC-scored ONCE at exhaustive routing with the probe
+# rank retained (candidate sets nest), each swept nprobe a filter,
+# the exact stage scoring the distinct shortlist union once
+from .functions.similarity import PROBE_CURVE_NPROBES  # noqa: E402
+
+ANN_PROBE_CURVE_SQL = f"""
+WITH {_IVFPQ_ROUTE_CTES},
+probesx AS (
+  SELECT vec_id, norm, cent_id AS cell, CAST(rn AS BIGINT) AS probe_rn
+  FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {max(PROBE_CURVE_NPROBES)}
+),
+scoredp AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.probe_rn,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probesx p
+  JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+ps AS (
+  SELECT CAST(p AS BIGINT) AS nprobe
+  FROM (VALUES {", ".join(f"({p})" for p in PROBE_CURVE_NPROBES)}) t(p)
+),
+shortp AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT ps.nprobe, s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY ps.nprobe, s.query_id
+                              ORDER BY s.cos_hat DESC, s.neighbor_id)
+             AS rn
+    FROM scoredp s JOIN ps ON s.probe_rn <= ps.nprobe
+  ) WHERE rn <= {REFINE_K}
+),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id FROM shortp
+),
+exactp AS (
+  SELECT x.query_id, x.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM pairs x
+  JOIN e q ON q.vec_id = x.query_id
+  JOIN e c ON c.vec_id = x.neighbor_id
+),
+curanked AS (
+  SELECT s.nprobe, s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.nprobe, s.query_id
+                            ORDER BY x.cos DESC, s.neighbor_id) AS rank
+  FROM shortp s JOIN exactp x USING (query_id, neighbor_id)
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id FROM curanked
+  WHERE rank <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN bf USING (query_id, neighbor_id)
+  GROUP BY a.nprobe
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT p.nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
+         // (nq.n * {TOP_K}) AS recall_permille
+FROM ps p LEFT JOIN hits h USING (nprobe), nq
 """
 
 

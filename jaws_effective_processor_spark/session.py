@@ -47,6 +47,12 @@ def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # marks sessions built by this engine: consumers that trade
+        # memory for repeat-execution speed (entry_queries._PLAN_CACHE)
+        # may do so without bound ONLY on our own sized sessions — a
+        # foreign session (the round driver's plain default-heap one)
+        # gets a capped cache instead
+        .config("spark.jaws.engineSession", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,6 +70,20 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+    # A foreign plain session arrives with the 200-partition shuffle
+    # default. At local scale that inflates every exchange to 200
+    # tasks whose driver-side status-store metadata (TaskDataWrapper
+    # + metrics rows) accumulates across a long many-query session —
+    # measured r11: a default-1g-heap driver session OOMed on the
+    # 150th registry query with ~880 MB live after GC, a large slice
+    # of it task/metric bookkeeping. Right-size to the machine's
+    # parallelism; AQE partition coalescing already makes the runtime
+    # shape equivalent, and no query's RESULT depends on the
+    # partition count (every ranking rides a total order).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parallelism())
+        )
     # Robustness to the testdata's physical timestamp encoding: the
     # current testdata stores TIMESTAMP(micros, NTZ), which Spark reads
     # natively. If a dataset ships TIMESTAMP(NANOS) — which Spark's

@@ -56,6 +56,10 @@ _SHUFFLE_BUDGETS = {
     "knn_ivf_multiprobe": 2,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
+    "ann_refine_curve": 12,
+    "ann_probe_curve": 11,  # r11 (land-with-budget rule): one ADC
+    # pass at exhaustive routing, two partial_topk levels over the
+    # (nprobe, query) sweep, bounded k-row evaluation joins
     "pq_quantize": 0,
     "dsir_resample": 0,
     "gopher_quality": 0,
@@ -247,6 +251,29 @@ def test_ivfpq_refined_exact_stage_candidates_only(spark):
     assert "SortMergeJoin" not in plan
     assert not has_cartesian(df)
     assert "_tk_pid" in plan  # partial_topk at both ranking levels
+
+
+def test_probe_curve_exact_stage_candidates_only(spark):
+    """The nprobe sweep keeps the refine stage's candidates-only
+    property: the (nprobe, query) x REFINE_K shortlist BROADCASTS
+    into the raw-vector scan keyed on neighbor_id (the corpus is
+    never exact-scored at any swept setting), the corpus is
+    ADC-scored ONCE at exhaustive routing (probe ranks retained, each
+    swept nprobe a filter — the plan has exactly one cell equi-join
+    against a broadcast probe/LUT side), and both ranking levels ride
+    partial_topk."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_probe_curve,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = q_ann_probe_curve(spark, SF_SMOKE)
+    plan = explain_str(df)
+    subs = broadcast_subtrees(df)
+    assert len(subs) >= 3, subs
+    assert "Left keys [1]: [neighbor_id" in plan
+    assert not has_cartesian(df)
+    assert "_tk_pid" in plan
 
 
 def test_scan_local_queries_stay_in_codegen(spark):

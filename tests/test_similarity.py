@@ -208,6 +208,37 @@ def test_refine_curve_anchor_and_monotone(spark):
     assert all(rows[a] <= rows[b] for a, b in zip(ks, ks[1:])), rows
 
 
+def test_probe_curve_anchor_and_routing_lift(spark):
+    """The nprobe sweep is internally consistent: (1) one row per
+    swept setting; (2) the nprobe = IVF_NPROBE row reproduces the
+    refined serve path's total recall exactly (same shortlist, same
+    re-rank — the sweep at the serving default IS q_ann_ivfpq_refined
+    evaluated by q_ann_refine_recall); (3) the ceiling lift the curve
+    exists to show: probing more cells than the serving default lifts
+    refined recall (measured: 220 -> 380 permille at nprobe 2 -> 4 at
+    sf0.01; 300 -> 400 at sf0.1). NO monotonicity assertion across
+    the whole sweep, deliberately: at FIXED shortlist size k', extra
+    probed cells flood the ADC shortlist and can displace true
+    neighbors the ADC misjudges (measured at sf0.1: nprobe=8 lands
+    360 < nprobe=4's 400), so the two knobs interact — that
+    interaction is exactly what the curve is for."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    rows = {
+        r["nprobe"]: (r["n_hits"], r["recall_permille"])
+        for r in s.q_ann_probe_curve(spark, SF_ORACLE).collect()
+    }
+    assert sorted(rows) == sorted(s.PROBE_CURVE_NPROBES)
+    ref = s.q_ann_refine_recall(spark, SF_ORACLE).collect()
+    total = sum(r["n_hits"] for r in ref) * 1000 // (
+        len(ref) * s.TOP_K
+    )
+    assert rows[s.IVF_NPROBE][1] == total, (rows, total)
+    lifted = max(p for p in s.PROBE_CURVE_NPROBES if p > s.IVF_NPROBE)
+    assert rows[4][1] > rows[s.IVF_NPROBE][1], rows
+    assert lifted in rows
+
+
 def test_pq_exact_duplicates_code_identically(spark):
     """Coding is a pure function of the vector: exact-duplicate
     embeddings get identical codes (and the packed code is the base-K
