@@ -886,6 +886,58 @@ _register_llm()
 # multimodal_features + stratified_sample + doc_chunks via
 # multimodal frames/meta r8 evidence + the packing family's
 # in-window gopher/quality rows.
+# Round 11 rotation — drain the r5/r6 evidence tails to zero.
+# Composition:
+#   15 alarm-core keepers (every round).
+#    1 round-11 addition (ann_probe_curve — the nprobe routing curve,
+#      in window the round it lands per the standing rule).
+#    2 NEVER_CHECKED r10 post-window additions (ann_refine_curve,
+#      approx_percentiles — first in line per the ledger).
+#    3 REWRITTEN_SINCE_CHECK: knn_lsh + knn_ivf (r10 post-window
+#      explicit query-side broadcast rewrite — their r9-green rows
+#      describe the old statically-planned sort-merge join) and
+#      dedup_threshold_curve (r11: explicit F.broadcast on the
+#      one-row doc_sums crossJoin side — r8-green row predates it).
+#    2 EVIDENCE_AGE r5 tail (queue head per the r10 ledger):
+#      token_counts, multimodal_meta — the LAST r5-evidence rows.
+#   18 EVIDENCE_AGE r6 cohort, in full — the LAST r6-evidence rows.
+#    9 oldest r7-evidence rows chosen for family representation
+#      (events_rollup_multires: grouping-sets/multires; kmeans_assign
+#      + kmeans_label_purity: clustering; bigram_pmi + token_entropy:
+#      token-stats; nearest_neighbor_jaccard: candidate-verify dedup;
+#      doc_length_deciles: histogram reports; language_confusion:
+#      lang QA; mixture_temperature: mixture census). The 11
+#      remaining r7 rows head the r12 queue.
+# After this window: zero r5 and zero r6 evidence remains; zero
+# NEVER_CHECKED and zero REWRITTEN carryover.
+# NOTE (environment-level change, not per-query rewrites): r11's
+# pin_session_conf right-sizes shuffle partitions for foreign
+# sessions arriving at the 200 default — it changes no logical plan
+# and no result (partition counts never affect a result; every
+# ranking rides a total order), so it does not re-enter rotated-out
+# queries under the REWRITTEN rule; this round's full window runs
+# under the new conf either way.
+# Swapped-out r10-greens all keep in-window siblings: the PQ/IVFADC
+# family (pq_quantize/pq_train_round/pq_train_trace/ann_pq_recall/
+# ann_ivfpq/ann_ivfpq_refined/ann_refine_recall/ann_recall/
+# vocab_coverage/ann_cell_balance) via ann_probe_curve +
+# ann_refine_curve (which compose the identical codebook, LUT, cell
+# routing, shortlist, and recall machinery) + knn_lsh/knn_ivf +
+# embedding_quantize/doc_embedding_norms (exact fixed-point vector
+# math, in-window r6 rows); the r5 relational/dedup/gopher cohort
+# checked r10 (approx_distinct, asof_last_purchase, bloom_dedup_gate,
+# curation_funnel, customer_value_bands, decontaminate,
+# dedup_ngram_jaccard, event_funnel, events_sessionization,
+# fuzzy_name_pairs, language_id, lineitem_cube, merge_upsert,
+# order_percentiles, parts_above_brand_avg, parts_without_orders,
+# quality_score, range_copurchase, revenue_by_nation,
+# scalar_functions, segment_custkeys_setops, semdedup_keep,
+# gopher_quality, effective_registrations_nested, dsir_mixture_shift)
+# retains fresh r10 evidence by definition — EVIDENCE_AGE re-queues
+# them at r14; their families are additionally represented by
+# in-window top_orders_per_customer, corpus_split, block_dedup,
+# dedup_normalized, pii_scan, language_confusion, and the three
+# nested projections.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -903,49 +955,47 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # NEVER_CHECKED round-9 post-window additions (first in line per
-    # the ledger rule)
-    "vocab_coverage",
-    "ann_cell_balance",
-    # round-10 additions — driver-checked the round they land
-    "ann_ivfpq_refined",
-    "ann_refine_recall",
-    # REWRITTEN_SINCE_CHECK (r10 convergence-depth PQ trainer +
-    # helper extractions + the dsir share guard/rename)
-    "pq_quantize",
-    "pq_train_round",
-    "pq_train_trace",
-    "ann_pq_recall",
-    "ann_ivfpq",
-    "ann_recall",
-    "dsir_mixture_shift",
-    # EVIDENCE_AGE: the r5-evidence cohort, oldest first
-    # (effective_registrations_nested + gopher_quality head the queue
-    # per the r9 ledger; 24 of 26 fit this window)
-    "effective_registrations_nested",
-    "gopher_quality",
-    "approx_distinct",
-    "asof_last_purchase",
-    "bloom_dedup_gate",
-    "curation_funnel",
-    "customer_value_bands",
-    "decontaminate",
-    "dedup_ngram_jaccard",
-    "event_funnel",
-    "events_sessionization",
-    "fuzzy_name_pairs",
-    "language_id",
-    "lineitem_cube",
-    "merge_upsert",
-    "order_percentiles",
-    "parts_above_brand_avg",
-    "parts_without_orders",
-    "quality_score",
-    "range_copurchase",
-    "revenue_by_nation",
-    "scalar_functions",
-    "segment_custkeys_setops",
-    "semdedup_keep",
+    # round-11 addition — driver-checked the round it lands
+    "ann_probe_curve",
+    # NEVER_CHECKED round-10 post-window additions
+    "ann_refine_curve",
+    "approx_percentiles",
+    # REWRITTEN_SINCE_CHECK
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_threshold_curve",
+    # EVIDENCE_AGE: the last two r5-evidence rows
+    "token_counts",
+    "multimodal_meta",
+    # EVIDENCE_AGE: the full 18-row r6 cohort
+    "block_dedup",
+    "corpus_mixture",
+    "corpus_split",
+    "dedup_cluster_sizes",
+    "dedup_normalized",
+    "doc_embedding_norms",
+    "dup_gram_coverage",
+    "effective_notifications_nested",
+    "effective_state_history_nested",
+    "embedding_quantize",
+    "intermediate_monolog_nested",
+    "inverted_index",
+    "keyword_topk",
+    "pack_sequences",
+    "pii_scan",
+    "shard_skew_report",
+    "token_rarity",
+    "top_orders_per_customer",
+    # EVIDENCE_AGE: 8 oldest r7-evidence rows (family spread)
+    "events_rollup_multires",
+    "kmeans_assign",
+    "kmeans_label_purity",
+    "bigram_pmi",
+    "token_entropy",
+    "nearest_neighbor_jaccard",
+    "doc_length_deciles",
+    "language_confusion",
+    "mixture_temperature",
 ]
 
 
