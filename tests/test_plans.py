@@ -30,50 +30,167 @@ def test_no_cartesian_products(spark, name):
     assert not has_cartesian(QUERIES[name](spark, SF_SMOKE)), name
 
 
-# Machine-checked shuffle CEILINGS for headline queries — PLANS.md's
-# narrative as enforcement: a rewrite that quietly adds an exchange to
-# any of these fails here, not in a round-over-round bench diff.
+# Machine-checked shuffle CEILINGS for EVERY registered query —
+# PLANS.md's narrative as enforcement: a rewrite that quietly adds an
+# exchange to any of these fails here, not in a round-over-round
+# bench diff. Land-with-budget rule (PLANS.md round-11): every NEW
+# registered query gets its ceiling the round it lands.
 # Counts are the steady-state serving shape (session artifacts appear
 # as InMemoryRelation, whose internal exchanges shuffle_count already
 # excludes; artifact registration happens at plan build, so the
 # numbers are deterministic under any test order — extra caching can
 # only lower them, never raise).
 _SHUFFLE_BUDGETS = {
-    "pricing_summary": 1,
-    "revenue_by_nation": 1,
-    "effective_alarms": 0,
     "activation_transitions": 1,
-    "override_set": 3,
-    "effective_registrations": 1,
-    "events_daily": 1,
-    "events_debounce": 1,
-    "lineitem_rollup": 1,
-    "dedup_exact": 1,
-    "dedup_minhash_lsh": 1,
-    "knn_bruteforce": 0,  # rides the cached ground-truth artifact
-    "knn_lsh": 2,
-    "knn_ivf": 2,
-    "knn_ivf_multiprobe": 2,
+    "alarm_snapshot_cdc": 2,
+    "ann_cell_balance": 3,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
+    "ann_pq_recall": 6,
+    "ann_probe_curve": 11,
+    "ann_recall": 6,
     "ann_refine_curve": 12,
-    "ann_probe_curve": 11,  # r11 (land-with-budget rule): one ADC
-    # pass at exhaustive routing, two partial_topk levels over the
-    # (nprobe, query) sweep, bounded k-row evaluation joins
-    "pq_quantize": 0,
-    "dsir_resample": 0,
-    "gopher_quality": 0,
-    "pii_redact": 0,
-    "doc_chunks": 0,
-    "contamination": 2,
-    "vocab_topk": 0,
+    "ann_refine_recall": 10,
+    "approx_distinct": 7,
+    "approx_percentiles": 2,
+    "asof_last_purchase": 2,
+    "best_of_source": 2,
+    "bigram_pmi": 1,
+    "block_dedup": 2,
+    "bloom_dedup_gate": 3,
     "bm25_search": 1,
-    "packed_token_ids": 4,
-    "stratified_sample": 0,
+    "bpe_merge_round": 1,
+    "bpe_pair_counts": 0,
+    "contamination": 2,
+    "context_length_report": 2,
+    "corpus_mixture": 2,
     "corpus_split": 2,
-    "quality_score": 0,
-    "multimodal_features": 0,
+    "curation_funnel": 2,
+    "customer_order_windows": 1,
+    "customer_value_bands": 1,
+    "decontaminate": 0,
+    "dedup_cluster_sizes": 2,
+    "dedup_clusters": 0,
+    "dedup_exact": 1,
+    "dedup_keep": 2,
+    "dedup_minhash_lsh": 1,
+    "dedup_ngram_jaccard": 0,
+    "dedup_normalized": 1,
+    "dedup_simhash": 0,
+    "dedup_simhash_pairs": 1,
+    "dedup_threshold_curve": 3,
+    "distinct_counts": 7,
+    "doc_chunks": 0,
+    "doc_embedding_norms": 1,
+    "doc_fingerprint": 0,
+    "doc_length_deciles": 1,
+    "doc_repetition": 0,
+    "dsir_mixture_shift": 3,
+    "dsir_resample": 0,
+    "dsir_weights": 0,
+    "dup_gram_coverage": 2,
+    "effective_alarms": 0,
+    "effective_alarms_nested": 0,
+    "effective_notifications": 0,
+    "effective_notifications_nested": 0,
+    "effective_registrations": 1,
+    "effective_registrations_nested": 1,
+    "effective_state_history": 0,
+    "effective_state_history_nested": 0,
+    "embedding_neardup": 1,
+    "embedding_outliers": 2,
+    "embedding_quantize": 0,
+    "event_funnel": 5,
     "event_type_pivot": 2,
+    "event_type_unpivot": 2,
+    "events_daily": 1,
+    "events_debounce": 1,
+    "events_rollup_multires": 1,
+    "events_sessionization": 1,
+    "fuzzy_name_pairs": 1,
+    "gopher_quality": 0,
+    "hard_negatives": 5,
+    "heavy_hitters": 2,
+    "importance_resampling": 0,
+    "incremental_effective_alarms": 6,
+    "intermediate_monolog_nested": 0,
+    "inverted_index": 1,
+    "json_array_functions": 0,
+    "keyword_topk": 1,
+    "kmeans_assign": 0,
+    "kmeans_balanced_sample": 4,
+    "kmeans_centroid_shift": 7,
+    "kmeans_label_purity": 2,
+    "kmeans_report": 1,
+    "knn_bruteforce": 0,
+    "knn_ivf": 2,
+    "knn_ivf_multiprobe": 2,
+    "knn_label_vote": 2,
+    "knn_lsh": 2,
+    "language_confusion": 2,
+    "language_id": 0,
+    "latch_overrides": 0,
+    "lineitem_cube": 1,
+    "lineitem_rollup": 1,
+    "mask_overrides": 2,
+    "media_dedup_keep": 2,
+    "media_neardup": 1,
+    "merge_upsert": 1,
+    "minhash_band_stats": 2,
+    "minhash_calibration": 2,
+    "mixture_rebalance": 2,
+    "mixture_temperature": 2,
+    "multimodal_features": 0,
+    "multimodal_frames": 0,
+    "multimodal_meta": 0,
+    "nearest_neighbor_jaccard": 3,
+    "ngram_lm_bits": 1,
+    "ondelay_expirations": 2,
+    "ondelay_overrides": 1,
+    "oneshot_tombstones": 0,
+    "order_percentiles": 1,
+    "order_priority": 1,
+    "override_set": 3,
+    "pack_sequences": 1,
+    "packed_token_ids": 4,
+    "packing_report": 1,
+    "parts_above_brand_avg": 1,
+    "parts_without_orders": 1,
+    "phrase_search": 0,
+    "pii_redact": 0,
+    "pii_scan": 0,
+    "pq_quantize": 0,
+    "pq_train_round": 740,  # the statically-rendered Lloyd training chain (runs once per corpus snapshot; SERVING reads the shipped codebook at pq_quantize's 0)
+    "pq_train_trace": 4,
+    "pricing_summary": 1,
+    "quality_calibration": 2,
+    "quality_logit": 1,
+    "quality_score": 0,
+    "rag_bucket_report": 2,
+    "range_copurchase": 1,
+    "registration_scd2": 1,
+    "revenue_by_nation": 1,
+    "scalar_functions": 0,
+    "segment_custkeys_setops": 3,
+    "semdedup_keep": 2,
+    "shard_skew_report": 2,
+    "shelve_expirations": 2,
+    "source_overlap": 5,
+    "source_quality_report": 2,
+    "split_leakage": 1,
+    "stopword_candidates": 2,
+    "stratified_sample": 0,
+    "text_stats": 0,
+    "token_counts": 0,
+    "token_entropy": 1,
+    "token_rarity": 1,
+    "tokenizer_fertility": 1,
+    "top_customers": 1,
+    "top_orders_per_customer": 1,
+    "unigram_surprisal": 2,
+    "user_retention_cohorts": 3,
+    "vocab_coverage": 1,
+    "vocab_topk": 0,
 }
 
 
