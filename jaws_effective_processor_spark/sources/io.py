@@ -440,6 +440,11 @@ def write_clustered(
 
 
 ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+# rank ("range-id") scaling default: 2^8 = 256 equi-depth buckets per
+# dimension — the per-row rank fold is O(2^bits) comparisons, so rank
+# mode trades key resolution for skew robustness (Delta's OPTIMIZE
+# ZORDER uses ~1000 range ids for the same reason)
+ZORDER_RANK_BITS = 8
 
 _ZORDER_RESERVED = re.compile(r"_zkey$|_zmin\d+$|_zmax\d+$|_zrid\d+$")
 
@@ -488,8 +493,9 @@ def write_zordered(
     df: "DataFrame",
     out_path: str,
     by: list,
-    bits: int = ZORDER_BITS,
+    bits: int | None = None,
     max_records_per_file: int = 1_000_000,
+    scaling: str = "linear",
 ) -> None:
     """Write a table Z-ORDERED on several numeric columns — the
     multi-dimensional generalization of write_clustered: single-key
@@ -500,35 +506,80 @@ def write_zordered(
     skips row groups/files (what Delta/Iceberg ship as OPTIMIZE
     ZORDER BY).
 
-    Each dimension is min/max-scaled to [0, 2^bits) through a ONE-ROW
-    broadcast stats frame (two aggregates per column, no shuffle of
-    the data for the scaling; a constant column scales to 0). That is
-    the sampling-free variant of Delta's range-id normalization —
-    linear, so heavily skewed dimensions get fewer effective buckets;
-    acceptable for the synthetic-uniform and timestamp/id shapes the
-    engine lands, and the stats pin in test_sources.py would surface
-    a regression. Layout only: the synthetic key is dropped before
+    Two scaling modes map each dimension to [0, 2^bits) ints:
+
+    - ``scaling="linear"`` (default, bits defaults to ZORDER_BITS):
+      min/max scaling through a ONE-ROW broadcast stats frame (two
+      aggregates per column, no shuffle of the data for the scaling;
+      a constant column scales to 0). Cheapest, but a heavily skewed
+      dimension collapses to few effective buckets — its bulk lands
+      in one z-cell and loses intra-bulk pruning power.
+    - ``scaling="rank"`` (bits defaults to ZORDER_RANK_BITS): the
+      Delta-OPTIMIZE-ZORDER-style range-id form — per dimension, one
+      `percentile_approx` aggregate yields 2^bits - 1 quantile
+      boundaries (a bounded array in the same one-row broadcast
+      frame; NO global sort, NO per-row window), and the rank id is
+      a whole-stage-codegen fold counting boundaries <= value.
+      Equal-mass buckets, so skewed dimensions keep full bucket
+      resolution exactly where the rows are. Per-row cost is
+      O(2^bits) comparisons per dimension — hence the smaller
+      default resolution, which is still 256 equi-depth buckets per
+      dimension, ample for row-group pruning.
+
+    Layout only in both modes: the synthetic key is dropped before
     the write and rows are untouched (pinned, with the per-dimension
     row-group-span contrast vs single-key clustering, by
-    tests/test_sources.py::test_write_zordered_tightens_all_dims)."""
+    tests/test_sources.py::test_write_zordered_tightens_all_dims;
+    the skewed-dimension rank-beats-linear pruning contrast by
+    ::test_write_zordered_rank_scaling_beats_linear_on_skew)."""
+    if scaling not in ("linear", "rank"):
+        raise ValueError(
+            f"write_zordered scaling must be 'linear' or 'rank', "
+            f"got {scaling!r}"
+        )
+    if bits is None:
+        bits = ZORDER_BITS if scaling == "linear" else ZORDER_RANK_BITS
     _check_zorder_names(df)
     num = [F.col(c).cast("double") for c in by]
-    stats = df.agg(
-        *[F.min(c).alias(f"_zmin{i}") for i, c in enumerate(num)],
-        *[F.max(c).alias(f"_zmax{i}") for i, c in enumerate(num)],
-    )
-    top = (1 << bits) - 1
-    staged = df.crossJoin(F.broadcast(stats))
     scaled = []
-    for i, c in enumerate(num):
-        lo, hi = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
-        scaled.append(
-            F.when(
-                hi > lo,
-                F.floor((c - lo) * top / (hi - lo)).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
+    if scaling == "linear":
+        stats = df.agg(
+            *[F.min(c).alias(f"_zmin{i}") for i, c in enumerate(num)],
+            *[F.max(c).alias(f"_zmax{i}") for i, c in enumerate(num)],
         )
+        top = (1 << bits) - 1
+        staged = df.crossJoin(F.broadcast(stats))
+        for i, c in enumerate(num):
+            lo, hi = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
+            scaled.append(
+                F.when(
+                    hi > lo,
+                    F.floor((c - lo) * top / (hi - lo)).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+            )
+    else:
+        probs = F.array(
+            *[F.lit(j / (1 << bits)) for j in range(1, 1 << bits)]
+        )
+        stats = df.agg(
+            *[
+                F.percentile_approx(c, probs, F.lit(10_000)).alias(
+                    f"_zrid{i}"
+                )
+                for i, c in enumerate(num)
+            ]
+        )
+        staged = df.crossJoin(F.broadcast(stats))
+        for i, c in enumerate(num):
+            scaled.append(
+                F.aggregate(
+                    F.col(f"_zrid{i}"),
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(c >= b, 1).otherwise(0).cast("long"),
+                )
+            )
     keyed = staged.withColumn("_zkey", zorder_key(scaled, bits))
     (
         keyed.repartitionByRange(F.col("_zkey"))

@@ -610,8 +610,11 @@ def daily_rollup_stream(
     )
 
 
-DEBOUNCE_OUT = "user_id long, event_type string, event_id long, gap_ms long"
-DEBOUNCE_STATE = "last_ms long"
+DEBOUNCE_OUT = (
+    "user_id long, event_type string, event_id long, gap_ms long, "
+    "order_regressions long"
+)
+DEBOUNCE_STATE = "last_ms long, max_eid long, regressions long"
 
 
 def debounce_gate_stream(
@@ -634,15 +637,25 @@ def debounce_gate_stream(
     availableNow triggers lands the exact batch answer
     (tests/test_streaming.py::test_debounce_gate_matches_batch).
 
-    PRECONDITION (ADVICE r9, documented in COVERAGE.md next to the
-    parity claim): batch==stream parity additionally requires that a
-    (user, event_type) series arrives in event_id order ACROSS
-    micro-batch boundaries — state keeps only last_ms, so a source
-    that splits a series out of event_id order across triggers can
-    yield verdicts that differ from the batch window. Kafka gives
-    this for free when the series key is the partition key (per-
-    partition order); a file/replay source must feed files in id
-    order, as the parity test does."""
+    PRECONDITION (ADVICE r9), now OBSERVABLE (r10 verdict item 5):
+    batch==stream parity additionally requires that a (user,
+    event_type) series arrives in event_id order ACROSS micro-batch
+    boundaries — gap state keeps only last_ms, so a source that
+    splits a series out of event_id order across triggers can yield
+    verdicts that differ from the batch window. Kafka gives this for
+    free when the series key is the partition key (per-partition
+    order); a file/replay source must feed files in id order. Rather
+    than trusting that silently, state also tracks the max event_id
+    ever seen per key and counts REGRESSIONS — events arriving with
+    an id below a previous trigger's max (within-trigger disorder is
+    absorbed by the per-batch sort and does not count). The running
+    count rides on every output row as `order_regressions`: 0
+    everywhere means the parity precondition held and the verdicts
+    ARE the batch verdicts; a non-zero count flags exactly the keys
+    whose gap verdicts may have diverged, instead of diverging
+    silently (pinned both ways by
+    tests/test_streaming.py::test_debounce_gate_matches_batch and
+    ::test_debounce_gate_counts_order_regressions)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -658,10 +671,19 @@ def debounce_gate_stream(
 
     def fn(key, chunks, state):
         parts = [pdf for pdf in chunks if len(pdf)]
-        last = int(state.get[0]) if state.exists else None
+        if state.exists:
+            last, max_eid, regressions = (
+                int(state.get[0]),
+                int(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            last, max_eid, regressions = None, None, 0
         out = []
         if parts:
             batch = pd.concat(parts).sort_values("event_id")
+            if max_eid is not None:
+                regressions += int((batch["event_id"] < max_eid).sum())
             for eid, ms in zip(batch["event_id"], batch["_ms"]):
                 ms = int(ms)
                 gap = None if last is None else ms - last
@@ -672,11 +694,14 @@ def debounce_gate_stream(
                             "event_type": key[1],
                             "event_id": int(eid),
                             "gap_ms": gap,
+                            "order_regressions": regressions,
                         }
                     )
                 last = ms
+            top = int(batch["event_id"].max())
+            max_eid = top if max_eid is None else max(max_eid, top)
         if last is not None:
-            state.update((last,))
+            state.update((last, max_eid, regressions))
         if out:
             yield pd.DataFrame(out)
 

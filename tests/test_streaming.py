@@ -658,9 +658,10 @@ def test_debounce_gate_matches_batch(spark, tmpdir):
         name,
         os.path.join(tmpdir, "deb_ckpt"),
     )
+    rows = _memory_table(spark, name).collect()
     got = {
         (r["user_id"], r["event_type"], r["event_id"]): r["gap_ms"]
-        for r in _memory_table(spark, name).collect()
+        for r in rows
     }
     batch = {
         (r["user_id"], r["event_type"], r["event_id"]): r["gap_ms"]
@@ -668,6 +669,62 @@ def test_debounce_gate_matches_batch(spark, tmpdir):
     }
     assert got == batch
     assert any(v is None for v in batch.values())  # series starts
+    # the feed is id-ordered across triggers, so the parity
+    # precondition held and the observability counter says so
+    assert all(r["order_regressions"] == 0 for r in rows)
+
+
+def test_debounce_gate_counts_order_regressions(spark, tmpdir):
+    """A source that splits a (user, event_type) series OUT of
+    event_id order across micro-batch boundaries violates the gate's
+    parity precondition — instead of silently diverging from batch,
+    the gate's max-seen-id state counts every cross-trigger
+    regression and surfaces the running total on the output rows
+    (r10 verdict item 5)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from jaws_effective_processor_spark.streaming.ingest import (
+        debounce_gate_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    mk = lambda ids: [  # noqa: E731 — wide gaps so every event passes
+        (i, t0 + i * day, 7, "click") for i in ids
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = os.path.join(tmpdir, "oo_feed")
+    # trigger 1 carries the TAIL of the series, trigger 2 the head
+    spark.createDataFrame(mk([4, 5, 6]), schema).coalesce(1).write.parquet(
+        os.path.join(src, "batch0")
+    )
+    spark.createDataFrame(mk([1, 2, 3]), schema).coalesce(1).write.parquet(
+        os.path.join(src, "batch1")
+    )
+    stream = rules.dir_stream(spark, f"{src}/*", schema, max_files=1)
+    name = f"oo_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        debounce_gate_stream(stream),
+        name,
+        os.path.join(tmpdir, "oo_ckpt"),
+    )
+    by_eid = {
+        r["event_id"]: r["order_regressions"]
+        for r in _memory_table(spark, name).collect()
+    }
+    # trigger 1 saw a fresh key: no regressions yet
+    assert by_eid[4] == by_eid[5] == by_eid[6] == 0
+    # trigger 2's three ids all regress below trigger 1's max (6)
+    assert by_eid[1] == by_eid[2] == by_eid[3] == 3
 
 
 def test_vector_ingest_stream_matches_batch(spark, tmpdir):
