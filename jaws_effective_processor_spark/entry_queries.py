@@ -683,6 +683,14 @@ def _register_llm() -> None:
         similarity.q_ann_probe_curve,
         osql.ANN_PROBE_CURVE_SQL,
     )
+    # round-11 addition, follow-through on the probe curve's finding
+    # (recall non-monotone in nprobe at fixed k'): the JOINT
+    # (nprobe x k') recall surface of the refined serve path
+    register(
+        "ann_joint_tuning",
+        similarity.q_ann_joint_tuning,
+        osql.ANN_JOINT_TUNING_SQL,
+    )
 
 
 _register_rules()
@@ -889,32 +897,49 @@ _register_llm()
 # Round 11 rotation — drain the r5/r6 evidence tails to zero.
 # Composition:
 #   15 alarm-core keepers (every round).
-#    1 round-11 addition (ann_probe_curve — the nprobe routing curve,
-#      in window the round it lands per the standing rule).
+#    2 round-11 additions (ann_probe_curve — the nprobe routing
+#      curve — and ann_joint_tuning — the joint (nprobe x k') recall
+#      surface it motivated; in window the round they land per the
+#      standing rule).
 #    2 NEVER_CHECKED r10 post-window additions (ann_refine_curve,
 #      approx_percentiles — first in line per the ledger).
-#    3 REWRITTEN_SINCE_CHECK: knn_lsh + knn_ivf (r10 post-window
+#    5 REWRITTEN_SINCE_CHECK: knn_lsh + knn_ivf (r10 post-window
 #      explicit query-side broadcast rewrite — their r9-green rows
-#      describe the old statically-planned sort-merge join) and
+#      describe the old statically-planned sort-merge join),
 #      dedup_threshold_curve (r11: explicit F.broadcast on the
-#      one-row doc_sums crossJoin side — r8-green row predates it).
+#      one-row doc_sums crossJoin side — r8-green row predates it),
+#      and ann_ivfpq_refined + ann_refine_recall (r11 REFINE_K
+#      4x -> 16x TOP_K default change: their r10-green rows describe
+#      the k'=20 shortlist).
 #    2 EVIDENCE_AGE r5 tail (queue head per the r10 ledger):
 #      token_counts, multimodal_meta — the LAST r5-evidence rows.
 #   18 EVIDENCE_AGE r6 cohort, in full — the LAST r6-evidence rows.
-#    9 oldest r7-evidence rows chosen for family representation
+#    6 oldest r7-evidence rows chosen for family representation
 #      (events_rollup_multires: grouping-sets/multires; kmeans_assign
 #      + kmeans_label_purity: clustering; bigram_pmi + token_entropy:
-#      token-stats; nearest_neighbor_jaccard: candidate-verify dedup;
-#      doc_length_deciles: histogram reports; language_confusion:
-#      lang QA; mixture_temperature: mixture census). The 11
-#      remaining r7 rows head the r12 queue.
+#      token-stats; nearest_neighbor_jaccard: candidate-verify
+#      dedup). Displaced by late r11 landings, per priority order
+#      (new + rewritten outrank EVIDENCE_AGE fillers):
+#      mixture_temperature (by the ann_joint_tuning addition; mixture
+#      family in-window via corpus_mixture), doc_length_deciles and
+#      language_confusion (by the ann_ivfpq_refined +
+#      ann_refine_recall REWRITTEN re-entries after the REFINE_K
+#      default change; histogram-report family via
+#      top_orders_per_customer + shard_skew_report, lang QA via
+#      in-window token family + r10-green language_id). All three
+#      head the r12 queue with the 11 remaining r7 rows.
 # After this window: zero r5 and zero r6 evidence remains; zero
 # NEVER_CHECKED and zero REWRITTEN carryover.
-# NOTE (environment-level change, not per-query rewrites): r11's
+# NOTE (environment-level changes, not per-query rewrites): r11's
 # pin_session_conf right-sizes shuffle partitions for foreign
-# sessions arriving at the 200 default — it changes no logical plan
-# and no result (partition counts never affect a result; every
-# ranking rides a total order), so it does not re-enter rotated-out
+# sessions arriving at the 200 default, and sheds the
+# SQLAppStatusListener from UI-DISABLED foreign sessions (the SQL
+# status store retained ~310 MB of plan-description/metric heap over
+# a 151-query sweep on a 1g driver — session._shed_sql_ui_listener
+# has the jmap evidence). Neither changes a logical plan or a result
+# (partition counts never affect a result — every ranking rides a
+# total order; a status-store listener observes execution, it does
+# not participate in it), so they do not re-enter rotated-out
 # queries under the REWRITTEN rule; this round's full window runs
 # under the new conf either way.
 # Swapped-out r10-greens all keep in-window siblings: the PQ/IVFADC
@@ -955,15 +980,24 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-11 addition — driver-checked the round it lands
+    # round-11 additions — driver-checked the round they land.
+    # ann_joint_tuning displaces the 9th r7 filler mixture_temperature
+    # (mixture family stays in-window via corpus_mixture; it heads the
+    # r12 EVIDENCE_AGE queue with the 11 remaining r7 rows)
     "ann_probe_curve",
+    "ann_joint_tuning",
     # NEVER_CHECKED round-10 post-window additions
     "ann_refine_curve",
     "approx_percentiles",
-    # REWRITTEN_SINCE_CHECK
+    # REWRITTEN_SINCE_CHECK (ann_ivfpq_refined + ann_refine_recall:
+    # the r11 REFINE_K 4x -> 16x TOP_K default change alters their
+    # shipped rows — their r10-green evidence describes the k'=20
+    # shortlist)
     "knn_lsh",
     "knn_ivf",
     "dedup_threshold_curve",
+    "ann_ivfpq_refined",
+    "ann_refine_recall",
     # EVIDENCE_AGE: the last two r5-evidence rows
     "token_counts",
     "multimodal_meta",
@@ -993,9 +1027,6 @@ _CHECK_FIRST = [
     "bigram_pmi",
     "token_entropy",
     "nearest_neighbor_jaccard",
-    "doc_length_deciles",
-    "language_confusion",
-    "mixture_temperature",
 ]
 
 

@@ -1162,20 +1162,29 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REFINE_K = 4 * TOP_K  # ADC shortlist size k' ahead of the exact re-rank
+# ADC shortlist size k' ahead of the exact re-rank. r11
+# joint-surface decision (q_ann_joint_tuning, PLANS.md round-11):
+# raised from 4 x TOP_K to 16 x TOP_K — at sf0.1 that lifts refined
+# recall 300 -> 480 permille at UNCHANGED routing cost (the ADC scan,
+# linear in nprobe, dominates serve latency; k' only prices k'
+# raw-vector fetches per query), and the surface shows (nprobe=2,
+# k'=16k) matches (nprobe=4, k'=8k) at half the ADC cost — the k'
+# axis is the cheap axis at this geometry.
+REFINE_K = 16 * TOP_K
 
 
 def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC + exact re-rank — the REFINE stage every production
     IVFADC deployment adds on top of code-only serving (FAISS's
-    IndexRefine pattern): ADC-shortlist REFINE_K = 4 x TOP_K
+    IndexRefine pattern): ADC-shortlist REFINE_K = 16 x TOP_K
     candidates per query from the probed cells (the identical
     _ivfpq_scored frame q_ann_ivfpq ranks), then fetch ONLY those
     candidates' raw vectors and re-rank by EXACT cosine. Code-only
     scoring keeps the corpus scan RAM-resident; the refine trades
     k' raw-vector fetches per query for the recall a reconstructed
-    score cannot reach (measured at sf0.1: mean recall@5 doubles vs
-    the ADC-only ranking — see test_refine_lifts_recall).
+    score cannot reach (measured at sf0.1: 180 permille ADC-only ->
+    480 at the r11 k' = 16 x TOP_K default — see
+    test_refine_lifts_recall and the joint surface in PLANS.md).
 
     Scale shape — candidates-only, pinned by
     tests/test_plans.py::test_ivfpq_refined_exact_stage_candidates_only:
@@ -1228,7 +1237,9 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REFINE_CURVE_KS = (TOP_K, 2 * TOP_K, REFINE_K)  # shortlist sizes swept
+# shortlist sizes swept: the no-refine anchor, the pre-r11 default
+# (4 x TOP_K), and the current default
+REFINE_CURVE_KS = (TOP_K, 4 * TOP_K, REFINE_K)
 
 
 def q_ann_refine_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1460,113 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nq))
         .select(
             "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})")
+            .alias("recall_permille"),
+        )
+    )
+
+
+# the joint grid: both serve knobs at once. nprobe spans the serving
+# default through exhaustive routing; k' spans the r10 default through
+# 4x, because the probe curve's non-monotone tail (PLANS.md round-11)
+# showed a raised nprobe FLOODS a fixed-size shortlist — the grid is
+# the evidence for moving both together.
+JOINT_NPROBES = (IVF_NPROBE, 4, N_CELLS)
+JOINT_KS = (4 * TOP_K, 8 * TOP_K, 16 * TOP_K)  # max == REFINE_K default
+
+
+def q_ann_joint_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOINT (nprobe x k') tuning surface of the refined IVFADC
+    serve path: recall@TOP_K at every grid point of JOINT_NPROBES x
+    JOINT_KS. ann_refine_curve sweeps k' at fixed routing and
+    ann_probe_curve sweeps routing at fixed k'; this round's probe
+    sweep found recall NON-MONOTONE in nprobe at fixed k' (extra
+    probed cells flood the fixed ADC shortlist and displace true
+    neighbors the ADC misjudges), which means the two axes cannot be
+    tuned independently — the surface is the artifact a deployment
+    actually reads: walk the recall target along the grid and pay the
+    cheapest (nprobe, k') that reaches it. COST axes: ADC-scored
+    candidates per query grow linearly in nprobe, exact re-rank
+    fetches linearly in k' — both disclosed per grid point by
+    construction of the row key.
+
+    Cost shape of the SURFACE: still ONE index pass — the corpus is
+    ADC-scored once at exhaustive routing with the probe rank
+    retained (_ivfpq_scored_probed: candidate sets nest across
+    nprobe), the max-k' shortlist per (nprobe, query) keeps its ADC
+    rank so every smaller k' is a filter (the refine-curve trick
+    applied per routing setting), and the exact stage is the
+    candidates-only broadcast lookup with (nprobe) riding in the
+    group key — the corpus is never exact-scored. One row per grid
+    point, emitted even at zero hits."""
+    scored = _ivfpq_scored_probed(spark, sf_dir)
+    ps = F.array(*[F.lit(p).cast("long") for p in JOINT_NPROBES])
+    ks = F.array(*[F.lit(k).cast("long") for k in JOINT_KS])
+    staged = scored.select("*", F.explode(ps).alias("nprobe")).filter(
+        F.col("probe_rn") <= F.col("nprobe")
+    )
+    short = partial_topk(
+        staged,
+        ["nprobe", "query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        max(JOINT_KS),
+        rank_col="_adc_rank",
+    ).select("nprobe", "query_id", "neighbor_id", "_adc_rank")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            "_adc_rank",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    staged2 = exact.select("*", F.explode(ks).alias("k_refine")).filter(
+        F.col("_adc_rank") <= F.col("k_refine")
+    )
+    approx = partial_topk(
+        staged2,
+        ["nprobe", "k_refine", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("nprobe", "k_refine", "query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe", "k_refine")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    grid = (
+        spark.range(1)
+        .select(F.explode(ps).alias("nprobe"))
+        .select("nprobe", F.explode(ks).alias("k_refine"))
+    )
+    return (
+        grid.join(F.broadcast(hits), ["nprobe", "k_refine"], "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "k_refine",
             F.coalesce(F.col("n_hits"), F.lit(0))
             .cast("long")
             .alias("n_hits"),

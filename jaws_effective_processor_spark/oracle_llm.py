@@ -1908,6 +1908,87 @@ SELECT p.nprobe,
 FROM ps p LEFT JOIN hits h USING (nprobe), nq
 """
 
+# Twin of q_ann_joint_tuning: refined-path recall@TOP_K over the
+# JOINT (nprobe x k') grid — one exhaustive-routing ADC pass (probe
+# rank retained, candidate sets nest), per-(nprobe, query) max-k'
+# shortlist with ADC rank retained so each smaller k' is a filter,
+# exact cosine computed once per distinct shortlisted pair
+from .functions.similarity import JOINT_KS, JOINT_NPROBES  # noqa: E402
+
+ANN_JOINT_TUNING_SQL = f"""
+WITH {_IVFPQ_ROUTE_CTES},
+probesx AS (
+  SELECT vec_id, norm, cent_id AS cell, CAST(rn AS BIGINT) AS probe_rn
+  FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {max(JOINT_NPROBES)}
+),
+scoredp AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.probe_rn,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probesx p
+  JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+ps AS (
+  SELECT CAST(p AS BIGINT) AS nprobe
+  FROM (VALUES {", ".join(f"({p})" for p in JOINT_NPROBES)}) t(p)
+),
+ks AS (
+  SELECT CAST(k AS BIGINT) AS k_refine
+  FROM (VALUES {", ".join(f"({k})" for k in JOINT_KS)}) t(k)
+),
+shortj AS (
+  SELECT nprobe, query_id, neighbor_id, rn AS adc_rank FROM (
+    SELECT ps.nprobe, s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY ps.nprobe, s.query_id
+                              ORDER BY s.cos_hat DESC, s.neighbor_id)
+             AS rn
+    FROM scoredp s JOIN ps ON s.probe_rn <= ps.nprobe
+  ) WHERE rn <= {max(JOINT_KS)}
+),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id FROM shortj
+),
+exactj AS (
+  SELECT x.query_id, x.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM pairs x
+  JOIN e q ON q.vec_id = x.query_id
+  JOIN e c ON c.vec_id = x.neighbor_id
+),
+curanked AS (
+  SELECT s.nprobe, k.k_refine, s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.nprobe, k.k_refine,
+                                         s.query_id
+                            ORDER BY x.cos DESC, s.neighbor_id) AS rank
+  FROM shortj s
+  JOIN ks k ON s.adc_rank <= k.k_refine
+  JOIN exactj x USING (query_id, neighbor_id)
+),
+approx AS (
+  SELECT nprobe, k_refine, query_id, neighbor_id FROM curanked
+  WHERE rank <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT a.nprobe, a.k_refine, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN bf USING (query_id, neighbor_id)
+  GROUP BY a.nprobe, a.k_refine
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT g.nprobe, g.k_refine,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
+         // (nq.n * {TOP_K}) AS recall_permille
+FROM (SELECT p.nprobe, k.k_refine FROM ps p CROSS JOIN ks k) g
+LEFT JOIN hits h USING (nprobe, k_refine), nq
+"""
+
 
 # Twin of q_ann_refine_recall: the refined top-k intersected with the
 # brute-force exact top-k (ANN_PQ_RECALL_SQL's evaluation shape)

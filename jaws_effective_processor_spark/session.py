@@ -59,6 +59,38 @@ def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
     return spark
 
 
+def _shed_sql_ui_listener(spark: SparkSession) -> None:
+    """Detach the SQLAppStatusListener from a UI-DISABLED session.
+
+    The listener feeds the SQL tab's status store: per-execution
+    physical-plan descriptions plus per-metric value arrays, retained
+    for spark.sql.ui.retainedExecutions = 1000 executions — a STATIC
+    conf that cannot be lowered on a session built elsewhere. On a
+    default-1g-heap driver sweeping the 151-query registry that store
+    is pure dead weight when no UI exists to read it: measured r11
+    (jmap -histo:live at query 144): ~186k SQLPlanMetric objects and
+    the dominant byte[]/long[] slices, ~310 MB of post-GC live heap
+    (729 -> 418 MB with the listener removed), and the sweep's tail
+    OOMed without this. Removing a listener the UI cannot consume
+    changes no plan, no result, and no metric any consumer reads —
+    sessions with spark.ui.enabled=true are left untouched.
+
+    The listener registers lazily with SharedState, so the first call
+    (before any SQL ran) may find nothing — pin_session_conf runs
+    per query-build, so the second call catches it."""
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        if jsc.conf().get("spark.ui.enabled", "true") == "true":
+            return
+        for listener in jsc.listenerBus().listeners().toArray():
+            if listener.getClass().getName().endswith(
+                ".SQLAppStatusListener"
+            ):
+                jsc.removeSparkListener(listener)
+    except Exception:
+        pass  # py4j surface drift — hygiene only, never fail a query
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Runtime-settable confs we depend on for oracle parity.
 
@@ -92,4 +124,9 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # encoding: adapters.event_ms()/event_ts() and relational.ms_of()/
     # ts_of() dispatch on the actual column type per-DataFrame.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # foreign-session heap hygiene (r11): a UI-less session keeps no
+    # SQL status store — see _shed_sql_ui_listener. Engine sessions
+    # (16g, UI conf under our control) skip the walk.
+    if spark.conf.get("spark.jaws.engineSession", "false") != "true":
+        _shed_sql_ui_listener(spark)
     return spark

@@ -420,7 +420,7 @@ def adc_refine_topk_against_store(
     pq_codebook: list,
     vectors: DataFrame,
     k: int = 5,
-    k_refine: int = 20,
+    k_refine: int = 80,  # tracks similarity.REFINE_K (r11 default)
     nprobe: int = 2,
     prune: bool = True,
     exclude_self: bool = False,

@@ -87,14 +87,20 @@ def test_doc_embedding_feature_join_zero_exchange_when_bucketed(spark):
         )
         # full report: exactly ONE exchange — the bounded lang rollup
         assert shuffle_count(report) == 1
-        # and the co-located result matches the shuffled-path query
-        from jaws_effective_processor_spark.entry_queries import QUERIES
+        # and the co-located result matches the shuffled-path query.
+        # RAW function, not QUERIES[...]: executing the registry's
+        # prepared-plan entry here would FINALIZE its AQE plan under
+        # the disabled broadcast threshold, and the shuffle-budget
+        # test would later read that frozen sort-merge plan from the
+        # shared cache (the same stale-finalized-plan trap
+        # test_fuzzy_pairs_parity_without_broadcast documents)
+        from jaws_effective_processor_spark.functions.similarity import (
+            q_doc_embedding_norms,
+        )
 
         expected = {
             r["lang"]: (r["n_docs"], r["n_tokens"], r["mean_norm_sq_micro2"])
-            for r in QUERIES["doc_embedding_norms"](
-                spark, SF_SMOKE
-            ).collect()
+            for r in q_doc_embedding_norms(spark, SF_SMOKE).collect()
         }
         got = {
             r["lang"]: (r["n_docs"], r["n_tokens"], r["mean_norm_sq_micro2"])

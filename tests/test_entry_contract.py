@@ -73,3 +73,31 @@ def test_fuzzy_pairs_parity_without_broadcast(spark):
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
         pin_session_conf(spark)
+
+
+def test_shed_sql_ui_listener_detaches_on_ui_disabled(spark):
+    """Foreign-session heap hygiene (r11): on a UI-disabled context
+    the SQL status-store listener is removed — its retained
+    plan-description/metric heap (~310 MB over a 151-query sweep,
+    jmap-measured) OOMed the registry tail on a default-1g driver.
+    The shared test context runs with spark.ui.enabled=false, so
+    calling the shed directly must leave no SQLAppStatusListener on
+    the bus; nothing in the engine reads the SQL status store, so
+    the shared session is unaffected. Idempotent by construction
+    (second call finds nothing)."""
+    from jaws_effective_processor_spark.session import (
+        _shed_sql_ui_listener,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.conf().get("spark.ui.enabled", "true") == "false"
+    spark.sql("select 1").collect()  # force SharedState/listener init
+    _shed_sql_ui_listener(spark)
+    _shed_sql_ui_listener(spark)  # idempotent
+    names = [
+        listener.getClass().getName()
+        for listener in jsc.listenerBus().listeners().toArray()
+    ]
+    assert not any(n.endswith(".SQLAppStatusListener") for n in names), (
+        names
+    )

@@ -46,6 +46,7 @@ _SHUFFLE_BUDGETS = {
     "ann_cell_balance": 3,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
+    "ann_joint_tuning": 11,
     "ann_pq_recall": 6,
     "ann_probe_curve": 11,
     "ann_recall": 6,
@@ -385,6 +386,28 @@ def test_probe_curve_exact_stage_candidates_only(spark):
     from jaws_effective_processor_spark.plans import broadcast_subtrees
 
     df = q_ann_probe_curve(spark, SF_SMOKE)
+    plan = explain_str(df)
+    subs = broadcast_subtrees(df)
+    assert len(subs) >= 3, subs
+    assert "Left keys [1]: [neighbor_id" in plan
+    assert not has_cartesian(df)
+    assert "_tk_pid" in plan
+
+
+def test_joint_tuning_exact_stage_candidates_only(spark):
+    """The joint (nprobe x k') surface keeps BOTH sweep tricks at
+    once and stays candidates-only: the corpus is ADC-scored ONCE at
+    exhaustive routing (each swept nprobe a probe-rank filter), the
+    max-k' shortlist retains its ADC rank so every smaller k' is a
+    rank filter (the refine-curve trick per routing setting), and the
+    exact stage is the broadcast lookup keyed on neighbor_id — the
+    corpus is never exact-scored at any of the |grid| settings."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_joint_tuning,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = q_ann_joint_tuning(spark, SF_SMOKE)
     plan = explain_str(df)
     subs = broadcast_subtrees(df)
     assert len(subs) >= 3, subs

@@ -155,7 +155,8 @@ def test_refine_lifts_recall(spark):
     the ADC shortlist recovers recall that code-only ranking loses —
     mean recall@TOP_K of q_ann_ivfpq_refined is at least the
     ADC-ranked q_ann_ivfpq's over the identical probed candidates
-    (measured: 220 vs 100 permille at sf0.01, 300 vs 180 at sf0.1),
+    (measured at the r11 k' = 16 x TOP_K default: 260 vs 100 permille
+    at sf0.01, 480 vs 180 at sf0.1),
     and is bounded above by the routing ceiling (exact-scored
     multiprobe, q_ann_recall) since the refine can only rescore what
     the probes reached."""
@@ -215,13 +216,16 @@ def test_probe_curve_anchor_and_routing_lift(spark):
     re-rank — the sweep at the serving default IS q_ann_ivfpq_refined
     evaluated by q_ann_refine_recall); (3) the ceiling lift the curve
     exists to show: probing more cells than the serving default lifts
-    refined recall (measured: 220 -> 380 permille at nprobe 2 -> 4 at
-    sf0.01; 300 -> 400 at sf0.1). NO monotonicity assertion across
-    the whole sweep, deliberately: at FIXED shortlist size k', extra
-    probed cells flood the ADC shortlist and can displace true
-    neighbors the ADC misjudges (measured at sf0.1: nprobe=8 lands
-    360 < nprobe=4's 400), so the two knobs interact — that
-    interaction is exactly what the curve is for."""
+    refined recall (measured at the r11 k' = 16 x TOP_K default:
+    260 -> 560 permille at nprobe 2 -> 4 at sf0.01; 480 -> 540 at
+    sf0.1). NO monotonicity assertion across the whole sweep,
+    deliberately: at FIXED shortlist size k', extra probed cells can
+    flood the ADC shortlist and displace true neighbors the ADC
+    misjudges (measured at the pre-r11 k'=20: sf0.1 nprobe=8 landed
+    360 < nprobe=4's 400 — the finding that motivated
+    q_ann_joint_tuning; at k'=80 the reversal disappears), so the two
+    knobs interact — that interaction is exactly what the curve and
+    the joint surface are for."""
     from jaws_effective_processor_spark.functions import similarity as s
 
     rows = {
@@ -237,6 +241,43 @@ def test_probe_curve_anchor_and_routing_lift(spark):
     lifted = max(p for p in s.PROBE_CURVE_NPROBES if p > s.IVF_NPROBE)
     assert rows[4][1] > rows[s.IVF_NPROBE][1], rows
     assert lifted in rows
+
+
+def test_joint_tuning_slices_match_single_axis_curves(spark):
+    """The joint (nprobe x k') surface is internally consistent with
+    both single-axis sweeps it generalizes: (1) one row per grid
+    point; (2) its nprobe = IVF_NPROBE column equals ann_refine_curve
+    at the shared k' values (same routing, same shortlist, same
+    re-rank); (3) its k' = REFINE_K row equals ann_probe_curve at the
+    shared nprobe values; (4) recall is monotone nondecreasing in k'
+    at every fixed nprobe (larger shortlist is a superset of the
+    smaller under identical routing)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    surf = {
+        (r["nprobe"], r["k_refine"]): r["recall_permille"]
+        for r in s.q_ann_joint_tuning(spark, SF_ORACLE).collect()
+    }
+    assert sorted(surf) == sorted(
+        (p, k) for p in s.JOINT_NPROBES for k in s.JOINT_KS
+    )
+    refine = {
+        r["k_refine"]: r["recall_permille"]
+        for r in s.q_ann_refine_curve(spark, SF_ORACLE).collect()
+    }
+    for k in set(s.JOINT_KS) & set(s.REFINE_CURVE_KS):
+        assert surf[(s.IVF_NPROBE, k)] == refine[k], (k, surf, refine)
+    probe = {
+        r["nprobe"]: r["recall_permille"]
+        for r in s.q_ann_probe_curve(spark, SF_ORACLE).collect()
+    }
+    for p in set(s.JOINT_NPROBES) & set(s.PROBE_CURVE_NPROBES):
+        assert surf[(p, s.REFINE_K)] == probe[p], (p, surf, probe)
+    for p in s.JOINT_NPROBES:
+        ks = sorted(s.JOINT_KS)
+        assert all(
+            surf[(p, a)] <= surf[(p, b)] for a, b in zip(ks, ks[1:])
+        ), (p, surf)
 
 
 def test_pq_exact_duplicates_code_identically(spark):
