@@ -431,6 +431,13 @@ def _register_llm() -> None:
         filtering.q_dup_gram_coverage,
         osql.DUP_GRAM_COVERAGE_SQL,
     )
+    # round-11 addition: the span-level ExactSubstr structure —
+    # maximal cross-document duplicated token spans per doc
+    register(
+        "exact_substring_spans",
+        filtering.q_exact_substring_spans,
+        osql.EXACT_SUBSTRING_SPANS_SQL,
+    )
     register(
         "bloom_dedup_gate",
         filtering.q_bloom_dedup_gate,
@@ -897,9 +904,10 @@ _register_llm()
 # Round 11 rotation — drain the r5/r6 evidence tails to zero.
 # Composition:
 #   15 alarm-core keepers (every round).
-#    2 round-11 additions (ann_probe_curve — the nprobe routing
-#      curve — and ann_joint_tuning — the joint (nprobe x k') recall
-#      surface it motivated; in window the round they land per the
+#    3 round-11 additions (ann_probe_curve — the nprobe routing
+#      curve; ann_joint_tuning — the joint (nprobe x k') recall
+#      surface it motivated; exact_substring_spans — the span-level
+#      ExactSubstr structure; in window the round they land per the
 #      standing rule).
 #    2 NEVER_CHECKED r10 post-window additions (ann_refine_curve,
 #      approx_percentiles — first in line per the ledger).
@@ -914,20 +922,23 @@ _register_llm()
 #    2 EVIDENCE_AGE r5 tail (queue head per the r10 ledger):
 #      token_counts, multimodal_meta — the LAST r5-evidence rows.
 #   18 EVIDENCE_AGE r6 cohort, in full — the LAST r6-evidence rows.
-#    6 oldest r7-evidence rows chosen for family representation
+#    5 oldest r7-evidence rows chosen for family representation
 #      (events_rollup_multires: grouping-sets/multires; kmeans_assign
 #      + kmeans_label_purity: clustering; bigram_pmi + token_entropy:
-#      token-stats; nearest_neighbor_jaccard: candidate-verify
-#      dedup). Displaced by late r11 landings, per priority order
-#      (new + rewritten outrank EVIDENCE_AGE fillers):
+#      token-stats). Displaced by late r11 landings, per priority
+#      order (new + rewritten outrank EVIDENCE_AGE fillers):
 #      mixture_temperature (by the ann_joint_tuning addition; mixture
 #      family in-window via corpus_mixture), doc_length_deciles and
 #      language_confusion (by the ann_ivfpq_refined +
 #      ann_refine_recall REWRITTEN re-entries after the REFINE_K
 #      default change; histogram-report family via
 #      top_orders_per_customer + shard_skew_report, lang QA via
-#      in-window token family + r10-green language_id). All three
-#      head the r12 queue with the 11 remaining r7 rows.
+#      in-window token family + r10-green language_id), and
+#      nearest_neighbor_jaccard (by the exact_substring_spans
+#      addition — same candidate-verify dedup family, which is also
+#      in-window via block_dedup + dedup_cluster_sizes +
+#      dedup_normalized + dup_gram_coverage). All four head the r12
+#      queue with the 11 remaining r7 rows.
 # After this window: zero r5 and zero r6 evidence remains; zero
 # NEVER_CHECKED and zero REWRITTEN carryover.
 # NOTE (environment-level changes, not per-query rewrites): r11's
@@ -980,12 +991,11 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-11 additions — driver-checked the round they land.
-    # ann_joint_tuning displaces the 9th r7 filler mixture_temperature
-    # (mixture family stays in-window via corpus_mixture; it heads the
-    # r12 EVIDENCE_AGE queue with the 11 remaining r7 rows)
+    # round-11 additions — driver-checked the round they land (each
+    # displaces one r7 EVIDENCE_AGE filler; see the rotation comment)
     "ann_probe_curve",
     "ann_joint_tuning",
+    "exact_substring_spans",
     # NEVER_CHECKED round-10 post-window additions
     "ann_refine_curve",
     "approx_percentiles",
@@ -1026,7 +1036,6 @@ _CHECK_FIRST = [
     "kmeans_label_purity",
     "bigram_pmi",
     "token_entropy",
-    "nearest_neighbor_jaccard",
 ]
 
 

@@ -293,6 +293,145 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- exact-substring spans
+# Window width shared with the contamination family so the dup-gram
+# set rides the same cached gram table; the width IS the detection
+# threshold (Lee et al. use 50 BPE tokens; this corpus's docs are
+# 10-99 whitespace tokens, so 8 plays the same structural role).
+EXSUB_K = 8
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc, the MAXIMAL cross-document duplicated token spans —
+    the span-level structure behind Lee et al.'s ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better"),
+    where `dup_gram_coverage` gives only the scalar fraction and
+    `block_dedup` only fixed non-overlapping blocks: which contiguous
+    regions of a document also occur elsewhere in the corpus, how
+    many, how long, and what share of the doc they cover — exactly
+    what an ExactSubstr cut pass would remove.
+
+    Semantics (deterministic, engine-portable): a length-EXSUB_K
+    token window is DUPLICATED when its rolling gram hash occurs in
+    >= 2 distinct documents (cross-document only — within-doc
+    repetition is `doc_repetition`'s signal). Overlapping/adjacent
+    duplicated windows merge into maximal spans (gaps-and-islands:
+    a new island starts when the next duplicated window position is
+    > EXSUB_K past the previous, i.e. the covered token ranges
+    disjoin). A span of L >= EXSUB_K duplicated tokens contains
+    duplicated windows at every interior position, so the merged
+    islands reconstruct duplicated regions exactly at >= EXSUB_K
+    granularity — shorter repeats are below the threshold by design,
+    matching ExactSubstr's length-50 floor.
+
+    Scale shape: positioned windows move as (doc_id, pos, hash)
+    longs — token text never shuffles. The dup-gram set is one
+    aggregation over the session-cached contamination gram table
+    (per-doc distinct, so the row count per gram IS the doc count);
+    the positioned join is a gram-hash equi-join (the dedup family's
+    banded-join discipline); islands are two window passes over ONE
+    doc_id exchange. Output: one row per doc owning at least one
+    duplicated span."""
+    from pyspark.sql import Window
+
+    from .corpus import CONTAM_K
+    from .dedup import _cached_frame
+
+    assert EXSUB_K == CONTAM_K  # the shared gram table IS the index
+
+    def _build_positioned():
+        docs = spread_if_undersplit(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        tk = F.split(F.col("text"), " ")
+        tkh = F.transform(
+            tk,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(
+                "long"
+            ),
+        )
+        staged = docs.withColumn("_n_tok", F.size(tk)).withColumn(
+            "_tkh", tkh
+        )
+
+        def combine(i: F.Column) -> F.Column:
+            acc = F.element_at(F.col("_tkh"), i)
+            for o in range(1, EXSUB_K):
+                acc = (
+                    acc * CONTAM_MULT + F.element_at(F.col("_tkh"), i + o)
+                ) % CONTAM_P
+            return acc
+
+        gram = F.transform(
+            F.sequence(F.lit(1), F.col("_n_tok") - (EXSUB_K - 1)), combine
+        )
+        return (
+            staged.filter(F.col("_n_tok") >= EXSUB_K)
+            .select(
+                "doc_id",
+                F.col("_n_tok").cast("long").alias("n_tokens"),
+                F.posexplode(gram).alias("_p0", "gram_h"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                (F.col("_p0") + 1).cast("long").alias("pos"),
+                "gram_h",
+            )
+        )
+
+    positioned = _cached_frame(
+        spark, sf_dir, "exsub_pos_grams", _build_positioned
+    )
+    dup_set = (
+        _contam_gram_table(spark, sf_dir)
+        .select(F.explode("grams").alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram_h")
+    )
+    hit = positioned.join(dup_set, "gram_h").select(
+        "doc_id", "n_tokens", "pos"
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hit.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(by_pos) > EXSUB_K, 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "_isl").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        (F.max("pos") - F.min("pos") + EXSUB_K).alias("_span_tok"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_dup_spans"),
+            F.sum("_span_tok").alias("dup_tokens"),
+            F.max("_span_tok").alias("max_span_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            "max_span_tokens",
+            F.expr("(1000 * dup_tokens) DIV n_tokens").alias(
+                "dup_permille"
+            ),
+        )
+    )
+
+
 def bloom_positions() -> F.Column:
     """The k filter positions of a doc's content fingerprint —
     md5(seed:text) 28-bit halves folded into [0, BLOOM_BITS). Shared

@@ -2311,6 +2311,60 @@ FROM e JOIN c USING (gram_h)
 GROUP BY e.doc_id
 """
 
+# Twin of q_exact_substring_spans: positioned windows as a list of
+# {pos, gram_h} structs (the SAME python-generated rolling fold as
+# _CONTAM_GRAM, so the dialects cannot drift), dup set = grams in
+# >= 2 docs over the shared per-doc-distinct gram CTE, then the
+# identical gaps-and-islands merge in window functions
+from .functions.filtering import EXSUB_K  # noqa: E402
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH {_CONTAM_BASE},
+dup AS (
+  SELECT gram_h FROM (
+    SELECT doc_id, unnest(grams) AS gram_h FROM g
+  ) GROUP BY gram_h HAVING count(*) >= 2
+),
+pg AS (
+  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         unnest(list_transform(range(1, len(th) - {EXSUB_K - 2}),
+                i -> {{'pos': CAST(i AS BIGINT),
+                       'gram_h': {_contam_acc}}}),
+                recursive := true)
+  FROM t WHERE len(th) >= {EXSUB_K}
+),
+hit AS (
+  SELECT pg.doc_id, pg.n_tokens, pg.pos
+  FROM pg JOIN dup USING (gram_h)
+),
+fl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) > {EXSUB_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM fl
+),
+sp AS (
+  SELECT doc_id, max(n_tokens) AS n_tokens, isl_id,
+         CAST(max(pos) - min(pos) + {EXSUB_K} AS BIGINT) AS span_tok
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT doc_id,
+       max(n_tokens) AS n_tokens,
+       count(*) AS n_dup_spans,
+       CAST(sum(span_tok) AS BIGINT) AS dup_tokens,
+       max(span_tok) AS max_span_tokens,
+       (1000 * CAST(sum(span_tok) AS BIGINT)) // max(n_tokens)
+         AS dup_permille
+FROM sp GROUP BY doc_id
+"""
+
 _BLOOM_POS = "list_distinct([" + ", ".join(
     f"CAST(('0x' || substr(md5('{i}:' || text), 1, 7)) AS BIGINT)"
     f" % {BLOOM_BITS}"

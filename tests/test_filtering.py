@@ -195,3 +195,70 @@ def test_embedding_outliers_contract(spark):
     dists = [r.dist_sq for r in rows]
     assert dists == sorted(dists, reverse=True)
     assert all(d >= 0 for d in dists)
+
+
+def test_exact_substring_spans_merge_semantics(spark, tmp_path):
+    """Pins the gaps-and-islands span reconstruction on a
+    hand-computed corpus: a 10-token run shared by docs 1+2 yields
+    three overlapping duplicated 8-windows that MERGE into one
+    10-token span; an 8-token run shared by docs 1+3 is a single
+    window = an 8-token span; the two spans in doc 1 stay separate
+    islands (gap > EXSUB_K); a run repeated only WITHIN doc 4 is
+    cross-document-invisible (doc_repetition's signal, not this
+    one's)."""
+    from jaws_effective_processor_spark.functions.filtering import (
+        q_exact_substring_spans,
+    )
+
+    s = [f"s{i}" for i in range(10)]  # shared docs 1+2
+    t = [f"t{i}" for i in range(8)]  # shared docs 1+3
+    r = [f"r{i}" for i in range(8)]  # repeated inside doc 4 only
+    docs = [
+        (1, " ".join([f"u{i}" for i in range(4)] + s
+                     + [f"v{i}" for i in range(5)] + t)),
+        (2, " ".join([f"w{i}" for i in range(3)] + s)),
+        (3, " ".join(t + [f"x{i}" for i in range(6)])),
+        (4, " ".join(r + ["m0"] + r)),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {
+        row.doc_id: row
+        for row in q_exact_substring_spans(spark, sf).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    d1 = rows[1]
+    assert (d1.n_tokens, d1.n_dup_spans, d1.dup_tokens) == (27, 2, 18)
+    assert d1.max_span_tokens == 10 and d1.dup_permille == 666
+    d2 = rows[2]
+    assert (d2.n_tokens, d2.n_dup_spans, d2.dup_tokens) == (13, 1, 10)
+    d3 = rows[3]
+    assert (d3.n_tokens, d3.n_dup_spans, d3.dup_tokens) == (14, 1, 8)
+
+
+def test_exact_substring_spans_consistent_with_gram_coverage(spark):
+    """Cross-operator invariants at SF_ORACLE: a doc owns a
+    duplicated span IFF it owns a duplicated distinct gram (both
+    operators read the same dup definition off the same cached gram
+    table), spans stay within the doc (dup_tokens <= n_tokens), and
+    every span is at least window-width."""
+    from jaws_effective_processor_spark.functions.filtering import (
+        EXSUB_K,
+        q_exact_substring_spans,
+    )
+
+    spans = {
+        r.doc_id: r for r in q_exact_substring_spans(spark, SF_ORACLE).collect()
+    }
+    assert spans
+    cov = {
+        r.doc_id
+        for r in q_dup_gram_coverage(spark, SF_ORACLE).collect()
+        if r.n_dup_grams > 0
+    }
+    assert set(spans) == cov
+    for r in spans.values():
+        assert EXSUB_K <= r.max_span_tokens <= r.dup_tokens <= r.n_tokens
+        assert 0 < r.dup_permille <= 1000
