@@ -438,6 +438,13 @@ def _register_llm() -> None:
         filtering.q_exact_substring_spans,
         osql.EXACT_SUBSTRING_SPANS_SQL,
     )
+    # round-11 addition: the ACTION half — the cleaned corpus after
+    # cutting every duplicated span, fingerprinted per doc
+    register(
+        "exact_substring_cut",
+        filtering.q_exact_substring_cut,
+        osql.EXACT_SUBSTRING_CUT_SQL,
+    )
     register(
         "bloom_dedup_gate",
         filtering.q_bloom_dedup_gate,
@@ -904,10 +911,11 @@ _register_llm()
 # Round 11 rotation — drain the r5/r6 evidence tails to zero.
 # Composition:
 #   15 alarm-core keepers (every round).
-#    3 round-11 additions (ann_probe_curve — the nprobe routing
+#    4 round-11 additions (ann_probe_curve — the nprobe routing
 #      curve; ann_joint_tuning — the joint (nprobe x k') recall
-#      surface it motivated; exact_substring_spans — the span-level
-#      ExactSubstr structure; in window the round they land per the
+#      surface it motivated; exact_substring_spans +
+#      exact_substring_cut — the span-level ExactSubstr structure
+#      and its cut action; in window the round they land per the
 #      standing rule).
 #    2 NEVER_CHECKED r10 post-window additions (ann_refine_curve,
 #      approx_percentiles — first in line per the ledger).
@@ -922,10 +930,10 @@ _register_llm()
 #    2 EVIDENCE_AGE r5 tail (queue head per the r10 ledger):
 #      token_counts, multimodal_meta — the LAST r5-evidence rows.
 #   18 EVIDENCE_AGE r6 cohort, in full — the LAST r6-evidence rows.
-#    5 oldest r7-evidence rows chosen for family representation
+#    4 oldest r7-evidence rows chosen for family representation
 #      (events_rollup_multires: grouping-sets/multires; kmeans_assign
-#      + kmeans_label_purity: clustering; bigram_pmi + token_entropy:
-#      token-stats). Displaced by late r11 landings, per priority
+#      + kmeans_label_purity: clustering; bigram_pmi: token-stats).
+#      Displaced by late r11 landings, per priority
 #      order (new + rewritten outrank EVIDENCE_AGE fillers):
 #      mixture_temperature (by the ann_joint_tuning addition; mixture
 #      family in-window via corpus_mixture), doc_length_deciles and
@@ -937,8 +945,10 @@ _register_llm()
 #      nearest_neighbor_jaccard (by the exact_substring_spans
 #      addition — same candidate-verify dedup family, which is also
 #      in-window via block_dedup + dedup_cluster_sizes +
-#      dedup_normalized + dup_gram_coverage). All four head the r12
-#      queue with the 11 remaining r7 rows.
+#      dedup_normalized + dup_gram_coverage), and token_entropy (by
+#      the exact_substring_cut addition; token-stats family in-window
+#      via token_counts + token_rarity + keyword_topk + bigram_pmi).
+#      All five head the r12 queue with the 11 remaining r7 rows.
 # After this window: zero r5 and zero r6 evidence remains; zero
 # NEVER_CHECKED and zero REWRITTEN carryover.
 # NOTE (environment-level changes, not per-query rewrites): r11's
@@ -996,6 +1006,7 @@ _CHECK_FIRST = [
     "ann_probe_curve",
     "ann_joint_tuning",
     "exact_substring_spans",
+    "exact_substring_cut",
     # NEVER_CHECKED round-10 post-window additions
     "ann_refine_curve",
     "approx_percentiles",
@@ -1035,7 +1046,6 @@ _CHECK_FIRST = [
     "kmeans_assign",
     "kmeans_label_purity",
     "bigram_pmi",
-    "token_entropy",
 ]
 
 

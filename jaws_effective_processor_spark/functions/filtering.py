@@ -301,37 +301,13 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXSUB_K = 8
 
 
-def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per doc, the MAXIMAL cross-document duplicated token spans —
-    the span-level structure behind Lee et al.'s ExactSubstr dedup
-    ("Deduplicating Training Data Makes Language Models Better"),
-    where `dup_gram_coverage` gives only the scalar fraction and
-    `block_dedup` only fixed non-overlapping blocks: which contiguous
-    regions of a document also occur elsewhere in the corpus, how
-    many, how long, and what share of the doc they cover — exactly
-    what an ExactSubstr cut pass would remove.
-
-    Semantics (deterministic, engine-portable): a length-EXSUB_K
-    token window is DUPLICATED when its rolling gram hash occurs in
-    >= 2 distinct documents (cross-document only — within-doc
-    repetition is `doc_repetition`'s signal). Overlapping/adjacent
-    duplicated windows merge into maximal spans (gaps-and-islands:
-    a new island starts when the next duplicated window position is
-    > EXSUB_K past the previous, i.e. the covered token ranges
-    disjoin). A span of L >= EXSUB_K duplicated tokens contains
-    duplicated windows at every interior position, so the merged
-    islands reconstruct duplicated regions exactly at >= EXSUB_K
-    granularity — shorter repeats are below the threshold by design,
-    matching ExactSubstr's length-50 floor.
-
-    Scale shape: positioned windows move as (doc_id, pos, hash)
-    longs — token text never shuffles. The dup-gram set is one
-    aggregation over the session-cached contamination gram table
-    (per-doc distinct, so the row count per gram IS the doc count);
-    the positioned join is a gram-hash equi-join (the dedup family's
-    banded-join discipline); islands are two window passes over ONE
-    doc_id exchange. Output: one row per doc owning at least one
-    duplicated span."""
+def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared core of the exact-substring pair: one row per
+    MAXIMAL duplicated span — (doc_id, n_tokens, span_start,
+    span_end, _span_tok), token positions 1-based inclusive.
+    Positioned duplicated windows (cross-document dup definition off
+    the cached gram table) merged gaps-and-islands; see
+    q_exact_substring_spans for the semantics argument."""
     from pyspark.sql import Window
 
     from .corpus import CONTAM_K
@@ -407,10 +383,46 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_pos.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    spans = isl.groupBy("doc_id", "_isl").agg(
+    return isl.groupBy("doc_id", "_isl").agg(
         F.max("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + EXSUB_K - 1).alias("span_end"),
         (F.max("pos") - F.min("pos") + EXSUB_K).alias("_span_tok"),
     )
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc, the MAXIMAL cross-document duplicated token spans —
+    the span-level structure behind Lee et al.'s ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better"),
+    where `dup_gram_coverage` gives only the scalar fraction and
+    `block_dedup` only fixed non-overlapping blocks: which contiguous
+    regions of a document also occur elsewhere in the corpus, how
+    many, how long, and what share of the doc they cover — exactly
+    what an ExactSubstr cut pass would remove.
+
+    Semantics (deterministic, engine-portable): a length-EXSUB_K
+    token window is DUPLICATED when its rolling gram hash occurs in
+    >= 2 distinct documents (cross-document only — within-doc
+    repetition is `doc_repetition`'s signal). Overlapping/adjacent
+    duplicated windows merge into maximal spans (gaps-and-islands:
+    a new island starts when the next duplicated window position is
+    > EXSUB_K past the previous, i.e. the covered token ranges
+    disjoin). A span of L >= EXSUB_K duplicated tokens contains
+    duplicated windows at every interior position, so the merged
+    islands reconstruct duplicated regions exactly at >= EXSUB_K
+    granularity — shorter repeats are below the threshold by design,
+    matching ExactSubstr's length-50 floor.
+
+    Scale shape: positioned windows move as (doc_id, pos, hash)
+    longs — token text never shuffles. The dup-gram set is one
+    aggregation over the session-cached contamination gram table
+    (per-doc distinct, so the row count per gram IS the doc count);
+    the positioned join is a gram-hash equi-join (the dedup family's
+    banded-join discipline); islands are two window passes over ONE
+    doc_id exchange. Output: one row per doc owning at least one
+    duplicated span."""
+    spans = _exsub_islands(spark, sf_dir)
     return (
         spans.groupBy("doc_id")
         .agg(
@@ -428,6 +440,77 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * dup_tokens) DIV n_tokens").alias(
                 "dup_permille"
             ),
+        )
+    )
+
+
+def q_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of the exact-substring pair: the cleaned
+    corpus after cutting every maximal cross-document duplicated
+    span from every document — Lee et al.'s ExactSubstr default
+    (every occurrence is removed, in every doc; keeping one canonical
+    copy is the variant they note and reject for simplicity).
+
+    Per doc: original token count, kept/cut token counts, and
+    kept_fp = md5 of the cleaned text (kept tokens rejoined with
+    single spaces) — the fingerprint proves the reconstruction
+    byte-for-byte against the oracle without hauling text through
+    the compare. Docs without spans (including sub-window-width
+    docs) pass through whole, with kept_fp = md5 of the space-split/
+    rejoined text (identical to md5(text) for single-spaced input).
+
+    Scale shape: span intervals collect to a per-doc array (bounded
+    by doc length / EXSUB_K spans), broadcast-joinable back to the
+    corpus scan in deployment; the rebuild is a doc-local
+    codegen fold — per token one interval-list probe, O(tokens x
+    spans) per doc, no Python. One extra exchange over the spans
+    report (the collect_list regroup)."""
+    spans = _exsub_islands(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    docs = spread_if_undersplit(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    staged = (
+        docs.join(spans, "doc_id", "left")
+        .withColumn("_tk", F.split(F.col("text"), " "))
+        .withColumn(
+            "_sp",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+        )
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk")),
+            lambda i: F.when(
+                F.exists(
+                    F.col("_sp"),
+                    lambda sp: (i.cast("long") >= sp["s"])
+                    & (i.cast("long") <= sp["e"]),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at(F.col("_tk"), i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        staged.withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            (F.size("_tk") - F.size("_kept"))
+            .cast("long")
+            .alias("cut_tokens"),
+            F.md5(F.array_join("_kept", " ")).alias("kept_fp"),
         )
     )
 

@@ -2318,8 +2318,7 @@ GROUP BY e.doc_id
 # identical gaps-and-islands merge in window functions
 from .functions.filtering import EXSUB_K  # noqa: E402
 
-EXACT_SUBSTRING_SPANS_SQL = f"""
-WITH {_CONTAM_BASE},
+_EXSUB_ISLANDS_CTES = f"""{_CONTAM_BASE},
 dup AS (
   SELECT gram_h FROM (
     SELECT doc_id, unnest(grams) AS gram_h FROM g
@@ -2352,9 +2351,14 @@ isl AS (
 ),
 sp AS (
   SELECT doc_id, max(n_tokens) AS n_tokens, isl_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {EXSUB_K - 1} AS BIGINT) AS span_end,
          CAST(max(pos) - min(pos) + {EXSUB_K} AS BIGINT) AS span_tok
   FROM isl GROUP BY doc_id, isl_id
-)
+)"""
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH {_EXSUB_ISLANDS_CTES}
 SELECT doc_id,
        max(n_tokens) AS n_tokens,
        count(*) AS n_dup_spans,
@@ -2363,6 +2367,39 @@ SELECT doc_id,
        (1000 * CAST(sum(span_tok) AS BIGINT)) // max(n_tokens)
          AS dup_permille
 FROM sp GROUP BY doc_id
+"""
+
+# Twin of q_exact_substring_cut: span intervals per doc, then the
+# identical doc-local rebuild — per token position an interval-list
+# probe, NULL inside any span, rejoin with single spaces, md5
+EXACT_SUBSTRING_CUT_SQL = f"""
+WITH {_EXSUB_ISLANDS_CTES},
+spl AS (
+  SELECT doc_id,
+         list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM sp GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS tk,
+         coalesce(spl.spans,
+                  CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sps
+  FROM documents d LEFT JOIN spl USING (doc_id)
+),
+reb AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         list_filter(
+           list_transform(range(1, len(tk) + 1),
+             i -> CASE WHEN len(list_filter(sps,
+                          sp -> i >= sp.s AND i <= sp.e)) > 0
+                       THEN NULL ELSE tk[i] END),
+           x -> x IS NOT NULL) AS kept
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS cut_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_fp
+FROM reb
 """
 
 _BLOOM_POS = "list_distinct([" + ", ".join(

@@ -111,6 +111,16 @@ EDGE_QUERIES = (
     "importance_resampling",
     "quality_calibration",
     "dsir_weights",
+    # round-11 operators: every shared run in the edge corpus (the
+    # 4-token exact-dup pair 6/7, the 3-token overlap 50/51) is
+    # BELOW the EXSUB_K window, so the spans report must be EMPTY on
+    # both engines (the empty-result edge is where split('')/empty-
+    # fold divergence hides) and the cut must pass every doc through
+    # whole — including the empty doc, whose rejoin fingerprint is
+    # the engines' empty-string md5 agreement (the very divergence
+    # the sf0.01 full-cut docs exposed in DuckDB's array_to_string)
+    "exact_substring_spans",
+    "exact_substring_cut",
 )
 
 

@@ -237,6 +237,33 @@ def test_exact_substring_spans_merge_semantics(spark, tmp_path):
     d3 = rows[3]
     assert (d3.n_tokens, d3.n_dup_spans, d3.dup_tokens) == (14, 1, 8)
 
+    # the CUT action on the same fixture, fingerprints hand-computed:
+    # every duplicated span removed from every doc, untouched docs
+    # pass through whole
+    import hashlib
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        q_exact_substring_cut,
+    )
+
+    def fp(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    cut = {
+        row.doc_id: row for row in q_exact_substring_cut(spark, sf).collect()
+    }
+    assert set(cut) == {1, 2, 3, 4}
+    assert (cut[1].kept_tokens, cut[1].cut_tokens) == (9, 18)
+    assert cut[1].kept_fp == fp(
+        [f"u{i}" for i in range(4)] + [f"v{i}" for i in range(5)]
+    )
+    assert cut[2].kept_fp == fp([f"w{i}" for i in range(3)])
+    assert cut[3].kept_fp == fp([f"x{i}" for i in range(6)])
+    # within-doc-only repetition is not cut
+    assert cut[4].cut_tokens == 0 and cut[4].kept_fp == fp(
+        r + ["m0"] + r
+    )
+
 
 def test_exact_substring_spans_consistent_with_gram_coverage(spark):
     """Cross-operator invariants at SF_ORACLE: a doc owns a
@@ -262,3 +289,19 @@ def test_exact_substring_spans_consistent_with_gram_coverage(spark):
     for r in spans.values():
         assert EXSUB_K <= r.max_span_tokens <= r.dup_tokens <= r.n_tokens
         assert 0 < r.dup_permille <= 1000
+
+    # the cut action is exactly the spans report applied: every doc
+    # present, kept + cut == total, and cut_tokens equals the report's
+    # dup_tokens (0 for span-free docs)
+    from jaws_effective_processor_spark.functions.filtering import (
+        q_exact_substring_cut,
+    )
+
+    cut = {
+        r.doc_id: r for r in q_exact_substring_cut(spark, SF_ORACLE).collect()
+    }
+    assert set(spans) <= set(cut)
+    for doc_id, r in cut.items():
+        assert r.kept_tokens + r.cut_tokens == r.n_tokens
+        expected = spans[doc_id].dup_tokens if doc_id in spans else 0
+        assert r.cut_tokens == expected, (doc_id, r.cut_tokens, expected)

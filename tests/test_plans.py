@@ -102,6 +102,7 @@ _SHUFFLE_BUDGETS = {
     "embedding_outliers": 2,
     "embedding_quantize": 0,
     "event_funnel": 5,
+    "exact_substring_cut": 2,
     "exact_substring_spans": 2,
     "event_type_pivot": 2,
     "event_type_unpivot": 2,
