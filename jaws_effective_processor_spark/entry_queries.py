@@ -705,6 +705,15 @@ def _register_llm() -> None:
         similarity.q_ann_joint_tuning,
         osql.ANN_JOINT_TUNING_SQL,
     )
+    # round-11 POST-WINDOW addition (registered after the r11 window
+    # was amended for the in-window landings; NEVER_CHECKED — r12
+    # queue head per the ledger): the multi-assignment (spill) serve
+    # path — the storage-for-recall lever against the routing ceiling
+    register(
+        "ann_ivfpq_spill",
+        similarity.q_ann_ivfpq_spill,
+        osql.ANN_IVFPQ_SPILL_SQL,
+    )
 
 
 _register_rules()

@@ -1576,6 +1576,102 @@ def q_ann_joint_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPILL_ASSIGN = 2  # cells each corpus vector is indexed in (multi-assignment)
+
+
+def q_ann_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + refine served over a MULTI-ASSIGNMENT index: every
+    corpus vector is indexed in its SPILL_ASSIGN nearest cells
+    instead of one — the storage-for-recall lever a deployment pulls
+    when the k' axis saturates (PLANS round-11: at nprobe = 2 the
+    refined path saturates at the ~56% routing ceiling; exact-scoring
+    more candidates cannot pass what the probes never reach). Spill
+    attacks the ROUTING bound itself at ZERO extra serve cost per
+    query: the probe set is unchanged (IVF_NPROBE cells, same ADC
+    LUT work per candidate), but a near-boundary neighbor is now
+    visible if ANY of its SPILL_ASSIGN home cells is probed — the
+    candidate set strictly contains the single-assignment one. The
+    price is SPILL_ASSIGN x code-store rows (codes only — raw
+    vectors are NOT duplicated; the refine fetch is still by
+    vec_id), and ~SPILL_ASSIGN x ADC-scored candidates per probe,
+    the same trade FAISS documents for IVF multi-assignment.
+
+    Output shape is q_ann_ivfpq_refined's (rank, cos_permyriad) so
+    the two serve paths diff row-for-row. A vector probed through
+    both its cells produces byte-identical ADC rows (the score reads
+    codes + LUTs, never the cell), deduplicated before ranking —
+    measured recall vs the single-assignment twin is in PLANS
+    round-11; it is NOT asserted monotone (a superset of candidates
+    can still flood the fixed shortlist, the joint-surface lesson)."""
+    cb = _pq_codebook(spark, sf_dir)
+    cd = _pq_codebook_double(cb)
+    codes = _pq_codes(spark, sf_dir)
+    ranked = _ranked_cells(spark, sf_dir)
+    corpus = (
+        ranked.filter(F.col("rn") <= SPILL_ASSIGN)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(codes, "vec_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    scored = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+    # both home cells yield byte-identical rows — distinct, not argmax
+    cand = scored.distinct()
+    short = partial_topk(
+        cand,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    return partial_topk(
+        exact,
+        ["query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+        rank_col="rank",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.floor(F.col("_cos") * 10000).cast("long").alias("cos_permyriad"),
+    )
+
+
 def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ trainer's convergence curve AS THE STOP RULE SAW IT:
     per round, the TOTAL quantization distortion (sum over vectors x

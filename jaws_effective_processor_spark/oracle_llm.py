@@ -1836,6 +1836,57 @@ FROM ks k LEFT JOIN hits h USING (k_refine), nq
 """
 
 
+# Twin of q_ann_ivfpq_spill: the refined serve chain over a
+# SPILL_ASSIGN-way multi-assignment index — cells at rn <= SPILL,
+# byte-identical duplicate rows removed with DISTINCT before ranking
+from .functions.similarity import SPILL_ASSIGN  # noqa: E402
+
+ANN_IVFPQ_SPILL_SQL = f"""
+WITH {_IVFPQ_ROUTE_CTES},
+cells2 AS (
+  SELECT vec_id, cent_id AS cell FROM assigned
+  WHERE rn <= {SPILL_ASSIGN}
+),
+probes AS (
+  SELECT vec_id, norm, cent_id AS cell FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probes p
+  JOIN cells2 c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {REFINE_K}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+refined AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM refined WHERE rank <= {TOP_K}
+"""
+
+
 # Twin of q_ann_probe_curve: refined-path recall@TOP_K vs nprobe —
 # the corpus ADC-scored ONCE at exhaustive routing with the probe
 # rank retained (candidate sets nest), each swept nprobe a filter,

@@ -46,6 +46,7 @@ _SHUFFLE_BUDGETS = {
     "ann_cell_balance": 3,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
+    "ann_ivfpq_spill": 7,
     "ann_joint_tuning": 11,
     "ann_pq_recall": 6,
     "ann_probe_curve": 11,
@@ -410,6 +411,26 @@ def test_joint_tuning_exact_stage_candidates_only(spark):
     from jaws_effective_processor_spark.plans import broadcast_subtrees
 
     df = q_ann_joint_tuning(spark, SF_SMOKE)
+    plan = explain_str(df)
+    subs = broadcast_subtrees(df)
+    assert len(subs) >= 3, subs
+    assert "Left keys [1]: [neighbor_id" in plan
+    assert not has_cartesian(df)
+    assert "_tk_pid" in plan
+
+
+def test_spill_exact_stage_candidates_only(spark):
+    """The multi-assignment serve path keeps the refine discipline:
+    the shortlist BROADCASTS into the raw-vector scan keyed on
+    neighbor_id (raw vectors are fetched by id — NOT duplicated the
+    way the code rows are), no cartesian, both ranking levels on
+    partial_topk."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_ivfpq_spill,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = q_ann_ivfpq_spill(spark, SF_SMOKE)
     plan = explain_str(df)
     subs = broadcast_subtrees(df)
     assert len(subs) >= 3, subs

@@ -468,3 +468,45 @@ def test_pq_train_round_conserves_members(spark):
     assert per_m == {m: n_vecs for m in range(PQ_M)}
     # self-coding guarantees every (m, j) cell is populated
     assert cells == {(m, j) for m in range(PQ_M) for j in range(PQ_K)}
+
+
+def test_spill_serve_structure_and_routing_lift(spark):
+    """Multi-assignment (spill) serve path: (1) well-formed serving
+    rows — dense ranks 1..TOP_K per query, no duplicate neighbors
+    despite every corpus vector living in SPILL_ASSIGN cells (the
+    byte-identical ADC duplicates must dedupe before ranking);
+    (2) the candidate-superset property pays — spill recall at the
+    serving default routing is at least the single-assignment
+    refined path's (measured: 580 vs 260 permille at sf0.01 — the
+    near-boundary neighbors single assignment loses are exactly what
+    spill indexes into the probed cells)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    rows = s.q_ann_ivfpq_spill(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(
+            range(1, len(rs) + 1)
+        )
+        neigh = [x["neighbor_id"] for x in rs]
+        assert len(neigh) == len(set(neigh)), (q, neigh)
+        assert len(rs) <= s.TOP_K
+
+    spill = s._recall_vs_truth(
+        spark,
+        SF_ORACLE,
+        s.q_ann_ivfpq_spill(spark, SF_ORACLE).select(
+            "query_id", "neighbor_id"
+        ),
+    ).collect()
+    spill_mean = sum(r["n_hits"] for r in spill) * 1000 // (
+        len(spill) * s.TOP_K
+    )
+    single = s.q_ann_refine_recall(spark, SF_ORACLE).collect()
+    single_mean = sum(r["n_hits"] for r in single) * 1000 // (
+        len(single) * s.TOP_K
+    )
+    assert spill_mean >= single_mean, (spill_mean, single_mean)
