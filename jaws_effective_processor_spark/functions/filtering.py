@@ -301,13 +301,37 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXSUB_K = 8
 
 
+def _dup_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct gram hashes occurring in >= 2 documents — the
+    cross-document dup definition shared by the exact-substring pair
+    (one aggregation over the cached per-doc-distinct gram table:
+    the row count per gram IS the doc count)."""
+    return (
+        _contam_gram_table(spark, sf_dir)
+        .select(F.explode("grams").alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram_h")
+    )
+
+
 def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared core of the exact-substring pair: one row per
     MAXIMAL duplicated span — (doc_id, n_tokens, span_start,
     span_end, _span_tok), token positions 1-based inclusive.
     Positioned duplicated windows (cross-document dup definition off
     the cached gram table) merged gaps-and-islands; see
-    q_exact_substring_spans for the semantics argument."""
+    q_exact_substring_spans for the semantics argument.
+
+    CANDIDATE-ONLY explode (the house verify discipline): positioned
+    windows are built ONLY for docs already known to own >= 1
+    duplicated distinct gram (gram table ⋈ dup set -> doc ids), so
+    the corpus-token-scale window explode shrinks to the dup-owning
+    slice — at 100 TB with single-digit dup rates that is the
+    difference between shuffling every token window and shuffling
+    ~5% of them. The pruning is exact, not heuristic: a doc with no
+    duplicated distinct gram has no duplicated window."""
     from pyspark.sql import Window
 
     from .corpus import CONTAM_K
@@ -316,9 +340,16 @@ def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert EXSUB_K == CONTAM_K  # the shared gram table IS the index
 
     def _build_positioned():
+        cand_ids = (
+            _contam_gram_table(spark, sf_dir)
+            .select("doc_id", F.explode("grams").alias("gram_h"))
+            .join(_dup_gram_set(spark, sf_dir), "gram_h", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
-        )
+        ).join(cand_ids, "doc_id", "left_semi")
         tk = F.split(F.col("text"), " ")
         tkh = F.transform(
             tk,
@@ -359,17 +390,9 @@ def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned = _cached_frame(
         spark, sf_dir, "exsub_pos_grams", _build_positioned
     )
-    dup_set = (
-        _contam_gram_table(spark, sf_dir)
-        .select(F.explode("grams").alias("gram_h"))
-        .groupBy("gram_h")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("gram_h")
-    )
-    hit = positioned.join(dup_set, "gram_h").select(
-        "doc_id", "n_tokens", "pos"
-    )
+    hit = positioned.join(
+        _dup_gram_set(spark, sf_dir), "gram_h"
+    ).select("doc_id", "n_tokens", "pos")
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hit.withColumn(
         "_brk",
