@@ -93,6 +93,7 @@ def vector_ingest_stream(
     vecs: DataFrame,
     centroids: list[tuple[int, list[float]]],
     pq_codebook: list | None = None,
+    spill: int = 1,
 ) -> DataFrame:
     """Feed -> zero-norm-filtered, cell-routed, int8-quantized vectors
     ready for a partitioned ANN store. With `pq_codebook` the row also
@@ -100,7 +101,16 @@ def vector_ingest_stream(
     second, coarser compression level a serving index stores next to
     the int8 payload; coding shares similarity.with_pq_codes with the
     batch coder, so stream and batch codes are bit-identical (pinned
-    by test_vector_ingest_pq_codes_match_batch)."""
+    by test_vector_ingest_pq_codes_match_batch).
+
+    `spill > 1` lands MULTI-ASSIGNMENT rows (one per (vector, cell)
+    for the vector's `spill` nearest cells, same tie order as the
+    batch _ranked_cells window) — the streaming half of
+    similarity.q_ann_ivfpq_spill's index layout: the code payload is
+    duplicated per home cell, the raw int8 payload rides along, and
+    a store server probing ANY home cell sees the vector (dedupe at
+    serve time; parity pinned by
+    test_spill_store_server_matches_batch)."""
     v = F.col("embedding").cast("array<double>")
     base = vecs.select(
         "vec_id",
@@ -124,9 +134,31 @@ def vector_ingest_stream(
             for cid, cv in centroids
         ]
     )
-    routed = base.withColumn(
-        "cell", -F.array_max(candidates)["neg_cent"]
-    )
+    if spill == 1:
+        routed = base.withColumn(
+            "cell", -F.array_max(candidates)["neg_cent"]
+        )
+    else:
+        # top-`spill` cells: ascending sort on (neg_cos, cent_id)
+        # structs == the batch window's (cos DESC, cent_id ASC), then
+        # one landed row per home cell
+        ordered = F.slice(
+            F.array_sort(
+                F.transform(
+                    candidates,
+                    lambda c: F.struct(
+                        (-c["ccos"]).alias("neg_cos"),
+                        (-c["neg_cent"]).alias("cent"),
+                    ),
+                )
+            ),
+            1,
+            spill,
+        )
+        routed = base.withColumn(
+            "cell",
+            F.explode(F.transform(ordered, lambda s: s["cent"])),
+        )
 
     # int8 storage quantization — the same floor expression tree as
     # functions/similarity.q_embedding_quantize
@@ -168,6 +200,7 @@ def start_vector_shards(
     checkpoint: str,
     available_now: bool = False,
     pq_codebook: list | None = None,
+    spill: int = 1,
 ):
     """Run the vector ingest continuously into a cell-partitioned
     parquet store — each cell directory is exactly the file set an
@@ -175,9 +208,12 @@ def start_vector_shards(
     (exactly-once via the checkpointed file-sink commit log). With
     `pq_codebook` each landed row also carries its packed PQ code,
     which adc_topk_against_store serves from without touching the
-    int8 payload."""
+    int8 payload. `spill` lands the multi-assignment layout (see
+    vector_ingest_stream)."""
     writer = (
-        vector_ingest_stream(vecs, centroids, pq_codebook=pq_codebook)
+        vector_ingest_stream(
+            vecs, centroids, pq_codebook=pq_codebook, spill=spill
+        )
         .writeStream.format("parquet")
         .partitionBy("cell")
         .option("path", path)
@@ -330,6 +366,7 @@ def adc_topk_against_store(
     nprobe: int = 2,
     prune: bool = True,
     exclude_self: bool = False,
+    dedupe: bool = False,
 ) -> DataFrame:
     """IVFADC serving against the landed store: route each query to
     its nprobe nearest cells, read ONLY those cell partitions, and
@@ -385,6 +422,12 @@ def adc_topk_against_store(
     scored = scored.select(
         "query_id", "neighbor_id", _adc_cos_hat(cd).alias("cos_hat")
     )
+    if dedupe:
+        # a SPILL store shows a vector once per home cell; the rows
+        # are byte-identical (the score reads codes + LUTs, never the
+        # cell), so dropping duplicates is deterministic — mirrors
+        # the batch spill path's distinct-before-ranking
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     topk = F.slice(
         F.array_sort(
             F.collect_list(
@@ -424,6 +467,7 @@ def adc_refine_topk_against_store(
     nprobe: int = 2,
     prune: bool = True,
     exclude_self: bool = False,
+    dedupe: bool = False,
 ) -> DataFrame:
     """IVFADC + REFINE serving against the landed store (the serving
     twin of functions/similarity.q_ann_ivfpq_refined): ADC-shortlist
@@ -452,6 +496,7 @@ def adc_refine_topk_against_store(
         nprobe=nprobe,
         prune=prune,
         exclude_self=exclude_self,
+        dedupe=dedupe,
     ).select("query_id", "neighbor_id")
     v = F.col("embedding").cast("array<double>")
     qv = queries.select(

@@ -1876,3 +1876,94 @@ def test_ingest_restart_recovers_dedup_state(spark, tmpdir):
     rows = spark.read.parquet(sink).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == [1, 2, 4], ids  # dup 3 dropped, nothing re-emitted
+
+
+def test_spill_store_server_matches_batch(spark, tmpdir):
+    """The MULTI-ASSIGNMENT store round trip: land the feed with
+    spill = SPILL_ASSIGN (one cell-partitioned row per home cell,
+    same (cos DESC, cent_id) tie order as the batch _ranked_cells
+    window), then serve the refined tier with serve-time dedupe —
+    and land EXACTLY q_ann_ivfpq_spill's rows: same neighbors, same
+    ranks, same cos_permyriad. Pins the whole spill layout: top-2
+    routing == batch rn <= 2, duplicated code rows score
+    byte-identically through pack -> parquet -> unpack, and the
+    dedupe mirrors the batch distinct-before-ranking."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        REFINE_K,
+        SPILL_ASSIGN,
+        TOP_K,
+        _vectors,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "spill_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "spill_store")
+    cents = sv.load_centroids(spark, sf)
+    cb = sv.load_pq_codebook(spark, sf)
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        cents,
+        store,
+        os.path.join(tmpdir, "spill_ckpt"),
+        available_now=True,
+        pq_codebook=cb,
+        spill=SPILL_ASSIGN,
+    )
+    q.awaitTermination()
+
+    # the landed layout IS the multi-assignment index: every vector
+    # owns exactly SPILL_ASSIGN distinct cell rows
+    landed = spark.read.parquet(store)
+    per_vec = landed.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cell").alias("nc"),
+    )
+    bad = per_vec.filter(
+        (F.col("n") != SPILL_ASSIGN) | (F.col("nc") != SPILL_ASSIGN)
+    ).count()
+    assert bad == 0
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    served = {
+        tuple(r)
+        for r in sv.adc_refine_topk_against_store(
+            spark,
+            queries,
+            store,
+            cents,
+            cb,
+            _vectors(spark, sf),
+            k=TOP_K,
+            k_refine=REFINE_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+            dedupe=True,
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in QUERIES["ann_ivfpq_spill"](spark, sf).collect()
+    }
+    assert served == batch
+    assert served
