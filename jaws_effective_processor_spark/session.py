@@ -80,7 +80,10 @@ def _shed_sql_ui_listener(spark: SparkSession) -> None:
     per query-build, so the second call catches it."""
     try:
         jsc = spark.sparkContext._jsc.sc()
-        if jsc.conf().get("spark.ui.enabled", "true") == "true":
+        # case-insensitive (ADVICE r11): SparkConf accepts "TRUE"/"True"
+        # as UI-enabled; matching only the lowercase literal would shed
+        # the listener from a session whose UI is actually running
+        if jsc.conf().get("spark.ui.enabled", "true").lower() == "true":
             return
         for listener in jsc.listenerBus().listeners().toArray():
             if listener.getClass().getName().endswith(

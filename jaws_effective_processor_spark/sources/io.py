@@ -526,6 +526,16 @@ def write_zordered(
       default resolution, which is still 256 equi-depth buckets per
       dimension, ample for row-group pruning.
 
+    NULL handling (ADVICE r11, layout-only asymmetry): a NULL
+    dimension value yields a NULL scaled id in linear mode (the
+    min/max expression propagates it) but bucket 0 in rank mode (the
+    `when(c >= b)` fold adds 0 for every boundary), so the two modes
+    PLACE null rows differently — linear groups them wherever the
+    null z-key range-partitions (first range), rank mixes them with
+    the lowest bucket. Rows themselves are never altered either way;
+    pick rank mode if null rows should co-locate with low values,
+    or pre-fill nulls for explicit placement.
+
     Layout only in both modes: the synthetic key is dropped before
     the write and rows are untouched (pinned, with the per-dimension
     row-group-span contrast vs single-key clustering, by

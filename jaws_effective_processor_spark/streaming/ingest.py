@@ -655,7 +655,16 @@ def debounce_gate_stream(
     whose gap verdicts may have diverged, instead of diverging
     silently (pinned both ways by
     tests/test_streaming.py::test_debounce_gate_matches_batch and
-    ::test_debounce_gate_counts_order_regressions)."""
+    ::test_debounce_gate_counts_order_regressions).
+
+    CHECKPOINT COMPATIBILITY (ADVICE r11): the r11 observability
+    change grew DEBOUNCE_STATE from one field (last_ms) to three
+    (last_ms, max_eid, regressions). applyInPandasWithState state
+    schemas are NOT evolvable in place, so a stream restarted from a
+    checkpoint written by the pre-r11 single-field gate will fail (or
+    misread state) — upgrading deployments must start a NEW
+    checkpoint directory for this gate; the first run re-seeds gap
+    state from arriving data exactly like any fresh start."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 

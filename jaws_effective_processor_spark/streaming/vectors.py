@@ -463,7 +463,7 @@ def adc_refine_topk_against_store(
     pq_codebook: list,
     vectors: DataFrame,
     k: int = 5,
-    k_refine: int = 80,  # tracks similarity.REFINE_K (r11 default)
+    k_refine: int | None = None,  # None -> similarity.REFINE_K at call time
     nprobe: int = 2,
     prune: bool = True,
     exclude_self: bool = False,
@@ -485,7 +485,15 @@ def adc_refine_topk_against_store(
     so the served answer equals the batch refined query row-for-row
     (parity pinned inside
     tests/test_streaming.py::test_adc_store_server_matches_batch).
-    """
+
+    k_refine defaults to similarity.REFINE_K RESOLVED AT CALL TIME
+    (ADVICE r11: a hardcoded literal silently desynchronized the
+    serving default from the batch default on the next REFINE_K
+    change)."""
+    if k_refine is None:
+        from ..functions.similarity import REFINE_K
+
+        k_refine = REFINE_K
     short = adc_topk_against_store(
         spark,
         queries,
