@@ -714,6 +714,33 @@ def _register_llm() -> None:
         similarity.q_ann_ivfpq_spill,
         osql.ANN_IVFPQ_SPILL_SQL,
     )
+    # round-12 additions (the r11 verdict's top item): RESIDUAL PQ —
+    # classic IVFADC coding (train/encode on x - centroid(cell), per
+    # assignment), its spill composition, and the 2x2 (codes x index)
+    # acceptance grid
+    register(
+        "ann_ivfpq_residual",
+        similarity.q_ann_ivfpq_residual,
+        osql.ANN_IVFPQ_RESIDUAL_SQL,
+    )
+    register(
+        "ann_ivfpq_spill_residual",
+        similarity.q_ann_ivfpq_spill_residual,
+        osql.ANN_IVFPQ_SPILL_RESIDUAL_SQL,
+    )
+    register(
+        "ann_residual_recall",
+        similarity.q_ann_residual_recall,
+        osql.ANN_RESIDUAL_RECALL_SQL,
+    )
+    # round-12 addition (r11 verdict item 4): the (spill x nprobe)
+    # tuning surface at fixed k' — the storage axis priced against
+    # the routing axis on one grid
+    register(
+        "ann_spill_tuning",
+        similarity.q_ann_spill_tuning,
+        osql.ANN_SPILL_TUNING_SQL,
+    )
 
 
 _register_rules()

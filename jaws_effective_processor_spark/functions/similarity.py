@@ -526,15 +526,104 @@ def _pq_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-0 seed sub-centroids (m, j, d, cm): the subvectors of
-    designated corpus vectors N_QUERIES..N_QUERIES+PQ_K-1 (the same
-    smallest-ids seeding rule as the k-means trainer). Session-cached
-    'pq_c0'."""
+def _pqr_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, d, xm): the RESIDUAL micro table — per vector, the
+    exact-integer difference xm(vec) - xm(home IVF cell centroid),
+    keyed like _pq_micro. This is what classic IVFADC (FAISS IVFPQ)
+    trains and codes on: after coarse routing picks a cell, the PQ
+    code budget only has to describe the WITHIN-cell offset, which is
+    far lower-variance than the raw vector — the standard recall
+    lever once routing and shortlist are tuned (the r11 verdict's top
+    item). Zero-norm vectors have no home cell (cosine routing is
+    undefined; they are unservable by the IVF level) — they carry
+    their raw micro values via LEFT JOIN + coalesce(0), exactly the
+    rule the DuckDB twin's rpx CTE applies, so the trainer input is
+    total either way. Session-cached 'pqr_micro'; the residual is
+    floor(x*1e6) - floor(c*1e6) (floored FIRST, then subtracted), so
+    both engines subtract identical integers."""
     from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         px = _pq_micro(spark, sf_dir)
+        homes = (
+            _ranked_cells(spark, sf_dir)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("_cell"))
+        )
+        centm = px.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        ).select(
+            F.col("vec_id").alias("_cell"),
+            "m",
+            "d",
+            F.col("xm").alias("_cxm"),
+        )
+        return (
+            px.join(homes, "vec_id", "left")
+            .join(F.broadcast(centm), ["_cell", "m", "d"], "left")
+            .select(
+                "vec_id",
+                "m",
+                "d",
+                (
+                    F.col("xm") - F.coalesce(F.col("_cxm"), F.lit(0))
+                ).alias("xm"),
+            )
+        )
+
+    return _pq_chain_frame(spark, sf_dir, "pqr_micro", _build)
+
+
+def _pq_micro_of(spark: SparkSession, sf_dir: str, res: bool) -> DataFrame:
+    """The trainer input of a PQ family: raw subvectors (res=False)
+    or home-cell residuals (res=True)."""
+    return (
+        _pqr_micro(spark, sf_dir) if res else _pq_micro(spark, sf_dir)
+    )
+
+
+def _pq_tag(res: bool) -> str:
+    """Session-cache tag prefix of a PQ family ('pq' raw / 'pqr'
+    residual) — raw tags are unchanged so no pre-r12 plan moves."""
+    return "pqr" if res else "pq"
+
+
+def _pq_chain_frame(spark, sf_dir: str, tag: str, build) -> DataFrame:
+    """Session-cache a TRAINER-CHAIN artifact behind a lazy
+    localCheckpoint leaf. The Lloyd recursion (centroids(r) ->
+    assignment(r) -> centroids(r-1) -> ...) otherwise nests every
+    prior round's LOGICAL plan inside the next — Catalyst re-analyzes
+    the whole compounding tree per round, superlinear in depth
+    (measured r12 at sf0.01: ~20 s/round for the residual family,
+    whose leaf additionally embeds the ranked-cells window, vs ~3 s
+    raw; both ~1 s with the leaf cut). localCheckpoint returns a
+    LogicalRDD-leaf Dataset immediately (laziness defers only the RDD
+    materialization), so each round's plan is one join + one
+    aggregation over leaves — the r4 staged-intermediate discipline
+    applied to the trainer. Results are untouched (the artifact is
+    deterministic and the leaf is its own output); a cluster
+    deployment would persist these per-snapshot artifacts to parquet,
+    which truncates the same way."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark, sf_dir, tag, lambda: build().localCheckpoint(eager=False)
+    )
+
+
+def _pq_seed(
+    spark: SparkSession, sf_dir: str, res: bool = False
+) -> DataFrame:
+    """Round-0 seed sub-centroids (m, j, d, cm): the subvectors of
+    designated corpus vectors N_QUERIES..N_QUERIES+PQ_K-1 (the same
+    smallest-ids seeding rule as the k-means trainer) — of the raw
+    micro table, or of the residual one for the residual family.
+    Session-cached 'pq_c0' / 'pqr_c0'."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        px = _pq_micro_of(spark, sf_dir, res)
         return px.filter(
             (F.col("vec_id") >= N_QUERIES)
             & (F.col("vec_id") < N_QUERIES + PQ_K)
@@ -545,7 +634,9 @@ def _pq_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xm").alias("cm"),
         )
 
-    return _cached_frame(spark, sf_dir, "pq_c0", _build)
+    return _pq_chain_frame(
+        spark, sf_dir, f"{_pq_tag(res)}_c0", _build
+    )
 
 
 def _pq_assign(px: DataFrame, cent: DataFrame) -> DataFrame:
@@ -571,24 +662,30 @@ def _pq_assign(px: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assignment(spark: SparkSession, sf_dir: str, rnd: int) -> DataFrame:
+def _pq_assignment(
+    spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
+) -> DataFrame:
     """The round-`rnd` assignment (against the round rnd-1 centroids),
-    session-cached 'pq_a{rnd}' — read by the centroid update and the
-    convergence report."""
+    session-cached '{pq|pqr}_a{rnd}' — read by the centroid update and
+    the convergence report."""
     from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         cent = (
-            _pq_seed(spark, sf_dir)
+            _pq_seed(spark, sf_dir, res)
             if rnd == 1
-            else _pq_centroids(spark, sf_dir, rnd - 1)
+            else _pq_centroids(spark, sf_dir, rnd - 1, res)
         )
-        return _pq_assign(_pq_micro(spark, sf_dir), cent)
+        return _pq_assign(_pq_micro_of(spark, sf_dir, res), cent)
 
-    return _cached_frame(spark, sf_dir, f"pq_a{rnd}", _build)
+    return _pq_chain_frame(
+        spark, sf_dir, f"{_pq_tag(res)}_a{rnd}", _build
+    )
 
 
-def _pq_centroids(spark: SparkSession, sf_dir: str, rnd: int) -> DataFrame:
+def _pq_centroids(
+    spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
+) -> DataFrame:
     """The round-`rnd` trained sub-centroid table (m, j, d, cm),
     session-cached 'pq_c{rnd}': integer member means (sum DIV count,
     the exact cross-engine fixed-point discipline), with EMPTY cells
@@ -604,14 +701,14 @@ def _pq_centroids(spark: SparkSession, sf_dir: str, rnd: int) -> DataFrame:
 
     def _build() -> DataFrame:
         prev = (
-            _pq_seed(spark, sf_dir)
+            _pq_seed(spark, sf_dir, res)
             if rnd == 1
-            else _pq_centroids(spark, sf_dir, rnd - 1)
+            else _pq_centroids(spark, sf_dir, rnd - 1, res)
         )
-        a = _pq_assignment(spark, sf_dir, rnd)
+        a = _pq_assignment(spark, sf_dir, rnd, res)
         means = (
             a.select("vec_id", "m", "j")
-            .join(_pq_micro(spark, sf_dir), ["vec_id", "m"])
+            .join(_pq_micro_of(spark, sf_dir, res), ["vec_id", "m"])
             .groupBy("m", "j", "d")
             .agg(F.expr("sum(xm) DIV count(*)").cast("long").alias("_cm_new"))
         )
@@ -622,19 +719,23 @@ def _pq_centroids(spark: SparkSession, sf_dir: str, rnd: int) -> DataFrame:
             F.coalesce(F.col("_cm_new"), F.col("cm")).alias("cm"),
         )
 
-    return _cached_frame(spark, sf_dir, f"pq_c{rnd}", _build)
+    return _pq_chain_frame(
+        spark, sf_dir, f"{_pq_tag(res)}_c{rnd}", _build
+    )
 
 
-def _pq_codebook_at(spark: SparkSession, sf_dir: str, rnd: int) -> list:
+def _pq_codebook_at(
+    spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
+) -> list:
     """codebook[m][j] = PQ_SUB micro ints at training round `rnd`
     (0 = seed). An M x K x SUB-row collect off a session-cached frame
     (the codebook-load class of .collect(), like streaming/vectors.py)
     — a real PQ index ships its codebook to every executor exactly
     like this."""
     cent = (
-        _pq_seed(spark, sf_dir)
+        _pq_seed(spark, sf_dir, res)
         if rnd == 0
-        else _pq_centroids(spark, sf_dir, rnd)
+        else _pq_centroids(spark, sf_dir, rnd, res)
     )
     rows = cent.collect()
     cb = [
@@ -666,18 +767,22 @@ def _pq_codebook_at(spark: SparkSession, sf_dir: str, rnd: int) -> list:
 _SHIP_ROUND_CACHE: dict[tuple, int] = {}
 
 
-def _pq_distortion(spark: SparkSession, sf_dir: str, rnd: int) -> int:
+def _pq_distortion(
+    spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
+) -> int:
     """Total integer quantization distortion of the round-`rnd`
     assignment (the tds_r scalar of the convergence rule)."""
     row = (
-        _pq_assignment(spark, sf_dir, rnd)
+        _pq_assignment(spark, sf_dir, rnd, res)
         .agg(F.sum("dist_sq").alias("td"))
         .collect()[0]
     )
     return int(row["td"] or 0)
 
 
-def _pq_ship_round(spark: SparkSession, sf_dir: str) -> int:
+def _pq_ship_round(
+    spark: SparkSession, sf_dir: str, res: bool = False
+) -> int:
     """How many Lloyd updates the shipped codebook carries: the first
     update k whose distortion improvement falls below
     PQ_CONVERGE_PERMILLE (that final sub-threshold update is still an
@@ -689,13 +794,13 @@ def _pq_ship_round(spark: SparkSession, sf_dir: str) -> int:
 
     for k in [k for k in _SHIP_ROUND_CACHE if _is_stopped(k[0])]:
         del _SHIP_ROUND_CACHE[k]
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, res)
     r = _SHIP_ROUND_CACHE.get(key)
     if r is None:
-        td_prev = _pq_distortion(spark, sf_dir, 1)
+        td_prev = _pq_distortion(spark, sf_dir, 1, res)
         r = PQ_TRAIN_CAP
         for k in range(1, PQ_TRAIN_CAP + 1):
-            td_next = _pq_distortion(spark, sf_dir, k + 1)
+            td_next = _pq_distortion(spark, sf_dir, k + 1, res)
             if (
                 td_prev == 0
                 or (td_prev - td_next) * 1000
@@ -708,12 +813,17 @@ def _pq_ship_round(spark: SparkSession, sf_dir: str) -> int:
     return r
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, res: bool = False
+) -> list:
     """The TRAINED codebook (convergence-chosen Lloyd depth from the
     seed, see _pq_ship_round) in micro ints — what the coder, the
     streaming vector ingest, and the ADC evaluation all code
-    against."""
-    return _pq_codebook_at(spark, sf_dir, _pq_ship_round(spark, sf_dir))
+    against. res=True is the RESIDUAL family's codebook (trained on
+    home-cell residuals, see _pqr_micro)."""
+    return _pq_codebook_at(
+        spark, sf_dir, _pq_ship_round(spark, sf_dir, res), res
+    )
 
 
 def _pq_codebook_double(cb: list) -> list:
@@ -740,7 +850,9 @@ def _sq_fold(c: list) -> float:
     return acc
 
 
-def with_pq_codes(df: DataFrame, cb: list, v_col: str = "v") -> DataFrame:
+def with_pq_codes(
+    df: DataFrame, cb: list, v_col: str = "v", micro: bool = False
+) -> DataFrame:
     """Append code_0..code_{PQ_M-1} to a frame carrying an
     array<double> vector column, coding against the literal MICRO-INT
     codebook `cb` — shared by the batch coder (_pq_codes) and the
@@ -761,7 +873,12 @@ def with_pq_codes(df: DataFrame, cb: list, v_col: str = "v") -> DataFrame:
     here (ADVICE r8 + r9) — an input already carrying a code_{m}
     column would otherwise pass the prefix-only guard and the final
     select(*cols, *codes) would emit duplicate names, failing later
-    as an ambiguous-reference error deep in the caller's plan."""
+    as an ambiguous-reference error deep in the caller's plan.
+
+    micro=True codes a column that is ALREADY a micro-int array
+    (array<long>) — the residual coder pre-subtracts the home-cell
+    centroid at the integer level (floor first, subtract after, the
+    exact cross-engine rule), so re-flooring here would be wrong."""
     out_names = {f"code_{m}" for m in range(PQ_M)}
     clash = [
         c
@@ -776,9 +893,13 @@ def with_pq_codes(df: DataFrame, cb: list, v_col: str = "v") -> DataFrame:
     staged = df.select(
         "*",
         *[
-            F.transform(
-                F.slice(F.col(v_col), m * PQ_SUB + 1, PQ_SUB),
-                lambda t: F.floor(t * PQ_MICRO).cast("long"),
+            (
+                F.slice(F.col(v_col), m * PQ_SUB + 1, PQ_SUB)
+                if micro
+                else F.transform(
+                    F.slice(F.col(v_col), m * PQ_SUB + 1, PQ_SUB),
+                    lambda t: F.floor(t * PQ_MICRO).cast("long"),
+                )
             ).alias(f"_pqx{m}")
             for m in range(PQ_M)
         ],
@@ -1669,6 +1790,566 @@ def q_ann_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "rank",
         F.floor(F.col("_cos") * 10000).cast("long").alias("cos_permyriad"),
+    )
+
+
+# the spill tuning grid: the storage axis against the routing axis.
+# k' stays at the REFINE_K serving default — the k' axis is measured
+# to saturation (PLANS round-11) and adding it would cube the grid
+# for settings the joint surface already prices.
+SPILL_TUNING_NPROBES = (1, IVF_NPROBE, 4)
+SPILL_TUNING_SPILLS = (1, SPILL_ASSIGN)
+
+
+def _ivfpq_scored_probed_spill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVFADC candidate frame over the SPILL code layout with
+    BOTH sweep ranks retained: (query_id, neighbor_id, probe_rn,
+    assign_rn, _cos_hat) at probe_rn <= max(SPILL_TUNING_NPROBES) and
+    assign_rn <= SPILL_ASSIGN. Candidate sets NEST along both axes
+    (a vector's rank-1 cell row is in every spill setting, a probe's
+    rank-1 cell in every nprobe setting), so every (spill, nprobe)
+    grid point is a FILTER over this ONE scan — the spill sweep never
+    re-scores the corpus. Raw codes: byte-identical duplicate rows
+    across home cells, deduped per grid point downstream."""
+    cb = _pq_codebook(spark, sf_dir)
+    cd = _pq_codebook_double(cb)
+    codes = _pq_codes(spark, sf_dir)
+    ranked = _ranked_cells(spark, sf_dir)
+    corpus = (
+        ranked.filter(F.col("rn") <= SPILL_ASSIGN)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.col("rn").cast("long").alias("assign_rn"),
+        )
+        .join(codes, "vec_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES)
+        & (F.col("rn") <= max(SPILL_TUNING_NPROBES))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("cell"),
+        F.col("rn").cast("long").alias("probe_rn"),
+    )
+    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    return corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "probe_rn",
+        "assign_rn",
+        _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+
+
+def q_ann_spill_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (spill x nprobe) tuning surface of the refined IVFADC
+    serve path at the k' = REFINE_K serving default: recall@TOP_K at
+    every grid point of SPILL_TUNING_SPILLS x SPILL_TUNING_NPROBES.
+    This is the surface the r11 spill measurements implied but never
+    put on one grid: multi-assignment's ADC cost per query is
+    ~spill x nprobe x corpus/N_CELLS candidates, so
+    (spill=2, nprobe=1) and (spill=1, nprobe=2) sit at EQUAL serve
+    cost — whether the 2x code-storage price buys a better point on
+    the recall-per-candidate frontier is exactly what a deployment
+    reads off the diagonal (measured: yes at both SFs — PLANS.md
+    round-12). COST axes by construction of the row key: ADC
+    candidates linear in spill x nprobe, storage linear in spill,
+    exact fetches constant (k' fixed).
+
+    Cost shape of the SURFACE: still ONE index pass —
+    _ivfpq_scored_probed_spill scores the spill code layout once at
+    max routing with BOTH ranks retained (candidate sets nest along
+    both axes, so every grid point is a filter), byte-identical
+    multi-cell duplicates dedupe per grid point with DISTINCT exactly
+    like q_ann_ivfpq_spill, and the exact stage is the
+    candidates-only broadcast lookup with (spill, nprobe) riding in
+    the group key. One row per grid point, emitted even at zero
+    hits."""
+    scored = _ivfpq_scored_probed_spill(spark, sf_dir)
+    ps = F.array(
+        *[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES]
+    )
+    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
+    staged = (
+        scored.select("*", F.explode(ps).alias("nprobe"))
+        .filter(F.col("probe_rn") <= F.col("nprobe"))
+        .select("*", F.explode(ss).alias("spill"))
+        .filter(F.col("assign_rn") <= F.col("spill"))
+    )
+    cand = staged.select(
+        "spill", "nprobe", "query_id", "neighbor_id", "_cos_hat"
+    ).distinct()
+    short = partial_topk(
+        cand,
+        ["spill", "nprobe", "query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("spill", "nprobe", "query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "spill",
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    approx = partial_topk(
+        exact,
+        ["spill", "nprobe", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("spill", "nprobe", "query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(
+            F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy("spill", "nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    grid = (
+        spark.range(1)
+        .select(F.explode(ss).alias("spill"))
+        .select("spill", F.explode(ps).alias("nprobe"))
+    )
+    return (
+        grid.join(F.broadcast(hits), ["spill", "nprobe"], "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "spill",
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})")
+            .alias("recall_permille"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# RESIDUAL PQ (classic IVFADC, the r11 verdict's top item): the PQ
+# codebook trains on and encodes x - centroid(cell) instead of the
+# raw vector. After coarse routing, the code budget only describes
+# the WITHIN-cell offset — far lower-variance than the raw vector —
+# which is the standard FAISS IVFPQ recall lever once routing
+# (nprobe), shortlist (k'), and multi-assignment are tuned. The r11
+# spill layout already keys code rows by home cell, so per-assignment
+# residual codes drop in: a vector indexed in SPILL_ASSIGN cells
+# carries a DIFFERENT code in each (its residual differs per cell).
+
+
+def _cent_micro(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-IVF-cell centroid micro vectors {cell: [DIM ints]} — an
+    N_CELLS x DIM-row collect off the session-cached micro table (the
+    codebook-load class of .collect()). Cells whose centroid vector
+    is missing a dim default to 0 (cannot happen on real data; keeps
+    edge fixtures total)."""
+    from .clustering import _emb_micro
+
+    rows = (
+        _emb_micro(spark, sf_dir)
+        .filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        )
+        .collect()
+    )
+    cm = {c: [0] * DIM for c in range(N_QUERIES, N_QUERIES + N_CELLS)}
+    for r in rows:
+        cm[int(r["vec_id"])][int(r["dim"])] = int(r["xm"])
+    return cm
+
+
+def _pqr_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, assign_rn, code_0..code_{PQ_M-1}): the residual
+    code table of the multi-assignment index — every norm>0 corpus
+    vector coded ONCE PER assigned cell (rn <= SPILL_ASSIGN) against
+    the trained RESIDUAL codebook, the residual taken vs THAT cell's
+    centroid. assign_rn = 1 rows are the single-assignment index (the
+    exhaustive-layout trick: single-assignment queries filter instead
+    of re-coding). Exactness: residual micro = floor(x*1e6) -
+    floor(c*1e6) (floored first, subtracted after — see _pqr_micro),
+    coded by the same integer argmin as the raw coder
+    (with_pq_codes micro=True). Session-cached 'pqr_codes'; the
+    centroid side is an N_CELLS-row broadcast."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        cb = _pq_codebook(spark, sf_dir, res=True)
+        cm = _cent_micro(spark, sf_dir)
+        cent_df = spark.createDataFrame(
+            [(c, cm[c]) for c in sorted(cm)],
+            "cell long, _cm_arr array<long>",
+        )
+        assigns = (
+            _ranked_cells(spark, sf_dir)
+            .filter(F.col("rn") <= SPILL_ASSIGN)
+            .select(
+                "vec_id",
+                F.col("cent_id").alias("cell"),
+                F.col("rn").cast("long").alias("assign_rn"),
+                "v",
+            )
+        )
+        staged = assigns.join(F.broadcast(cent_df), "cell").withColumn(
+            "_rv",
+            F.zip_with(
+                F.transform(
+                    F.col("v"),
+                    lambda t: F.floor(t * PQ_MICRO).cast("long"),
+                ),
+                F.col("_cm_arr"),
+                lambda a, b: a - b,
+            ),
+        )
+        return with_pq_codes(staged, cb, v_col="_rv", micro=True).select(
+            "vec_id",
+            "cell",
+            "assign_rn",
+            *[f"code_{m}" for m in range(PQ_M)],
+        )
+
+    # chain-frame (leaf-cut) cache: the coder plan embeds the M x K x
+    # SUB literal codebook — without the cut every serve query
+    # re-analyzes it
+    return _pq_chain_frame(spark, sf_dir, "pqr_codes", _build)
+
+
+def _pqr_cellbooks(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-cell reconstruction codebooks of the residual family:
+    cellbook[cell][m][j][d] = (cent_micro + residual_cb_micro) / 1e6.
+    The centroid folds into the codebook at the INTEGER micro level,
+    so both engines divide the identical integer — subspaces
+    partition dimensions, hence |x_hat|^2 and dot(q, x_hat) decompose
+    per subspace over these combined entries exactly like the raw
+    family (the cell only selects WHICH combined book applies)."""
+    return pqr_cellbooks_of(
+        _pq_codebook(spark, sf_dir, res=True), _cent_micro(spark, sf_dir)
+    )
+
+
+def pqr_cellbooks_of(cb: list, cm: dict) -> dict:
+    """Pure combine of a residual codebook + per-cell centroid micro
+    vectors into per-cell reconstruction books (see _pqr_cellbooks) —
+    shared with the streaming store server so both sides divide the
+    identical integers."""
+    return {
+        cell: [
+            [
+                [
+                    (cm[cell][m * PQ_SUB + d] + cb[m][j][d]) / PQ_MICRO
+                    for d in range(PQ_SUB)
+                ]
+                for j in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+        for cell in cm
+    }
+
+
+def _adc_res_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast (query x cell) LUT frame of residual ADC:
+    per probed cell the 128-entry LUT _lut{m}[j] = dot(q_m,
+    cent_cell_m + recon_res[m][j]) plus the query-independent
+    reconstruction norms _cn2_{m}[j] riding as literal arrays — an
+    N_QUERIES x N_CELLS-row frame (bounded by the coarse codebook,
+    never the corpus). Built as a per-cell union of the raw family's
+    one-transform-lambda LUT shape; chain-frame (leaf-cut)
+    session-cached 'pqr_luts' because the union's literal tree is
+    N_CELLS x the raw LUT build — re-analyzing ~9k literals per serve
+    query measured ~10 s of pure driver time at any SF."""
+    def _build() -> DataFrame:
+        cellbooks = _pqr_cellbooks(spark, sf_dir)
+        e = _vectors(spark, sf_dir)
+        qf = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("norm").alias("_qnorm"),
+            *[
+                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        parts = []
+        for cell in sorted(cellbooks):
+            cd = cellbooks[cell]
+            parts.append(
+                qf.select(
+                    "query_id",
+                    F.lit(cell).cast("long").alias("cell"),
+                    "_qnorm",
+                    *[
+                        F.transform(
+                            F.array(
+                                *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
+                            ),
+                            # one-arg lambda; eager transform makes the
+                            # m closure safe (see with_pq_codes)
+                            lambda c: dot(F.col(f"_q{m}"), c),
+                        ).alias(f"_lut{m}")
+                        for m in range(PQ_M)
+                    ],
+                    *[
+                        _lit_vec(
+                            [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                        ).alias(f"_cn2_{m}")
+                        for m in range(PQ_M)
+                    ],
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return _pq_chain_frame(spark, sf_dir, "pqr_luts", _build)
+
+
+def _adc_cos_hat_cells() -> Column:
+    """The residual family's cos_hat: like _adc_cos_hat but the
+    reconstruction norms come from the LUT frame's _cn2_{m} columns
+    (they vary per cell) instead of global literals. Numerator and
+    |x_hat|^2 both sum in fixed m-order as EXPRESSIONS; zero
+    reconstructions sentinel to -2.0."""
+    num = None
+    recon2 = None
+    for m in range(PQ_M):
+        idx = (F.col(f"code_{m}") + 1).cast("int")
+        term = F.element_at(F.col(f"_lut{m}"), idx)
+        n2 = F.element_at(F.col(f"_cn2_{m}"), idx)
+        num = term if num is None else num + term
+        recon2 = n2 if recon2 is None else recon2 + n2
+    return F.when(
+        recon2 > 0, num / (F.col("_qnorm") * F.sqrt(recon2))
+    ).otherwise(F.lit(-2.0))
+
+
+def _ivfpq_res_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """The residual-ADC candidate frame (query_id, neighbor_id,
+    _cos_hat) at assignment multiplicity `spill`: probes at the
+    serving default, candidates from the residual code table's
+    assign_rn <= spill rows via the cell equi-join, scoring from
+    codes + the broadcast (query, cell) LUTs. With spill > 1 a
+    neighbor reachable through several probed cells carries a
+    DIFFERENT code (and score) per cell — residual rows are not
+    byte-identical like the raw family's — so dedupe keeps the BEST
+    reconstruction estimate per (query, neighbor) (max cos_hat, the
+    FAISS multi-assignment rule); spill = 1 has no duplicates by
+    construction."""
+    codes = _pqr_codes(spark, sf_dir).filter(
+        F.col("assign_rn") <= spill
+    )
+    ranked = _ranked_cells(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    q = probes.join(
+        _adc_res_query_luts(spark, sf_dir), ["query_id", "cell"]
+    )
+    scored = codes.join(
+        F.broadcast(q),
+        (codes["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_cos_hat_cells().alias("_cos_hat"),
+    )
+    if spill > 1:
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("_cos_hat").alias("_cos_hat")
+        )
+    return scored
+
+
+def _exact_refine_topk(
+    spark: SparkSession, sf_dir: str, short: DataFrame
+) -> DataFrame:
+    """The shared refine tail: exact cosine over ONLY the shortlist
+    (both sides broadcast into the raw-vector scan — the
+    candidates-only shape of q_ann_ivfpq_refined), then the two-level
+    top-k with (rank, cos_permyriad) output."""
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    return partial_topk(
+        exact,
+        ["query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+        rank_col="rank",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.floor(F.col("_cos") * 10000).cast("long").alias("cos_permyriad"),
+    )
+
+
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined IVFADC serve path over RESIDUAL codes — classic
+    IVFADC (FAISS IVFPQ) coding: the PQ codebook is trained on
+    home-cell residuals x - centroid(cell) (_pqr_micro) and each
+    vector's code describes its within-cell offset; ADC scoring folds
+    the probed cell's centroid back in through per-(query, cell)
+    LUTs built from combined integer-micro reconstructions
+    (_pqr_cellbooks). Serve cost is UNCHANGED vs q_ann_ivfpq_refined:
+    same probes, same candidates, same per-candidate element_at
+    arithmetic, same k' exact fetches — only the codebook the LUTs
+    are built from differs (the LUT build itself is N_CELLS x larger,
+    but bounded by the coarse codebook, never the corpus). Output
+    shape is q_ann_ivfpq_refined's, so the two paths diff
+    row-for-row; the oracle-checked acceptance grid is
+    q_ann_residual_recall.
+
+    MEASURED FINDING (r12, PLANS.md): on THIS corpus the classic
+    lever INVERTS — residual refined recall is 280 vs raw 260
+    permille at sf0.01 but 380 vs 480 at sf0.1. Residual coding
+    presumes a CONTRACTING coarse quantizer (||x - c|| < ||x||, true
+    under trained k-means means); this engine's IVF centroids are
+    designated member VECTORS with mean home-cell cosine ~0.19, so
+    the residual carries ~1.6x the raw signal energy and the same
+    code budget describes it WORSE. Serving defaults therefore stay
+    on raw codes; the residual path ships as the measured
+    alternative a deployment with a contracting coarse level (real
+    k-means, higher cell affinity) would re-evaluate via the grid.
+
+    Scale shape: identical to the raw refined path — cell equi-join
+    against the broadcast probes x LUTs, two-level partial_topk,
+    candidates-only broadcast exact stage."""
+    scored = _ivfpq_res_scored(spark, sf_dir, 1)
+    short = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("query_id", "neighbor_id")
+    return _exact_refine_topk(spark, sf_dir, short)
+
+
+def q_ann_ivfpq_spill_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual codes x multi-assignment — the full classic-IVFADC
+    serve stack this engine now ships: SPILL_ASSIGN-way indexing
+    attacks the routing bound (a near-boundary neighbor is visible if
+    ANY home cell is probed) while residual coding concentrates the
+    code budget on within-cell variation. Per-assignment residuals
+    are exactly what the multi-assignment layout makes natural: each
+    (vec, cell) code row encodes x - centroid(THAT cell). Dedupe
+    keeps the best reconstruction per (query, neighbor) (rows differ
+    per cell, unlike the raw spill path's byte-identical ones). Same
+    output shape as q_ann_ivfpq_spill for row-for-row diffing."""
+    scored = _ivfpq_res_scored(spark, sf_dir, SPILL_ASSIGN)
+    short = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("query_id", "neighbor_id")
+    return _exact_refine_topk(spark, sf_dir, short)
+
+
+def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-coding ACCEPTANCE GRID: total recall@TOP_K of the
+    refined serve path at every (codes, index) combination — codes in
+    {raw, residual} x index in {single, spill} — the four serve paths
+    this engine ships, evaluated against the exact ground truth on
+    one artifact. The (raw, single) row is q_ann_ivfpq_refined's
+    total recall and the (residual, spill) row is the full
+    classic-IVFADC stack; reading across rows prices each lever
+    separately (residual coding is free at serve time; spill costs
+    2x code storage), which is exactly the evidence a deployment
+    needs to pick a point — and on THIS corpus it decides AGAINST
+    residual codes (measured: raw/residual 260/280 single and
+    580/540 spill at sf0.01; 480/380 and 540/480 at sf0.1 — the
+    non-contracting-coarse-quantizer inversion disclosed in
+    q_ann_ivfpq_residual). One row per combination, emitted even at
+    zero hits; all four serve paths ride the session-cached
+    artifacts, and the evaluation joins are O(queries x k)."""
+    paths = [
+        ("raw", "single", q_ann_ivfpq_refined),
+        ("raw", "spill", q_ann_ivfpq_spill),
+        ("residual", "single", q_ann_ivfpq_residual),
+        ("residual", "spill", q_ann_ivfpq_spill_residual),
+    ]
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    parts = []
+    for codes_name, index_name, fn in paths:
+        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        # both sides are queries x k rows; broadcast the truth side
+        # so the static plan never sorts (AQE would fix it anyway)
+        hits = ap.join(
+            F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").cast("long").alias("n_hits"))
+        parts.append(
+            hits.select(
+                F.lit(codes_name).alias("codes"),
+                F.lit(index_name).alias("index_kind"),
+                "n_hits",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(nq)).select(
+        "codes",
+        "index_kind",
+        "n_hits",
+        F.expr(f"(1000 * n_hits) DIV (_nq * {TOP_K})").alias(
+            "recall_permille"
+        ),
     )
 
 

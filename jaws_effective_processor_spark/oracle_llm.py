@@ -1372,7 +1372,7 @@ _PQ_ASSIGN = """
       SELECT px.vec_id, px.m, c.j,
              CAST(sum((px.xm - c.cm) * (px.xm - c.cm)) AS BIGINT)
                AS dist_sq
-      FROM px JOIN {cent} c ON px.m = c.m AND px.d = c.d
+      FROM {px} px JOIN {cent} c ON px.m = c.m AND px.d = c.d
       GROUP BY px.vec_id, px.m, c.j
     )
   ) WHERE rn = 1
@@ -1383,7 +1383,7 @@ _PQ_UPDATE = """
   FROM {prev} c LEFT JOIN (
     SELECT a.m, a.j, e.d,
            CAST(sum(e.xm) AS BIGINT) // count(*) AS cm
-    FROM {assign} a JOIN px e ON e.vec_id = a.vec_id AND e.m = a.m
+    FROM {assign} a JOIN {px} e ON e.vec_id = a.vec_id AND e.m = a.m
     GROUP BY a.m, a.j, e.d
   ) n ON n.m = c.m AND n.j = c.j AND n.d = c.d
 """
@@ -1414,12 +1414,12 @@ def _pq_ctes() -> str:
     for r in range(1, PQ_TRAIN_CAP + 2):
         parts.append(
             f"pa{r} AS MATERIALIZED "
-            f"({_PQ_ASSIGN.format(cent=f'pc{r - 1}')})"
+            f"({_PQ_ASSIGN.format(px='px', cent=f'pc{r - 1}')})"
         )
         if r <= PQ_TRAIN_CAP:
             parts.append(
                 f"pc{r} AS MATERIALIZED "
-                f"({_PQ_UPDATE.format(prev=f'pc{r - 1}', assign=f'pa{r}')})"
+                f"({_PQ_UPDATE.format(px='px', prev=f'pc{r - 1}', assign=f'pa{r}')})"
             )
     parts.append(
         "tds AS (\n  "
@@ -1884,6 +1884,417 @@ refined AS (
 SELECT query_id, neighbor_id, rank,
        CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
 FROM refined WHERE rank <= {TOP_K}
+"""
+
+
+# ------------------------------------------------------------------
+# RESIDUAL PQ twins (classic IVFADC): the unrolled Lloyd chain rerun
+# on HOME-CELL RESIDUALS rpx = px - centroid(px) (LEFT JOIN +
+# coalesce(0) keeps zero-norm vectors total, matching _pqr_micro),
+# per-(vec, assigned-cell) residual coding rpcodes over the spills
+# table, and per-(query, cell) ADC LUTs rlut built from COMBINED
+# integer-micro reconstructions (centroid folded into the codebook
+# before the /1e6 division, so both engines divide identical ints —
+# see similarity._pqr_cellbooks).
+
+
+def _pqr_ctes(include_base: bool) -> str:
+    """The residual trainer + coder + LUT CTE chain (all names
+    r-prefixed so it composes with the raw chain in one query).
+    include_base=True emits its own e/cent/assigned/cells/px base;
+    False assumes a raw chain (e.g. _IVFPQ_SCORED_CTES) already
+    defined them."""
+    parts = []
+    if include_base:
+        parts.append(
+            f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+)"""
+        )
+        parts.append(
+            f"""cent AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+)"""
+        )
+        parts.append(
+            """assigned AS (
+  SELECT vec_id, norm, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cent_id
+         ) AS rn
+  FROM e CROSS JOIN cent
+)"""
+        )
+        parts.append(
+            """cells AS (
+  SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""px AS MATERIALIZED (
+  SELECT vec_id, CAST(u.dim // {PQ_SUB} AS BIGINT) AS m,
+         CAST(u.dim % {PQ_SUB} AS BIGINT) AS d, u.xm AS xm FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+             i -> struct_pack(dim := i - 1,
+                  xm := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                   * {PQ_MICRO}) AS BIGINT)))) AS u
+    FROM embeddings
+  )
+)"""
+        )
+    parts.append(
+        f"""spills AS (
+  SELECT vec_id, cent_id AS cell, CAST(rn AS BIGINT) AS assign_rn
+  FROM assigned WHERE rn <= {SPILL_ASSIGN}
+)"""
+    )
+    parts.append(
+        """rpx AS MATERIALIZED (
+  SELECT p.vec_id, p.m, p.d, p.xm - coalesce(cx.xm, 0) AS xm
+  FROM px p
+  LEFT JOIN cells cl ON cl.vec_id = p.vec_id
+  LEFT JOIN px cx ON cx.vec_id = cl.cell AND cx.m = p.m AND cx.d = p.d
+)"""
+    )
+    parts.append(
+        f"""rpc0 AS (
+  SELECT m, CAST(vec_id - {N_QUERIES} AS BIGINT) AS j, d, xm AS cm
+  FROM rpx WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+)"""
+    )
+    for r in range(1, PQ_TRAIN_CAP + 2):
+        parts.append(
+            f"rpa{r} AS MATERIALIZED "
+            f"({_PQ_ASSIGN.format(px='rpx', cent=f'rpc{r - 1}')})"
+        )
+        if r <= PQ_TRAIN_CAP:
+            parts.append(
+                f"rpc{r} AS MATERIALIZED ("
+                + _PQ_UPDATE.format(
+                    px="rpx", prev=f"rpc{r - 1}", assign=f"rpa{r}"
+                )
+                + ")"
+            )
+    parts.append(
+        "rtds AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS k,"
+            f" (SELECT CAST(sum(dist_sq) AS BIGINT) FROM rpa{r}) AS td"
+            for r in range(1, PQ_TRAIN_CAP + 2)
+        )
+        + "\n)"
+    )
+    parts.append(
+        f"""rship AS (
+  SELECT coalesce(min(a.k), CAST({PQ_TRAIN_CAP} AS BIGINT)) AS r
+  FROM rtds a JOIN rtds b ON b.k = a.k + 1
+  WHERE a.td = 0
+     OR (a.td - b.td) * 1000 < a.td * {PQ_CONVERGE_PERMILLE}
+)"""
+    )
+    parts.append(
+        "rpc_all AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r, m, j, d, cm FROM rpc{r}"
+            for r in range(0, PQ_TRAIN_CAP + 1)
+        )
+        + "\n)"
+    )
+    parts.append(
+        """rshipc AS MATERIALIZED (
+  SELECT m, j, d, cm FROM rpc_all WHERE r = (SELECT r FROM rship)
+)"""
+    )
+    parts.append(
+        """rspx AS MATERIALIZED (
+  SELECT s.vec_id, s.cell, s.assign_rn, p.m, p.d, p.xm - cx.xm AS xm
+  FROM px p
+  JOIN spills s ON s.vec_id = p.vec_id
+  JOIN px cx ON cx.vec_id = s.cell AND cx.m = p.m AND cx.d = p.d
+)"""
+    )
+    codes_cols = ", ".join(
+        f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    parts.append(
+        f"""rpcodes AS MATERIALIZED (
+  SELECT vec_id, cell, assign_rn, {codes_cols}
+  FROM (
+    SELECT vec_id, cell, assign_rn, m, j,
+           row_number() OVER (PARTITION BY vec_id, cell, m
+                              ORDER BY dist_sq, j) AS rn
+    FROM (
+      SELECT r.vec_id, r.cell, r.assign_rn, r.m, c.j,
+             CAST(sum((r.xm - c.cm) * (r.xm - c.cm)) AS BIGINT)
+               AS dist_sq
+      FROM rspx r JOIN rshipc c ON r.m = c.m AND r.d = c.d
+      GROUP BY r.vec_id, r.cell, r.assign_rn, r.m, c.j
+    )
+  ) WHERE rn = 1
+  GROUP BY vec_id, cell, assign_rn
+)"""
+    )
+    parts.append(
+        f"""rcvd AS MATERIALIZED (
+  SELECT cx.vec_id AS cell, c.m, c.j,
+         list(CAST(cx.xm + c.cm AS DOUBLE) / {PQ_MICRO}.0
+              ORDER BY c.d) AS cv
+  FROM rshipc c
+  JOIN px cx ON cx.m = c.m AND cx.d = c.d
+  WHERE cx.vec_id >= {N_QUERIES} AND cx.vec_id < {N_QUERIES + N_CELLS}
+  GROUP BY cx.vec_id, c.m, c.j
+)"""
+    )
+    parts.append(
+        f"""rlut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cell, c.m, c.j,
+         list_dot_product(
+           q.v[CAST(c.m*{PQ_SUB}+1 AS INT)
+               : CAST(c.m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv
+         ) AS d,
+         list_dot_product(c.cv, c.cv) AS cn2
+  FROM e q, rcvd c
+  WHERE q.vec_id < {N_QUERIES}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+# the residual cos_hat over the cell-keyed LUT joins
+_RES_COS_HAT_EXPR = f"""CASE
+         WHEN ({" + ".join(f"l{m}.cn2" for m in range(PQ_M))}) > 0
+              THEN ({" + ".join(f"l{m}.d" for m in range(PQ_M))})
+                   / (p.norm * sqrt(
+                        {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
+              ELSE -2.0 END"""
+
+_RES_LUT_JOINS = " ".join(
+    f"JOIN rlut l{m} ON l{m}.query_id = p.vec_id AND l{m}.cell = k.cell"
+    f" AND l{m}.m = {m} AND l{m}.j = k.code_{m}"
+    for m in range(PQ_M)
+)
+
+
+def _res_scored_sql(spill: int, name: str) -> str:
+    """The residual ADC candidate CTE at assignment multiplicity
+    `spill` (needs probes + rpcodes + rlut in scope). spill > 1 rows
+    are NOT byte-identical (codes differ per cell) — dedupe keeps the
+    best reconstruction per (query, neighbor), matching Spark's
+    groupBy/max."""
+    base = f"""
+  SELECT p.vec_id AS query_id, k.vec_id AS neighbor_id,
+         {_RES_COS_HAT_EXPR} AS cos_hat
+  FROM probes p
+  JOIN rpcodes k ON k.cell = p.cell AND k.vec_id <> p.vec_id
+                AND k.assign_rn <= {spill}
+  {_RES_LUT_JOINS}"""
+    if spill == 1:
+        return f"{name} AS ({base})"
+    return (
+        f"{name} AS (\n  SELECT query_id, neighbor_id,"
+        f" max(cos_hat) AS cos_hat FROM ({base}\n  )"
+        f" GROUP BY query_id, neighbor_id\n)"
+    )
+
+
+def _refine_topk_sql(scored: str, prefix: str) -> str:
+    """ADC shortlist -> candidates-only exact re-rank -> top-k pair
+    CTEs ({prefix}short, {prefix}topk) over a scored CTE."""
+    return f"""{prefix}short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM {scored}
+  ) WHERE rn <= {REFINE_K}
+),
+{prefix}topk AS (
+  SELECT query_id, neighbor_id, rank, cos FROM (
+    SELECT s.query_id, s.neighbor_id,
+           list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos,
+           CAST(row_number() OVER (PARTITION BY s.query_id
+             ORDER BY list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                      DESC, s.neighbor_id) AS BIGINT) AS rank
+    FROM {prefix}short s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e c ON c.vec_id = s.neighbor_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+# Twin of q_ann_ivfpq_residual: the refined serve chain over
+# single-assignment RESIDUAL codes
+ANN_IVFPQ_RESIDUAL_SQL = f"""
+WITH {_pqr_ctes(include_base=True)},
+probes AS (
+  SELECT vec_id, norm, cent_id AS cell FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+{_res_scored_sql(1, "rscored")},
+{_refine_topk_sql("rscored", "r_")}
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM r_topk
+"""
+
+# Twin of q_ann_ivfpq_spill_residual: residual codes x SPILL_ASSIGN
+# multi-assignment, best-reconstruction dedupe before ranking
+ANN_IVFPQ_SPILL_RESIDUAL_SQL = f"""
+WITH {_pqr_ctes(include_base=True)},
+probes AS (
+  SELECT vec_id, norm, cent_id AS cell FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+{_res_scored_sql(SPILL_ASSIGN, "rscored")},
+{_refine_topk_sql("rscored", "r_")}
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM r_topk
+"""
+
+# Twin of q_ann_residual_recall: the 2x2 (codes x index) acceptance
+# grid — BOTH trainers (raw chain via _IVFPQ_SCORED_CTES, residual
+# chain via _pqr_ctes) in one query, four refined serve tails, total
+# recall per combination
+ANN_RESIDUAL_RECALL_SQL = f"""
+WITH {_IVFPQ_SCORED_CTES},
+{_pqr_ctes(include_base=False)},
+cells2 AS (
+  SELECT vec_id, cent_id AS cell FROM assigned
+  WHERE rn <= {SPILL_ASSIGN}
+),
+sscored AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probes p
+  JOIN cells2 c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+{_res_scored_sql(1, "rscored1")},
+{_res_scored_sql(SPILL_ASSIGN, "rscored2")},
+{_refine_topk_sql("scored", "rawsingle_")},
+{_refine_topk_sql("sscored", "rawspill_")},
+{_refine_topk_sql("rscored1", "ressingle_")},
+{_refine_topk_sql("rscored2", "resspill_")},
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT 'raw' AS codes, 'single' AS index_kind,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM rawsingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'raw', 'spill', CAST(count(*) AS BIGINT)
+  FROM rawspill_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'residual', 'single', CAST(count(*) AS BIGINT)
+  FROM ressingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'residual', 'spill', CAST(count(*) AS BIGINT)
+  FROM resspill_topk t JOIN bf USING (query_id, neighbor_id)
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT h.codes, h.index_kind, h.n_hits,
+       (1000 * h.n_hits) // (nq.n * {TOP_K}) AS recall_permille
+FROM hits h, nq
+"""
+
+
+# Twin of q_ann_spill_tuning: the (spill x nprobe) surface at fixed
+# k' — the spill code layout scored once at max routing with BOTH
+# ranks retained (grid points are filters), per-grid-point DISTINCT
+# dedupe, refined tails, recall per point
+from .functions.similarity import (  # noqa: E402
+    SPILL_TUNING_NPROBES,
+    SPILL_TUNING_SPILLS,
+)
+
+ANN_SPILL_TUNING_SQL = f"""
+WITH {_IVFPQ_ROUTE_CTES},
+probesx AS (
+  SELECT vec_id, norm, cent_id AS cell, CAST(rn AS BIGINT) AS probe_rn
+  FROM assigned
+  WHERE vec_id < {N_QUERIES} AND rn <= {max(SPILL_TUNING_NPROBES)}
+),
+cellsx AS (
+  SELECT vec_id, cent_id AS cell, CAST(rn AS BIGINT) AS assign_rn
+  FROM assigned WHERE rn <= {SPILL_ASSIGN}
+),
+scoredx AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         p.probe_rn, c.assign_rn,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probesx p
+  JOIN cellsx c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+grid AS (
+  SELECT CAST(s.spill AS BIGINT) AS spill,
+         CAST(n.np AS BIGINT) AS nprobe
+  FROM (VALUES {", ".join(f"({s})" for s in SPILL_TUNING_SPILLS)})
+         s(spill),
+       (VALUES {", ".join(f"({p})" for p in SPILL_TUNING_NPROBES)})
+         n(np)
+),
+cand AS (
+  SELECT DISTINCT g.spill, g.nprobe, x.query_id, x.neighbor_id,
+         x.cos_hat
+  FROM scoredx x JOIN grid g
+    ON x.probe_rn <= g.nprobe AND x.assign_rn <= g.spill
+),
+shortx AS (
+  SELECT spill, nprobe, query_id, neighbor_id FROM (
+    SELECT spill, nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY spill, nprobe, query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn <= {REFINE_K}
+),
+exactx AS (
+  SELECT s.spill, s.nprobe, s.query_id, s.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM shortx s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+approxx AS (
+  SELECT spill, nprobe, query_id, neighbor_id FROM (
+    SELECT spill, nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY spill, nprobe, query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM exactx
+  ) WHERE rn <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT a.spill, a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approxx a JOIN bf USING (query_id, neighbor_id)
+  GROUP BY a.spill, a.nprobe
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT g.spill, g.nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
+         // (nq.n * {TOP_K}) AS recall_permille
+FROM grid g LEFT JOIN hits h USING (spill, nprobe), nq
 """
 
 

@@ -89,11 +89,42 @@ def load_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     return _pq_codebook(spark, sf_dir)
 
 
+def load_residual_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, dict]:
+    """(residual PQ codebook, per-cell centroid micro vectors) — the
+    two config-sized artifacts residual ingest/serve shares with the
+    batch residual family (similarity._pq_codebook(res=True) /
+    similarity._cent_micro), crossing the driver once at stream
+    setup."""
+    from ..functions.similarity import _cent_micro, _pq_codebook
+
+    return _pq_codebook(spark, sf_dir, res=True), _cent_micro(
+        spark, sf_dir
+    )
+
+
+def _cent_micro_map(cent_micro: dict) -> F.Column:
+    """The per-cell centroid micro vectors as a literal MAP column
+    (cell -> array<long>) — config-sized (N_CELLS x DIM literals),
+    inlined exactly like the centroid cosine candidates."""
+    pairs = []
+    for cell in sorted(cent_micro):
+        pairs.append(F.lit(int(cell)).cast("long"))
+        pairs.append(
+            F.array(
+                *[F.lit(int(x)).cast("long") for x in cent_micro[cell]]
+            )
+        )
+    return F.create_map(*pairs)
+
+
 def vector_ingest_stream(
     vecs: DataFrame,
     centroids: list[tuple[int, list[float]]],
     pq_codebook: list | None = None,
     spill: int = 1,
+    residual_centroids: dict | None = None,
 ) -> DataFrame:
     """Feed -> zero-norm-filtered, cell-routed, int8-quantized vectors
     ready for a partitioned ANN store. With `pq_codebook` the row also
@@ -110,7 +141,23 @@ def vector_ingest_stream(
     duplicated per home cell, the raw int8 payload rides along, and
     a store server probing ANY home cell sees the vector (dedupe at
     serve time; parity pinned by
-    test_spill_store_server_matches_batch)."""
+    test_spill_store_server_matches_batch).
+
+    `residual_centroids` (r12, with pq_codebook required) lands
+    RESIDUAL codes — pq_codebook is then the residual family's
+    codebook and each landed row's pq_code encodes
+    floor(x*1e6) - floor(centroid(cell)*1e6) against it, PER assigned
+    cell (with spill > 1 the same vector carries a DIFFERENT code in
+    each home cell — the classic-IVFADC layout of
+    similarity.q_ann_ivfpq_spill_residual; parity pinned by
+    test_residual_store_server_matches_batch). The centroid micro
+    vectors inline as a literal map (config-sized), so coding stays
+    scan-local and stateless."""
+    if residual_centroids is not None and pq_codebook is None:
+        raise ValueError(
+            "residual_centroids requires pq_codebook (the residual "
+            "family's codebook)"
+        )
     v = F.col("embedding").cast("array<double>")
     base = vecs.select(
         "vec_id",
@@ -187,9 +234,31 @@ def vector_ingest_stream(
     ]
     if pq_codebook is None:
         return m.select(*out_cols)
-    from ..functions.similarity import pq_pack_expr, with_pq_codes
+    from ..functions.similarity import (
+        PQ_MICRO,
+        pq_pack_expr,
+        with_pq_codes,
+    )
 
-    coded = with_pq_codes(m, pq_codebook)
+    if residual_centroids is None:
+        coded = with_pq_codes(m, pq_codebook)
+    else:
+        staged = m.withColumn(
+            "_rv",
+            F.zip_with(
+                F.transform(
+                    F.col("v"),
+                    lambda t: F.floor(t * PQ_MICRO).cast("long"),
+                ),
+                F.element_at(
+                    _cent_micro_map(residual_centroids), F.col("cell")
+                ),
+                lambda a, b: a - b,
+            ),
+        )
+        coded = with_pq_codes(
+            staged, pq_codebook, v_col="_rv", micro=True
+        ).drop("_rv")
     return coded.select(*out_cols, pq_pack_expr().alias("pq_code"))
 
 
@@ -201,6 +270,7 @@ def start_vector_shards(
     available_now: bool = False,
     pq_codebook: list | None = None,
     spill: int = 1,
+    residual_centroids: dict | None = None,
 ):
     """Run the vector ingest continuously into a cell-partitioned
     parquet store — each cell directory is exactly the file set an
@@ -208,11 +278,16 @@ def start_vector_shards(
     (exactly-once via the checkpointed file-sink commit log). With
     `pq_codebook` each landed row also carries its packed PQ code,
     which adc_topk_against_store serves from without touching the
-    int8 payload. `spill` lands the multi-assignment layout (see
+    int8 payload. `spill` lands the multi-assignment layout and
+    `residual_centroids` the residual-code layout (see
     vector_ingest_stream)."""
     writer = (
         vector_ingest_stream(
-            vecs, centroids, pq_codebook=pq_codebook, spill=spill
+            vecs,
+            centroids,
+            pq_codebook=pq_codebook,
+            spill=spill,
+            residual_centroids=residual_centroids,
         )
         .writeStream.format("parquet")
         .partitionBy("cell")
@@ -505,6 +580,234 @@ def adc_refine_topk_against_store(
         prune=prune,
         exclude_self=exclude_self,
         dedupe=dedupe,
+    ).select("query_id", "neighbor_id")
+    v = F.col("embedding").cast("array<double>")
+    qv = queries.select(
+        "query_id",
+        v.alias("_qv"),
+        F.sqrt(dot(v, v)).alias("_qnorm"),
+    ).filter(F.col("_qnorm") > 0)
+    cand = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_cv"),
+        F.col("norm").alias("_cnorm"),
+    ).join(F.broadcast(short), "neighbor_id")
+    exact = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qnorm") * F.col("_cnorm"))
+        ).alias("cos"),
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            "query_id",
+            F.col("_s.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+            F.floor(-F.col("_s.neg_cos") * 10000)
+            .cast("long")
+            .alias("cos_permyriad"),
+        )
+    )
+
+
+def _res_luts_on(qframe: DataFrame, cellbooks: dict) -> DataFrame:
+    """Append the residual family's per-cell LUT columns
+    (_lut0.._lut{M-1}, _cn2_0.._cn2_{M-1}) to a routed query frame
+    carrying (.., cell, v, _qnorm) — a per-cell filter + projection
+    union over the literal cell books (config-sized, stateless, so it
+    composes into a streaming micro-batch). The expressions are the
+    batch side's (similarity._adc_res_query_luts) verbatim, so a
+    stored vector scores bit-identically to q_ann_ivfpq_*_residual."""
+    from ..functions.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _lit_vec,
+        _sq_fold,
+    )
+
+    staged = qframe.select(
+        "*",
+        *[
+            F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    parts = []
+    for cell in sorted(cellbooks):
+        cd = cellbooks[cell]
+        parts.append(
+            staged.filter(F.col("cell") == cell).select(
+                "*",
+                *[
+                    F.transform(
+                        F.array(
+                            *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
+                        ),
+                        # one-arg lambda; eager transform makes the m
+                        # closure safe (see with_pq_codes)
+                        lambda c: dot(F.col(f"_q{m}"), c),
+                    ).alias(f"_lut{m}")
+                    for m in range(PQ_M)
+                ],
+                *[
+                    _lit_vec(
+                        [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                    ).alias(f"_cn2_{m}")
+                    for m in range(PQ_M)
+                ],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def adc_residual_topk_against_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    res_codebook: list,
+    cent_micro: dict,
+    k: int = 5,
+    nprobe: int = 2,
+    prune: bool = True,
+    exclude_self: bool = False,
+    dedupe_best: bool = False,
+) -> DataFrame:
+    """IVFADC serving against a RESIDUAL-code store (the streaming
+    twin of functions/similarity's residual serve paths): probe
+    routing and partition pruning as adc_topk_against_store, but the
+    persisted pq_code decodes against the per-cell COMBINED
+    reconstruction books (centroid folded in at the integer level —
+    similarity.pqr_cellbooks_of, shared), so the LUT columns are
+    per (query, probed cell). `dedupe_best` keeps the best
+    reconstruction per (query, neighbor) — required on a spill store,
+    where the same vector carries a DIFFERENT residual code per home
+    cell (unlike the raw spill store's byte-identical rows); mirrors
+    the batch groupBy/max."""
+    from ..functions.similarity import (
+        _adc_cos_hat_cells,
+        pq_unpack_exprs,
+        pqr_cellbooks_of,
+    )
+
+    cellbooks = pqr_cellbooks_of(res_codebook, cent_micro)
+    routed = route_query_cells(queries, centroids, nprobe)
+    cells = [
+        r["c"]
+        for r in routed.select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    ]
+    store = spark.read.parquet(store_path)
+    if prune:
+        store = store.filter(F.col("cell").isin(cells))
+    corpus = store.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "pq_code"
+    ).select("neighbor_id", "cell", *pq_unpack_exprs())
+    q = _res_luts_on(
+        routed.select(
+            "query_id",
+            F.explode("cells").alias("cell"),
+            "v",
+            F.col("norm").alias("_qnorm"),
+        ),
+        cellbooks,
+    )
+    scored = q.join(corpus, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _adc_cos_hat_cells().alias("cos_hat")
+    )
+    if dedupe_best:
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("cos_hat").alias("cos_hat")
+        )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos_hat")).alias("neg_cos"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(topk.alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            "query_id",
+            F.col("_s.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+            F.floor(-F.col("_s.neg_cos") * 10000)
+            .cast("long")
+            .alias("adc_permyriad"),
+        )
+    )
+
+
+def adc_residual_refine_topk_against_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    store_path: str,
+    centroids: list[tuple[int, list[float]]],
+    res_codebook: list,
+    cent_micro: dict,
+    vectors: DataFrame,
+    k: int = 5,
+    k_refine: int | None = None,
+    nprobe: int = 2,
+    prune: bool = True,
+    exclude_self: bool = False,
+    dedupe_best: bool = False,
+) -> DataFrame:
+    """Residual IVFADC + REFINE against the landed store — the
+    serving twin of q_ann_ivfpq_residual (single-assignment store) /
+    q_ann_ivfpq_spill_residual (spill store + dedupe_best): residual
+    ADC shortlist from the persisted codes, candidates-only exact
+    re-rank against the raw-vector side table. k_refine defaults to
+    similarity.REFINE_K at call time like the raw serving twin."""
+    if k_refine is None:
+        from ..functions.similarity import REFINE_K
+
+        k_refine = REFINE_K
+    short = adc_residual_topk_against_store(
+        spark,
+        queries,
+        store_path,
+        centroids,
+        res_codebook,
+        cent_micro,
+        k=k_refine,
+        nprobe=nprobe,
+        prune=prune,
+        exclude_self=exclude_self,
+        dedupe_best=dedupe_best,
     ).select("query_id", "neighbor_id")
     v = F.col("embedding").cast("array<double>")
     qv = queries.select(

@@ -46,8 +46,12 @@ _SHUFFLE_BUDGETS = {
     "ann_cell_balance": 3,
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 6,
+    "ann_ivfpq_residual": 6,
     "ann_ivfpq_spill": 7,
+    "ann_ivfpq_spill_residual": 7,
     "ann_joint_tuning": 11,
+    "ann_residual_recall": 27,
+    "ann_spill_tuning": 10,
     "ann_pq_recall": 6,
     "ann_probe_curve": 11,
     "ann_recall": 6,
@@ -437,6 +441,59 @@ def test_spill_exact_stage_candidates_only(spark):
     assert "Left keys [1]: [neighbor_id" in plan
     assert not has_cartesian(df)
     assert "_tk_pid" in plan
+
+
+def test_spill_tuning_exact_stage_candidates_only(spark):
+    """The (spill x nprobe) surface scores the spill code layout ONCE
+    with both sweep ranks retained (every grid point a filter over
+    one cell equi-join against the broadcast probe/LUT side), dedupes
+    per grid point, and keeps the exact stage candidates-only — no
+    SortMergeJoin, no cartesian, partial_topk at both ranking
+    levels."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_spill_tuning,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    df = q_ann_spill_tuning(spark, SF_SMOKE)
+    plan = explain_str(df)
+    subs = broadcast_subtrees(df)
+    assert len(subs) >= 3, subs
+    assert "Left keys [1]: [neighbor_id" in plan
+    assert "SortMergeJoin" not in plan
+    assert not has_cartesian(df)
+    assert "_tk_pid" in plan
+
+
+def test_residual_exact_stage_candidates_only(spark):
+    """The residual (classic-IVFADC) serve paths keep every r10-r11
+    plan discipline: the exact stage is the candidates-only broadcast
+    lookup keyed on neighbor_id (raw vectors fetched by id — residual
+    CODES are per-cell, vectors are not duplicated), the ADC stage is
+    a cell equi-join against the broadcast probes x (query, cell) LUT
+    side, no SortMergeJoin, no cartesian, both ranking levels on
+    partial_topk — for the single-assignment path, the spill path,
+    and the 2x2 recall grid that composes all four serve paths."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_ivfpq_residual,
+        q_ann_ivfpq_spill_residual,
+        q_ann_residual_recall,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    for fn in (
+        q_ann_ivfpq_residual,
+        q_ann_ivfpq_spill_residual,
+        q_ann_residual_recall,
+    ):
+        df = fn(spark, SF_SMOKE)
+        plan = explain_str(df)
+        subs = broadcast_subtrees(df)
+        assert len(subs) >= 3, (fn.__name__, subs)
+        assert "Left keys [1]: [neighbor_id" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert not has_cartesian(df), fn.__name__
+        assert "_tk_pid" in plan, fn.__name__
 
 
 def test_scan_local_queries_stay_in_codegen(spark):

@@ -9,7 +9,7 @@ probe p's candidate set is a superset of probe p-1's.
 from __future__ import annotations
 
 from jaws_effective_processor_spark.entry_queries import QUERIES
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _topk(df):
@@ -510,3 +510,155 @@ def test_spill_serve_structure_and_routing_lift(spark):
         len(single) * s.TOP_K
     )
     assert spill_mean >= single_mean, (spill_mean, single_mean)
+
+
+def test_spill_tuning_surface_anchors(spark):
+    """The (spill x nprobe) surface is internally consistent: one row
+    per grid point, and the two serving-default anchors reproduce the
+    shipped serve paths' totals exactly — (spill=1, nprobe=IVF_NPROBE)
+    IS q_ann_ivfpq_refined evaluated by q_ann_refine_recall, and
+    (spill=SPILL_ASSIGN, nprobe=IVF_NPROBE) IS q_ann_ivfpq_spill's
+    recall. No monotonicity asserted on either axis (supersets can
+    flood the fixed shortlist — the joint-surface lesson). Measured
+    at sf0.01 (the equal-ADC-cost diagonal the surface exists to
+    price): (2,1)=360 beats (1,2)=260 and (2,2)=580 beats (1,4)=560
+    permille — the 2x storage price buys a dominating point on the
+    recall-per-candidate frontier at this geometry."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    grid = {
+        (r["spill"], r["nprobe"]): r["n_hits"]
+        for r in s.q_ann_spill_tuning(spark, SF_ORACLE).collect()
+    }
+    assert set(grid) == {
+        (sp, np)
+        for sp in s.SPILL_TUNING_SPILLS
+        for np in s.SPILL_TUNING_NPROBES
+    }
+    single = sum(
+        r["n_hits"]
+        for r in s.q_ann_refine_recall(spark, SF_ORACLE).collect()
+    )
+    assert grid[(1, s.IVF_NPROBE)] == single
+    spill_hits = sum(
+        r["n_hits"]
+        for r in s._recall_vs_truth(
+            spark,
+            SF_ORACLE,
+            s.q_ann_ivfpq_spill(spark, SF_ORACLE).select(
+                "query_id", "neighbor_id"
+            ),
+        ).collect()
+    )
+    assert grid[(s.SPILL_ASSIGN, s.IVF_NPROBE)] == spill_hits
+
+
+def test_residual_micro_is_exact_integer_identity(spark):
+    """The residual micro table is the EXACT integer decomposition of
+    the raw one: for every (vec, m, d) with a home cell, residual +
+    centroid_micro == raw micro (floored first, subtracted after);
+    vectors without a home cell (zero-norm) carry their raw values.
+    This is the cross-engine-exactness foundation of the residual
+    family — no float subtraction anywhere."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    raw = s._pq_micro(spark, SF_SMOKE).select(
+        "vec_id", "m", "d", F.col("xm").alias("_raw")
+    )
+    res = s._pqr_micro(spark, SF_SMOKE).select(
+        "vec_id", "m", "d", F.col("xm").alias("_res")
+    )
+    homes = (
+        s._ranked_cells(spark, SF_SMOKE)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("_cell"))
+    )
+    centm = s._pq_micro(spark, SF_SMOKE).filter(
+        (F.col("vec_id") >= s.N_QUERIES)
+        & (F.col("vec_id") < s.N_QUERIES + s.N_CELLS)
+    ).select(
+        F.col("vec_id").alias("_cell"), "m", "d", F.col("xm").alias("_cxm")
+    )
+    joined = (
+        raw.join(res, ["vec_id", "m", "d"])
+        .join(homes, "vec_id", "left")
+        .join(centm, ["_cell", "m", "d"], "left")
+    )
+    bad = joined.filter(
+        F.col("_res") + F.coalesce(F.col("_cxm"), F.lit(0))
+        != F.col("_raw")
+    ).count()
+    assert bad == 0
+    # totality: one residual row per raw row
+    assert res.count() == raw.count()
+
+
+def test_residual_code_table_shape(spark):
+    """The residual code table indexes every norm>0 vector in exactly
+    SPILL_ASSIGN distinct cells (assign_rn dense 1..SPILL_ASSIGN) —
+    codes are duplicated per assignment, raw vectors never are."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    codes = s._pqr_codes(spark, SF_SMOKE)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cell").alias("nc"),
+        F.sort_array(F.collect_list("assign_rn")).alias("rns"),
+    )
+    bad = per_vec.filter(
+        (F.col("n") != s.SPILL_ASSIGN)
+        | (F.col("nc") != s.SPILL_ASSIGN)
+        | (F.col("rns") != F.array(*[F.lit(i + 1) for i in range(s.SPILL_ASSIGN)]))
+    ).count()
+    assert bad == 0
+    n_vectors = s._vectors(spark, SF_SMOKE).count()
+    assert codes.count() == n_vectors * s.SPILL_ASSIGN
+
+
+def test_residual_recall_grid_consistency(spark):
+    """The 2x2 acceptance grid is internally consistent: the (raw,
+    single) row reproduces q_ann_refine_recall's total exactly and
+    the (raw, spill) row reproduces the spill path's recall (same
+    serve chains, same evaluation) — the grid adds no new ranking,
+    only the side-by-side artifact. Measured (recorded, deliberately
+    NOT asserted as a lift: on this corpus the classic residual
+    lever INVERTS at sf0.1 because the member-vector coarse
+    quantizer does not contract — mean home-cell cosine ~0.19,
+    residual energy ~1.6x raw; see q_ann_ivfpq_residual's
+    disclosure): sf0.01 raw/single 260, raw/spill 580,
+    residual/single 280, residual/spill 540; sf0.1 480 / 540 /
+    380 / 480 permille."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    grid = {
+        (r["codes"], r["index_kind"]): (r["n_hits"], r["recall_permille"])
+        for r in s.q_ann_residual_recall(spark, SF_ORACLE).collect()
+    }
+    assert set(grid) == {
+        ("raw", "single"),
+        ("raw", "spill"),
+        ("residual", "single"),
+        ("residual", "spill"),
+    }
+    single = s.q_ann_refine_recall(spark, SF_ORACLE).collect()
+    raw_single_hits = sum(r["n_hits"] for r in single)
+    assert grid[("raw", "single")][0] == raw_single_hits
+    spill = s._recall_vs_truth(
+        spark,
+        SF_ORACLE,
+        s.q_ann_ivfpq_spill(spark, SF_ORACLE).select(
+            "query_id", "neighbor_id"
+        ),
+    ).collect()
+    raw_spill_hits = sum(r["n_hits"] for r in spill)
+    assert grid[("raw", "spill")][0] == raw_spill_hits
+    # recall values are sane permille quantities; no cross-codebook
+    # ordering is asserted (the measured inversion above is exactly
+    # why the grid exists)
+    for (codes, kind), (n_hits, permille) in grid.items():
+        assert 0 <= permille <= 1000, (codes, kind, permille)
+        assert n_hits >= 0

@@ -1967,3 +1967,110 @@ def test_spill_store_server_matches_batch(spark, tmpdir):
     }
     assert served == batch
     assert served
+
+
+def test_residual_store_server_matches_batch(spark, tmpdir):
+    """The RESIDUAL-code store round trip (r12, classic IVFADC): land
+    the feed with spill = SPILL_ASSIGN and residual coding (each
+    (vec, cell) row's pq_code encodes x - centroid(THAT cell) against
+    the residual codebook), then serve the residual refined tier with
+    best-reconstruction dedupe — and land EXACTLY
+    q_ann_ivfpq_spill_residual's rows. Pins: per-cell residual codes
+    survive pack -> parquet -> unpack, the per-(query, cell) LUT
+    union scores bit-identically to the batch cell books, and the
+    groupBy/max dedupe mirrors the batch rule (rows are NOT
+    byte-identical on a residual spill store). The single-assignment
+    serve is additionally pinned against q_ann_ivfpq_residual by
+    filtering the landed store to its home-cell rows — one store,
+    both serve tiers."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        SPILL_ASSIGN,
+        TOP_K,
+        _vectors,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "res_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "res_store")
+    cents = sv.load_centroids(spark, sf)
+    rcb, cent_micro = sv.load_residual_artifacts(spark, sf)
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        cents,
+        store,
+        os.path.join(tmpdir, "res_ckpt"),
+        available_now=True,
+        pq_codebook=rcb,
+        spill=SPILL_ASSIGN,
+        residual_centroids=cent_micro,
+    )
+    q.awaitTermination()
+
+    # landed residual codes equal the batch residual code table
+    # per (vec, cell) — the layout IS q_ann_ivfpq_spill_residual's
+    # index
+    from jaws_effective_processor_spark.functions.similarity import (
+        PQ_M,
+        _pqr_codes,
+        pq_pack_expr,
+    )
+
+    landed = {
+        (r["vec_id"], r["cell"], r["pq_code"])
+        for r in spark.read.parquet(store)
+        .select("vec_id", "cell", "pq_code")
+        .collect()
+    }
+    batch_codes = {
+        (r["vec_id"], r["cell"], r["pq_code"])
+        for r in _pqr_codes(spark, sf)
+        .select("vec_id", "cell", pq_pack_expr().alias("pq_code"))
+        .collect()
+    }
+    assert landed == batch_codes
+    assert landed
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    served_spill = {
+        tuple(r)
+        for r in sv.adc_residual_refine_topk_against_store(
+            spark,
+            queries,
+            store,
+            cents,
+            rcb,
+            cent_micro,
+            _vectors(spark, sf),
+            k=TOP_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+            dedupe_best=True,
+        ).collect()
+    }
+    batch_spill = {
+        tuple(r)
+        for r in QUERIES["ann_ivfpq_spill_residual"](spark, sf).collect()
+    }
+    assert served_spill == batch_spill
+    assert served_spill
