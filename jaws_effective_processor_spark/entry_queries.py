@@ -944,82 +944,63 @@ _register_llm()
 # multimodal_features + stratified_sample + doc_chunks via
 # multimodal frames/meta r8 evidence + the packing family's
 # in-window gopher/quality rows.
-# Round 11 rotation — drain the r5/r6 evidence tails to zero.
+# Round 12 rotation — drain the r7 cohort to zero; re-green the
+# hash-widened gram family.
 # Composition:
 #   15 alarm-core keepers (every round).
-#    4 round-11 additions (ann_probe_curve — the nprobe routing
-#      curve; ann_joint_tuning — the joint (nprobe x k') recall
-#      surface it motivated; exact_substring_spans +
-#      exact_substring_cut — the span-level ExactSubstr structure
-#      and its cut action; in window the round they land per the
-#      standing rule).
-#    2 NEVER_CHECKED r10 post-window additions (ann_refine_curve,
-#      approx_percentiles — first in line per the ledger).
-#    5 REWRITTEN_SINCE_CHECK: knn_lsh + knn_ivf (r10 post-window
-#      explicit query-side broadcast rewrite — their r9-green rows
-#      describe the old statically-planned sort-merge join),
-#      dedup_threshold_curve (r11: explicit F.broadcast on the
-#      one-row doc_sums crossJoin side — r8-green row predates it),
-#      and ann_ivfpq_refined + ann_refine_recall (r11 REFINE_K
-#      4x -> 16x TOP_K default change: their r10-green rows describe
-#      the k'=20 shortlist).
-#    2 EVIDENCE_AGE r5 tail (queue head per the r10 ledger):
-#      token_counts, multimodal_meta — the LAST r5-evidence rows.
-#   18 EVIDENCE_AGE r6 cohort, in full — the LAST r6-evidence rows.
-#    4 oldest r7-evidence rows chosen for family representation
-#      (events_rollup_multires: grouping-sets/multires; kmeans_assign
-#      + kmeans_label_purity: clustering; bigram_pmi: token-stats).
-#      Displaced by late r11 landings, per priority
-#      order (new + rewritten outrank EVIDENCE_AGE fillers):
-#      mixture_temperature (by the ann_joint_tuning addition; mixture
-#      family in-window via corpus_mixture), doc_length_deciles and
-#      language_confusion (by the ann_ivfpq_refined +
-#      ann_refine_recall REWRITTEN re-entries after the REFINE_K
-#      default change; histogram-report family via
-#      top_orders_per_customer + shard_skew_report, lang QA via
-#      in-window token family + r10-green language_id), and
-#      nearest_neighbor_jaccard (by the exact_substring_spans
-#      addition — same candidate-verify dedup family, which is also
-#      in-window via block_dedup + dedup_cluster_sizes +
-#      dedup_normalized + dup_gram_coverage), and token_entropy (by
-#      the exact_substring_cut addition; token-stats family in-window
-#      via token_counts + token_rarity + keyword_topk + bigram_pmi).
-#      All five head the r12 queue with the 11 remaining r7 rows.
-# After this window: zero r5 and zero r6 evidence remains; zero
-# NEVER_CHECKED and zero REWRITTEN carryover.
-# NOTE (environment-level changes, not per-query rewrites): r11's
-# pin_session_conf right-sizes shuffle partitions for foreign
-# sessions arriving at the 200 default, and sheds the
-# SQLAppStatusListener from UI-DISABLED foreign sessions (the SQL
-# status store retained ~310 MB of plan-description/metric heap over
-# a 151-query sweep on a 1g driver — session._shed_sql_ui_listener
-# has the jmap evidence). Neither changes a logical plan or a result
-# (partition counts never affect a result — every ranking rides a
-# total order; a status-store listener observes execution, it does
-# not participate in it), so they do not re-enter rotated-out
-# queries under the REWRITTEN rule; this round's full window runs
-# under the new conf either way.
-# Swapped-out r10-greens all keep in-window siblings: the PQ/IVFADC
-# family (pq_quantize/pq_train_round/pq_train_trace/ann_pq_recall/
-# ann_ivfpq/ann_ivfpq_refined/ann_refine_recall/ann_recall/
-# vocab_coverage/ann_cell_balance) via ann_probe_curve +
-# ann_refine_curve (which compose the identical codebook, LUT, cell
-# routing, shortlist, and recall machinery) + knn_lsh/knn_ivf +
-# embedding_quantize/doc_embedding_norms (exact fixed-point vector
-# math, in-window r6 rows); the r5 relational/dedup/gopher cohort
-# checked r10 (approx_distinct, asof_last_purchase, bloom_dedup_gate,
-# curation_funnel, customer_value_bands, decontaminate,
-# dedup_ngram_jaccard, event_funnel, events_sessionization,
-# fuzzy_name_pairs, language_id, lineitem_cube, merge_upsert,
-# order_percentiles, parts_above_brand_avg, parts_without_orders,
-# quality_score, range_copurchase, revenue_by_nation,
-# scalar_functions, segment_custkeys_setops, semdedup_keep,
-# gopher_quality, effective_registrations_nested, dsir_mixture_shift)
-# retains fresh r10 evidence by definition — EVIDENCE_AGE re-queues
-# them at r14; their families are additionally represented by
-# in-window top_orders_per_customer, corpus_split, block_dedup,
-# dedup_normalized, pii_scan, language_confusion, and the three
-# nested projections.
+#    4 round-12 additions (land-day rule): ann_ivfpq_residual +
+#      ann_ivfpq_spill_residual + ann_residual_recall (the residual
+#      / classic-IVFADC family and its 2x2 acceptance grid — the r11
+#      verdict's top item, with the measured non-contracting-coarse-
+#      quantizer inversion disclosed in the docstrings) and
+#      ann_spill_tuning (the (spill x nprobe) surface, verdict item
+#      4).
+#    1 NEVER_CHECKED r11 post-window addition: ann_ivfpq_spill
+#      (queue head per the ledger).
+#   13 REWRITTEN_SINCE_CHECK — the r12 dup-gram hash widening
+#      (corpus.GRAM_MULT2: the 31-bit rolling fold became a packed
+#      pair of independent folds, ~62-bit identity; verdict item 3)
+#      changes every gram value, so every consumer re-enters:
+#      contamination, decontaminate, curation_funnel, dsir_weights,
+#      dsir_resample, dsir_mixture_shift, source_quality_report,
+#      quality_calibration, dup_gram_coverage, split_leakage,
+#      source_overlap, exact_substring_spans, exact_substring_cut.
+#      (block_dedup already carried the dual-fold fingerprint and is
+#      untouched; bloom_dedup_gate hashes doc fingerprints, not
+#      grams.)
+#   16 EVIDENCE_AGE: the ENTIRE remaining r7-evidence cohort —
+#      best_of_source, context_length_report, doc_length_deciles,
+#      embedding_outliers, kmeans_balanced_sample,
+#      kmeans_centroid_shift, language_confusion, minhash_band_stats,
+#      mixture_temperature, nearest_neighbor_jaccard, ngram_lm_bits,
+#      phrase_search, stopword_candidates, token_entropy,
+#      tokenizer_fertility, unigram_surprisal (includes the 5 rows
+#      displaced from the r11 window).
+#    1 EVIDENCE_AGE r8-cohort head: bm25_search (retrieval family,
+#      otherwise unrepresented in this window).
+# After this window: zero r7 evidence remains, zero NEVER_CHECKED,
+# zero REWRITTEN carryover; the r8 cohort shrinks 28 -> 22 (5 of its
+# rows re-green here as REWRITTEN, bm25_search as EVIDENCE_AGE) and
+# heads the r13 queue with the r9 cohort (24 rows after
+# contamination + dsir_resample re-green here) behind it.
+# Swapped-out r11-greens all keep in-window siblings: the r11 ANN
+# tuning rows (ann_probe_curve, ann_joint_tuning, ann_refine_curve,
+# knn_lsh, knn_ivf, ann_ivfpq_refined, ann_refine_recall,
+# dedup_threshold_curve, approx_percentiles) are superseded-composed
+# by the five in-window ANN r12 rows (the residual grid recomputes
+# the refined and spill serve paths outright, the spill surface
+# recomputes refined recall at three routings) + knn/PQ machinery
+# exercised by every serve path; the r6-cohort rows checked r11
+# (block_dedup, corpus_mixture, corpus_split, dedup_cluster_sizes,
+# dedup_normalized, doc_embedding_norms, embedding_quantize,
+# inverted_index, keyword_topk, pack_sequences, pii_scan,
+# shard_skew_report, token_rarity, top_orders_per_customer,
+# token_counts, multimodal_meta, the three nested projections) carry
+# fresh r11 evidence by definition — EVIDENCE_AGE re-queues them at
+# r15; their families are additionally represented in-window via
+# dup_gram_coverage (dedup), split_leakage/corpus family REWRITTEN
+# rows, token_entropy + tokenizer_fertility + unigram_surprisal
+# (token stats), and the keepers.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -1037,51 +1018,47 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-11 additions — driver-checked the round they land (each
-    # displaces one r7 EVIDENCE_AGE filler; see the rotation comment)
-    "ann_probe_curve",
-    "ann_joint_tuning",
+    # round-12 additions — driver-checked the round they land
+    "ann_ivfpq_residual",
+    "ann_ivfpq_spill_residual",
+    "ann_residual_recall",
+    "ann_spill_tuning",
+    # NEVER_CHECKED round-11 post-window addition
+    "ann_ivfpq_spill",
+    # REWRITTEN_SINCE_CHECK: the r12 gram-hash widening (see the
+    # rotation comment) changes every gram-family result
+    "contamination",
+    "decontaminate",
+    "curation_funnel",
+    "dsir_weights",
+    "dsir_resample",
+    "dsir_mixture_shift",
+    "source_quality_report",
+    "quality_calibration",
+    "dup_gram_coverage",
+    "split_leakage",
+    "source_overlap",
     "exact_substring_spans",
     "exact_substring_cut",
-    # NEVER_CHECKED round-10 post-window additions
-    "ann_refine_curve",
-    "approx_percentiles",
-    # REWRITTEN_SINCE_CHECK (ann_ivfpq_refined + ann_refine_recall:
-    # the r11 REFINE_K 4x -> 16x TOP_K default change alters their
-    # shipped rows — their r10-green evidence describes the k'=20
-    # shortlist)
-    "knn_lsh",
-    "knn_ivf",
-    "dedup_threshold_curve",
-    "ann_ivfpq_refined",
-    "ann_refine_recall",
-    # EVIDENCE_AGE: the last two r5-evidence rows
-    "token_counts",
-    "multimodal_meta",
-    # EVIDENCE_AGE: the full 18-row r6 cohort
-    "block_dedup",
-    "corpus_mixture",
-    "corpus_split",
-    "dedup_cluster_sizes",
-    "dedup_normalized",
-    "doc_embedding_norms",
-    "dup_gram_coverage",
-    "effective_notifications_nested",
-    "effective_state_history_nested",
-    "embedding_quantize",
-    "intermediate_monolog_nested",
-    "inverted_index",
-    "keyword_topk",
-    "pack_sequences",
-    "pii_scan",
-    "shard_skew_report",
-    "token_rarity",
-    "top_orders_per_customer",
-    # EVIDENCE_AGE: 8 oldest r7-evidence rows (family spread)
-    "events_rollup_multires",
-    "kmeans_assign",
-    "kmeans_label_purity",
-    "bigram_pmi",
+    # EVIDENCE_AGE: the entire remaining r7-evidence cohort
+    "best_of_source",
+    "context_length_report",
+    "doc_length_deciles",
+    "embedding_outliers",
+    "kmeans_balanced_sample",
+    "kmeans_centroid_shift",
+    "language_confusion",
+    "minhash_band_stats",
+    "mixture_temperature",
+    "nearest_neighbor_jaccard",
+    "ngram_lm_bits",
+    "phrase_search",
+    "stopword_candidates",
+    "token_entropy",
+    "tokenizer_fertility",
+    "unigram_surprisal",
+    # EVIDENCE_AGE: r8-cohort head
+    "bm25_search",
 ]
 
 

@@ -330,6 +330,22 @@ HOLDOUT_MOD = 50  # doc_id % 50 == 0 -> held-out "test set"
 # either engine (DuckDB errors on overflow; Spark would wrap silently)
 CONTAM_MULT = 131
 CONTAM_P = 2147483647
+# Second-stream multiplier of the WIDENED gram identity (r12). A
+# single fold mod the 31-bit CONTAM_P birthday-saturates at corpus
+# scale: with ~10^12-10^13 distinct 8-token windows in a 100 TB
+# corpus, E[collisions] ~ n^2 / 2^32 makes false cross-doc
+# "duplicates" the rule — and for exact_substring_cut that means
+# cutting innocent text. The gram identity is therefore TWO
+# independent folds packed as f1 * 2^31 + f2 (the block_dedup
+# fingerprint discipline, filtering._block_table): fold 1 runs
+# CONTAM_MULT over md5[1:7] token halves, fold 2 runs GRAM_MULT2
+# over the INDEPENDENT md5[8:14] halves — a collision needs both
+# 31-bit streams to collide at once (~2^-62 per pair; the 50%
+# birthday bound moves from ~10^5 windows to ~2^31). All arithmetic
+# stays int64-exact in both engines: acc < 2^31, acc*mult + h <
+# 2^39, and the pack < 2^62 + 2^31 < 2^63.
+GRAM_MULT2 = 139  # any small prime != CONTAM_MULT, != BLOCK_MULT2
+GRAM_PACK = 2147483648  # 2^31, the pack shift of the (f1, f2) pair
 VOCAB_TOP_K = 100
 
 
@@ -359,45 +375,79 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contam_gram_combine(i: F.Column) -> F.Column:
+    """The widened (~62-bit) gram identity at 1-based token position
+    `i` over staged `_tkh` / `_tkh2` token-hash arrays: two
+    independent CONTAM_K-token rolling folds mod CONTAM_P
+    (CONTAM_MULT over md5[1:7] halves, GRAM_MULT2 over md5[8:14]
+    halves) packed as f1 * 2^31 + f2 — see the GRAM_MULT2 constant
+    block for the collision bound. Shared by the distinct gram table
+    (with_contam_grams) and the exact-substring positioned windows
+    (filtering._exsub_islands), whose hashes MUST be value-identical
+    because the positioned windows join the gram table's dup set."""
+    acc1 = F.element_at(F.col("_tkh"), i)
+    acc2 = F.element_at(F.col("_tkh2"), i)
+    for o in range(1, CONTAM_K):
+        acc1 = (
+            acc1 * CONTAM_MULT + F.element_at(F.col("_tkh"), i + o)
+        ) % CONTAM_P
+        acc2 = (
+            acc2 * GRAM_MULT2 + F.element_at(F.col("_tkh2"), i + o)
+        ) % CONTAM_P
+    return acc1 * F.lit(GRAM_PACK) + acc2
+
+
+def with_contam_tkh(df: DataFrame) -> DataFrame:
+    """Stage `_n_tok`, `_tkh`, `_tkh2` for contam_gram_combine: ONE
+    md5 per token (staged as a digest array so the two half-extracts
+    read one materialized column — HOF lambdas are not subexpression-
+    eliminated, the round-7 lesson), then the two independent 28-bit
+    integer halves."""
+    tk = F.split(F.col("text"), " ")
+    dig = F.transform(tk, lambda t: F.md5(t))
+    staged = df.withColumn("_n_tok", F.size(tk)).withColumn("_dig", dig)
+    return staged.withColumn(
+        "_tkh",
+        F.transform(
+            F.col("_dig"),
+            lambda d: F.conv(F.substring(d, 1, 7), 16, 10).cast("long"),
+        ),
+    ).withColumn(
+        "_tkh2",
+        F.transform(
+            F.col("_dig"),
+            lambda d: F.conv(F.substring(d, 8, 7), 16, 10).cast("long"),
+        ),
+    ).drop("_dig")
+
+
 def with_contam_grams(df: DataFrame, out: str = "grams") -> DataFrame:
     """Add the distinct CONTAM_K-gram hash array of `text` as `out`.
 
-    ONE md5 per TOKEN (28-bit half), then each 8-gram is an integer
-    rolling combine of its 8 token hashes mod P. The earlier form —
-    an 8-wide string concat + md5 PER GRAM — generated codegen so
-    large the JVM intermittently stalled every task thread for
-    seconds re-JITting it (the round-1 MinHash lesson again); this
-    form is 8x fewer digests and a small generated method. Both
-    engines run the identical integer fold, so parity is exact.
+    ONE md5 per TOKEN (split into two independent 28-bit halves),
+    then each 8-gram is the WIDENED pair-of-integer-folds identity of
+    contam_gram_combine (~62-bit — the r12 fix for the 31-bit
+    birthday saturation at corpus scale; see GRAM_MULT2). The
+    md5-once-fold-cheap discipline is the round-1 MinHash lesson: a
+    string concat + md5 PER GRAM generated codegen so large the JVM
+    stalled re-JITting it. Both engines run the identical integer
+    folds, so parity is exact.
 
-    The token-hash array is staged through a named projection so the
-    gram combine's CONTAM_K element_at references read ONE
-    materialized array instead of inlining the md5 transform 8x
+    The digest and token-hash arrays are staged through named
+    projections so the gram combine's CONTAM_K element_at references
+    read materialized arrays instead of inlining the md5 transform 8x
     (CollapseProject keeps non-cheap multi-referenced expressions).
     Shared by the batch gram table and the streaming decontamination
     gate, so both paths hash byte-identically."""
-    tk = F.split(F.col("text"), " ")
-    tkh = F.transform(
-        tk,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
-    )
-    staged = df.withColumn("_n_tok", F.size(tk)).withColumn("_tkh", tkh)
-
-    def combine(i: F.Column) -> F.Column:
-        acc = F.element_at(F.col("_tkh"), i)
-        for o in range(1, CONTAM_K):
-            acc = (
-                acc * CONTAM_MULT + F.element_at(F.col("_tkh"), i + o)
-            ) % CONTAM_P
-        return acc
-
+    staged = with_contam_tkh(df)
     gram = F.transform(
-        F.sequence(F.lit(1), F.col("_n_tok") - (CONTAM_K - 1)), combine
+        F.sequence(F.lit(1), F.col("_n_tok") - (CONTAM_K - 1)),
+        contam_gram_combine,
     )
     grams = F.when(
         F.col("_n_tok") >= CONTAM_K, F.array_distinct(gram)
     ).otherwise(F.array().cast("array<long>"))
-    return staged.withColumn(out, grams).drop("_n_tok", "_tkh")
+    return staged.withColumn(out, grams).drop("_n_tok", "_tkh", "_tkh2")
 
 
 def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -347,30 +347,17 @@ def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
+        from .corpus import contam_gram_combine, with_contam_tkh
+
         docs = spread_if_undersplit(
             spark, load_table(spark, sf_dir, "documents")
         ).join(cand_ids, "doc_id", "left_semi")
-        tk = F.split(F.col("text"), " ")
-        tkh = F.transform(
-            tk,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(
-                "long"
-            ),
-        )
-        staged = docs.withColumn("_n_tok", F.size(tk)).withColumn(
-            "_tkh", tkh
-        )
-
-        def combine(i: F.Column) -> F.Column:
-            acc = F.element_at(F.col("_tkh"), i)
-            for o in range(1, EXSUB_K):
-                acc = (
-                    acc * CONTAM_MULT + F.element_at(F.col("_tkh"), i + o)
-                ) % CONTAM_P
-            return acc
-
+        # the WIDENED pair-fold identity, value-identical to the gram
+        # table's (the positioned windows join its dup set)
+        staged = with_contam_tkh(docs)
         gram = F.transform(
-            F.sequence(F.lit(1), F.col("_n_tok") - (EXSUB_K - 1)), combine
+            F.sequence(F.lit(1), F.col("_n_tok") - (EXSUB_K - 1)),
+            contam_gram_combine,
         )
         return (
             staged.filter(F.col("_n_tok") >= EXSUB_K)

@@ -881,18 +881,27 @@ from .functions.corpus import (  # noqa: E402
     CONTAM_K,
     CONTAM_MULT,
     CONTAM_P,
+    GRAM_MULT2,
+    GRAM_PACK,
     HOLDOUT_MOD,
     VOCAB_TOP_K,
 )
 
-# one md5 per token (28-bit half) + integer rolling combine per gram —
-# the same fold functions/corpus.py builds, written out by the same
-# python loop so the dialects cannot drift
-_contam_acc = "th[i]"
+# one md5 per token (two independent 28-bit halves) + the WIDENED
+# pair-of-integer-folds gram identity (r12: f1 * 2^31 + f2 — see
+# corpus.GRAM_MULT2 for the collision bound) — the same folds
+# functions/corpus.contam_gram_combine builds, written out by the
+# same python loop so the dialects cannot drift
+_contam_acc1 = "th[i]"
+_contam_acc2 = "th2[i]"
 for _o in range(1, CONTAM_K):
-    _contam_acc = (
-        f"(({_contam_acc}) * {CONTAM_MULT} + th[i + {_o}]) % {CONTAM_P}"
+    _contam_acc1 = (
+        f"(({_contam_acc1}) * {CONTAM_MULT} + th[i + {_o}]) % {CONTAM_P}"
     )
+    _contam_acc2 = (
+        f"(({_contam_acc2}) * {GRAM_MULT2} + th2[i + {_o}]) % {CONTAM_P}"
+    )
+_contam_acc = f"(({_contam_acc1}) * {GRAM_PACK} + ({_contam_acc2}))"
 _CONTAM_GRAM = (
     f"list_transform(range(1, len(th) - {CONTAM_K - 2}), i -> {_contam_acc})"
 )
@@ -902,9 +911,15 @@ _CONTAM_GRAM = (
 # the two oracles cannot drift from each other
 _CONTAM_BASE = f"""t AS (
   SELECT doc_id,
-         list_transform(string_split(text, ' '),
-           t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS th
-  FROM documents
+         list_transform(dig,
+           d -> CAST(('0x' || substr(d, 1, 7)) AS BIGINT)) AS th,
+         list_transform(dig,
+           d -> CAST(('0x' || substr(d, 8, 7)) AS BIGINT)) AS th2
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), t -> md5(t)) AS dig
+    FROM documents
+  )
 ),
 g AS (
   SELECT doc_id,

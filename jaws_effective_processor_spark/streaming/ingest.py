@@ -110,6 +110,84 @@ def decontaminate_stream(
     )
 
 
+def exsub_gate_stream(docs: DataFrame, dup_grams: DataFrame) -> DataFrame:
+    """Streaming ExactSubstr gate (r12, completing the dedup-family
+    pattern — every other family already had a streaming twin): flag
+    arriving documents whose EXSUB_K-token windows hit the (static)
+    corpus-snapshot duplicated-gram set, and report exactly the
+    numbers the batch spans report would assign them — per doc
+    (n_tokens, n_dup_spans, dup_tokens, kept_tokens, exsub_hit), with
+    dup_tokens the total size of the MAXIMAL merged spans (Lee et
+    al.'s cut quantity). Batch==stream parity is pinned per doc
+    against functions/filtering.q_exact_substring_spans
+    (tests/test_streaming.py::test_exsub_gate_matches_batch).
+
+    Shape: the dup set collapses to a ONE-ROW broadcast array (the
+    decontaminate_stream stance) and EVERYTHING else is per-row
+    column work — positioned window hashes via the shared widened
+    contam_gram_combine fold, dup membership via array_contains, and
+    the gaps-and-islands merge as an integer fold over the ascending
+    hit-position array (first hit of an island adds EXSUB_K tokens,
+    a merge-range hit adds its gap) — so the gate is stateless and
+    composes anywhere in a streaming plan. SCALE DISCLOSURE: unlike
+    the holdout set, the dup-gram set GROWS with the corpus; beyond
+    broadcast range the production shape is a Bloom-filter gate over
+    the same hashes (bloom_gate_stream's geometry) at the price of
+    false-positive flags, or an exploded stream-static join + a
+    watermarked regroup to reassemble documents."""
+    from ..functions.corpus import CONTAM_K, contam_gram_combine
+    from ..functions.corpus import with_contam_tkh
+
+    gset = dup_grams.agg(F.collect_set("gram_h").alias("_dup_arr"))
+    staged = with_contam_tkh(docs).crossJoin(F.broadcast(gset))
+    # ascending positions (1-based) of duplicated windows; the
+    # F.when guard keeps the descending-sequence hazard of short
+    # docs from ever firing (CaseWhen evaluates lazily per row)
+    hits = F.when(
+        F.col("_n_tok") >= CONTAM_K,
+        F.filter(
+            F.sequence(F.lit(1), F.col("_n_tok") - (CONTAM_K - 1)),
+            lambda i: F.array_contains(
+                F.col("_dup_arr"), contam_gram_combine(i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    zero = F.struct(
+        F.lit(-(2**33)).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("spans"),
+    )
+
+    def step(acc, p):
+        gap = p.cast("long") - acc["prev"]
+        new_island = gap > CONTAM_K
+        return F.struct(
+            p.cast("long").alias("prev"),
+            (
+                acc["dup"]
+                + F.when(new_island, F.lit(CONTAM_K).cast("long"))
+                .otherwise(gap)
+            ).alias("dup"),
+            (
+                acc["spans"] + F.when(new_island, 1).otherwise(0)
+            ).alias("spans"),
+        )
+
+    folded = staged.withColumn("_hits", hits).withColumn(
+        "_isl", F.aggregate(F.col("_hits"), zero, step)
+    )
+    return folded.select(
+        *docs.columns,
+        F.col("_n_tok").cast("long").alias("n_tokens"),
+        F.col("_isl.spans").alias("n_dup_spans"),
+        F.col("_isl.dup").alias("dup_tokens"),
+        (F.col("_n_tok").cast("long") - F.col("_isl.dup")).alias(
+            "kept_tokens"
+        ),
+        (F.col("_isl.spans") > 0).alias("exsub_hit"),
+    )
+
+
 def start_ingest_shards(
     docs: DataFrame,
     path: str,

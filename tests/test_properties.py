@@ -559,31 +559,36 @@ def test_minhash_survives_mass_duplicate_class(spark, tmp_path):
 )
 def test_contam_grams_match_python_reference(spark, docs):
     """with_contam_grams (the shared batch/stream gram fold) equals a
-    direct Python reimplementation of the spec: one md5 per token
-    (28-bit hex half), rolling combine acc*MULT + h mod P over
-    CONTAM_K-windows, distinct, empty below the gram width."""
+    direct Python reimplementation of the WIDENED (~62-bit, r12)
+    spec: one md5 per token split into two independent 28-bit hex
+    halves, two rolling combines acc*MULT + h mod P over
+    CONTAM_K-windows (CONTAM_MULT over md5[0:7], GRAM_MULT2 over
+    md5[7:14]), packed f1 * 2^31 + f2, distinct, empty below the
+    gram width."""
     import hashlib
 
     from jaws_effective_processor_spark.functions.corpus import (
         CONTAM_K,
         CONTAM_MULT,
         CONTAM_P,
+        GRAM_MULT2,
+        GRAM_PACK,
         with_contam_grams,
     )
 
     def py_grams(tokens):
-        th = [
-            int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
-            for t in tokens
-        ]
+        digs = [hashlib.md5(t.encode()).hexdigest() for t in tokens]
+        th = [int(d[:7], 16) for d in digs]
+        th2 = [int(d[7:14], 16) for d in digs]
         if len(th) < CONTAM_K:
             return []
         out = []
         for i in range(len(th) - CONTAM_K + 1):
-            acc = th[i]
+            a1, a2 = th[i], th2[i]
             for o in range(1, CONTAM_K):
-                acc = (acc * CONTAM_MULT + th[i + o]) % CONTAM_P
-            out.append(acc)
+                a1 = (a1 * CONTAM_MULT + th[i + o]) % CONTAM_P
+                a2 = (a2 * GRAM_MULT2 + th2[i + o]) % CONTAM_P
+            out.append(a1 * GRAM_PACK + a2)
         # list_distinct keeps first-occurrence order; compare as sets
         return sorted(set(out))
 

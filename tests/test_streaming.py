@@ -441,6 +441,66 @@ def test_decontaminate_stream_gate(spark, tmpdir):
     assert got == {2, 3}
 
 
+def test_exsub_gate_matches_batch(spark, tmpdir):
+    """Streaming ExactSubstr gate == batch spans report, per doc: feed
+    the sf0.001 corpus through exsub_gate_stream against the batch
+    dup-gram snapshot; every flagged doc's (n_tokens, n_dup_spans,
+    dup_tokens) equals q_exact_substring_spans' row exactly, no
+    un-flagged doc appears in the batch report, and kept + dup ==
+    total everywhere — the islands merge computed as a per-row
+    integer fold agrees with the batch window-function merge."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.filtering import (
+        _dup_gram_set,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = load_table(spark, sf, "documents")
+    feed_cols = [f.name for f in ingest.DOC_FEED_SCHEMA.fields]
+    feed = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(t0).alias("ingest_ts")
+    ).select(*feed_cols)
+    src = os.path.join(tmpdir, "exsub_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"exsub_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.exsub_gate_stream(stream, _dup_gram_set(spark, sf)),
+        name,
+        os.path.join(tmpdir, "exsub_ckpt"),
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["exsub_hit"],
+        )
+        for r in _memory_table(spark, name).collect()
+    }
+    assert got  # every arriving doc emits a verdict row
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in QUERIES["exact_substring_spans"](spark, sf).collect()
+    }
+    flagged = {d for d, v in got.items() if v[4]}
+    assert flagged == set(batch), (
+        sorted(flagged - set(batch))[:5],
+        sorted(set(batch) - flagged)[:5],
+    )
+    for d in flagged:
+        n_tok, spans, dup, kept, _hit = got[d]
+        assert (n_tok, spans, dup) == batch[d], (d, got[d], batch[d])
+    for d, (n_tok, spans, dup, kept, hit) in got.items():
+        assert kept + dup == n_tok, (d, got[d])
+        assert hit == (spans > 0)
+
+
 def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     """With a PQ codebook, the streaming ingest lands the SAME packed
     code the batch coder assigns (shared with_pq_codes expressions,
