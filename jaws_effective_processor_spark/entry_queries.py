@@ -741,6 +741,15 @@ def _register_llm() -> None:
         similarity.q_ann_spill_tuning,
         osql.ANN_SPILL_TUNING_SQL,
     )
+    # round-12 addition: the residual inversion's WHY as an
+    # oracle-checked artifact (per-family input energy vs shipped
+    # distortion — residual coding helps iff the coarse quantizer
+    # contracts, and here it does not)
+    register(
+        "pq_residual_diagnosis",
+        similarity.q_pq_residual_diagnosis,
+        osql.PQ_RESIDUAL_DIAGNOSIS_SQL,
+    )
 
 
 _register_rules()
@@ -976,8 +985,11 @@ _register_llm()
 #      phrase_search, stopword_candidates, token_entropy,
 #      tokenizer_fertility, unigram_surprisal (includes the 5 rows
 #      displaced from the r11 window).
-#    1 EVIDENCE_AGE r8-cohort head: bm25_search (retrieval family,
-#      otherwise unrepresented in this window).
+#    1 more round-12 addition (land-day rule, displacing the planned
+#      bm25_search r8-cohort filler per priority order):
+#      pq_residual_diagnosis — the residual inversion's WHY as an
+#      oracle-checked artifact. bm25_search heads the r13
+#      EVIDENCE_AGE queue instead.
 # After this window: zero r7 evidence remains, zero NEVER_CHECKED,
 # zero REWRITTEN carryover; the r8 cohort shrinks 28 -> 22 (5 of its
 # rows re-green here as REWRITTEN, bm25_search as EVIDENCE_AGE) and
@@ -1057,8 +1069,9 @@ _CHECK_FIRST = [
     "token_entropy",
     "tokenizer_fertility",
     "unigram_surprisal",
-    # EVIDENCE_AGE: r8-cohort head
-    "bm25_search",
+    # round-12 late addition (land-day rule; displaced bm25_search
+    # to the r13 queue head)
+    "pq_residual_diagnosis",
 ]
 
 

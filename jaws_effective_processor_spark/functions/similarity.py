@@ -2353,6 +2353,54 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_residual_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHY of the residual inversion as an oracle-checked
+    artifact — per codebook family (raw / residual): the trainer
+    input's total micro energy (sum xm^2 — the signal the code
+    budget must describe), the convergence-chosen depth, the shipped
+    assignment's total ABSOLUTE distortion, and dist_permille (the
+    relative share the codebook fails to capture). Residual coding
+    helps iff the coarse quantizer CONTRACTS (residual energy < raw
+    energy, true under trained k-means means); on this corpus the
+    member-vector centroids give mean home-cell cosine ~0.19, so the
+    coarse level ADDS energy instead of removing it — measured at
+    sf0.01: residual energy 1.62x raw, and although the codebook
+    captures a slightly larger relative share of it (483 vs 555
+    permille missed), the ABSOLUTE reconstruction error — what ADC
+    ranking actually suffers — lands 1.41x higher (391e12 vs 278e12
+    micro^2). That is the integer-exact evidence behind keeping raw
+    codes as the serving default (q_ann_ivfpq_residual's
+    disclosure): with a contracting coarse level the same relative
+    performance would mean LOWER absolute error, which is the
+    scenario where a deployment re-reads q_ann_residual_recall.
+    Both engines replay the identical trainer chains, so the rows
+    are bit-exact. Scale shape: two single-row aggregations over
+    the cached trainer artifacts per family."""
+    parts = []
+    for fam, res in (("raw", False), ("residual", True)):
+        ship = _pq_ship_round(spark, sf_dir, res)
+        energy = _pq_micro_of(spark, sf_dir, res).agg(
+            F.sum(F.col("xm") * F.col("xm"))
+            .cast("long")
+            .alias("energy_micro2")
+        )
+        td = _pq_assignment(spark, sf_dir, ship + 1, res).agg(
+            F.sum("dist_sq").cast("long").alias("total_dist_sq")
+        )
+        parts.append(
+            energy.crossJoin(F.broadcast(td)).select(
+                F.lit(fam).alias("codebook"),
+                "energy_micro2",
+                F.lit(ship).cast("long").alias("ship_round"),
+                "total_dist_sq",
+                F.expr("(1000 * total_dist_sq) DIV energy_micro2").alias(
+                    "dist_permille"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ trainer's convergence curve AS THE STOP RULE SAW IT:
     per round, the TOTAL quantization distortion (sum over vectors x

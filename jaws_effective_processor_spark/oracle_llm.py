@@ -1913,12 +1913,22 @@ FROM refined WHERE rank <= {TOP_K}
 # see similarity._pqr_cellbooks).
 
 
-def _pqr_ctes(include_base: bool) -> str:
+def _pqr_ctes(
+    include_base: bool,
+    include_px: bool | None = None,
+    trainer_only: bool = False,
+) -> str:
     """The residual trainer + coder + LUT CTE chain (all names
     r-prefixed so it composes with the raw chain in one query).
-    include_base=True emits its own e/cent/assigned/cells/px base;
-    False assumes a raw chain (e.g. _IVFPQ_SCORED_CTES) already
-    defined them."""
+    include_base=True emits its own e/cent/assigned/cells (+ px,
+    unless include_px=False because a raw chain like _PQ_CTES
+    already defines px); False assumes a raw chain (e.g.
+    _IVFPQ_SCORED_CTES) already defined all of them. trainer_only
+    stops after the convergence selection (rtds/rship) — for
+    consumers that need the residual TRAINER but not the coder/LUT
+    serve chain (the diagnosis twin)."""
+    if include_px is None:
+        include_px = include_base
     parts = []
     if include_base:
         parts.append(
@@ -1952,8 +1962,9 @@ def _pqr_ctes(include_base: bool) -> str:
   SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1
 )"""
         )
-        parts.append(
-            f"""px AS MATERIALIZED (
+        if include_px:
+            parts.append(
+                f"""px AS MATERIALIZED (
   SELECT vec_id, CAST(u.dim // {PQ_SUB} AS BIGINT) AS m,
          CAST(u.dim % {PQ_SUB} AS BIGINT) AS d, u.xm AS xm FROM (
     SELECT vec_id,
@@ -1964,13 +1975,14 @@ def _pqr_ctes(include_base: bool) -> str:
     FROM embeddings
   )
 )"""
-        )
-    parts.append(
-        f"""spills AS (
+            )
+    if not trainer_only:
+        parts.append(
+            f"""spills AS (
   SELECT vec_id, cent_id AS cell, CAST(rn AS BIGINT) AS assign_rn
   FROM assigned WHERE rn <= {SPILL_ASSIGN}
 )"""
-    )
+        )
     parts.append(
         """rpx AS MATERIALIZED (
   SELECT p.vec_id, p.m, p.d, p.xm - coalesce(cx.xm, 0) AS xm
@@ -2015,6 +2027,8 @@ def _pqr_ctes(include_base: bool) -> str:
      OR (a.td - b.td) * 1000 < a.td * {PQ_CONVERGE_PERMILLE}
 )"""
     )
+    if trainer_only:
+        return ",\n".join(parts)
     parts.append(
         "rpc_all AS (\n  "
         + "\n  UNION ALL ".join(
@@ -2310,6 +2324,34 @@ SELECT g.spill, g.nprobe,
        (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
          // (nq.n * {TOP_K}) AS recall_permille
 FROM grid g LEFT JOIN hits h USING (spill, nprobe), nq
+"""
+
+
+# Twin of q_pq_residual_diagnosis: both trainer chains (raw via
+# _PQ_CTES, residual via the trainer-only slice of _pqr_ctes sharing
+# the raw px), per family the input energy, shipped depth, final
+# distortion, and relative distortion — the oracle-checked WHY of
+# the residual inversion
+PQ_RESIDUAL_DIAGNOSIS_SQL = f"""
+WITH {_PQ_CTES},
+{_pqr_ctes(include_base=True, include_px=False, trainer_only=True)},
+rows_ AS (
+  SELECT 'raw' AS codebook,
+         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM px)
+           AS energy_micro2,
+         (SELECT CAST(r AS BIGINT) FROM ship) AS ship_round,
+         (SELECT CAST(td AS BIGINT) FROM tds
+          WHERE k = (SELECT r + 1 FROM ship)) AS total_dist_sq
+  UNION ALL
+  SELECT 'residual',
+         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM rpx),
+         (SELECT CAST(r AS BIGINT) FROM rship),
+         (SELECT CAST(td AS BIGINT) FROM rtds
+          WHERE k = (SELECT r + 1 FROM rship))
+)
+SELECT codebook, energy_micro2, ship_round, total_dist_sq,
+       (1000 * total_dist_sq) // energy_micro2 AS dist_permille
+FROM rows_
 """
 
 

@@ -52,6 +52,7 @@ _SHUFFLE_BUDGETS = {
     "ann_joint_tuning": 11,
     "ann_residual_recall": 27,
     "ann_spill_tuning": 10,
+    "pq_residual_diagnosis": 4,
     "ann_pq_recall": 6,
     "ann_probe_curve": 11,
     "ann_recall": 6,

@@ -553,6 +553,36 @@ def test_spill_tuning_surface_anchors(spark):
     assert grid[(s.SPILL_ASSIGN, s.IVF_NPROBE)] == spill_hits
 
 
+def test_residual_diagnosis_invariants(spark):
+    """The diagnosis artifact's internal consistency: one row per
+    family; distortion never exceeds the input energy (the codebook
+    cannot do worse than zero — every centroid choice is an argmin
+    against an existing codebook entry, and the seed already bounds
+    it); ship_round matches the trainer's session decision; and the
+    measured non-contraction premise on this corpus — residual
+    energy EXCEEDS raw energy (the member-vector coarse level adds
+    signal instead of removing it; ~1.62x at sf0.01), which is the
+    oracle-checked WHY behind serving raw codes."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    rows = {
+        r["codebook"]: r
+        for r in s.q_pq_residual_diagnosis(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {"raw", "residual"}
+    for fam, res in (("raw", False), ("residual", True)):
+        r = rows[fam]
+        assert 0 <= r["total_dist_sq"] <= r["energy_micro2"], r
+        assert r["ship_round"] == s._pq_ship_round(spark, SF_ORACLE, res)
+        assert (
+            r["dist_permille"]
+            == 1000 * r["total_dist_sq"] // r["energy_micro2"]
+        )
+    assert (
+        rows["residual"]["energy_micro2"] > rows["raw"]["energy_micro2"]
+    ), rows
+
+
 def test_residual_micro_is_exact_integer_identity(spark):
     """The residual micro table is the EXACT integer decomposition of
     the raw one: for every (vec, m, d) with a home cell, residual +
