@@ -171,7 +171,16 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                # norm>0 fetch guard; convergence-chosen depth runs on
                # a 40-vector corpus)
                "ann_ivfpq_refined", "ann_refine_recall",
-               "ann_refine_curve")
+               "ann_refine_curve",
+               # rounds 11/12: spill + tuning surfaces + the residual
+               # family — the zero vector (vec 20, inside the seed
+               # range) has NO home cell, exercising the residual
+               # chain's LEFT JOIN + coalesce(0) totality rule in both
+               # engines; duplicate seeds force emptied residual cells
+               "ann_ivfpq_spill", "ann_probe_curve", "ann_joint_tuning",
+               "ann_spill_tuning", "ann_ivfpq_residual",
+               "ann_ivfpq_spill_residual", "ann_residual_recall",
+               "pq_residual_diagnosis")
 
 
 @pytest.fixture(scope="module")

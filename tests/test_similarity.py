@@ -583,6 +583,88 @@ def test_residual_diagnosis_invariants(spark):
     ), rows
 
 
+def test_residual_coding_wins_on_contracting_fixture(
+    spark, tmp_path_factory
+):
+    """The residual implementation validated where its premise HOLDS:
+    a corpus whose vectors sit in tight clusters around the
+    designated centroid vectors (home-cell cosine ~1, so the coarse
+    level CONTRACTS — the geometry trained-k-means coarse quantizers
+    give real deployments). On this fixture the diagnosis artifact
+    must show residual energy strictly BELOW raw (the premise) and a
+    strictly smaller absolute shipped distortion (the payoff), and
+    the acceptance grid must show residual refined recall at least
+    raw's on both index layouts — i.e. the sf0.1 inversion measured
+    on the synthetic corpus (q_ann_ivfpq_residual's disclosure) is a
+    property of THAT corpus's non-contracting member-vector coarse
+    level, not of this implementation."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    d = tmp_path_factory.mktemp("contracting_emb")
+    dim = s.DIM
+    n_cells = s.N_CELLS
+
+    def centroid(c: int) -> list[float]:
+        # well-separated block directions with a small common floor
+        return [
+            1.0 if (j // (dim // n_cells)) == c else 0.05
+            for j in range(dim)
+        ]
+
+    def member(c: int, i: int) -> list[float]:
+        # tight deterministic jitter around the cluster centroid:
+        # |noise| <= 0.03 per dim -> home-cell cosine ~0.99+
+        base = centroid(c)
+        return [
+            base[j] + (((i * 31 + j * 7) % 13) - 6) / 200.0
+            for j in range(dim)
+        ]
+
+    vecs = []
+    # queries 0..9: cluster members too
+    for i in range(s.N_QUERIES):
+        vecs.append(member(i % n_cells, i))
+    # centroids 10..17: the designated coarse codebook
+    for c in range(n_cells):
+        vecs.append(centroid(c))
+    # corpus: 12 members per cluster
+    for i in range(12 * n_cells):
+        vecs.append(member(i % n_cells, 100 + i))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(
+                [i % 3 for i in range(len(vecs))], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    sf = str(d)
+
+    diag = {
+        r["codebook"]: r
+        for r in s.q_pq_residual_diagnosis(spark, sf).collect()
+    }
+    assert (
+        diag["residual"]["energy_micro2"] < diag["raw"]["energy_micro2"]
+    ), diag  # the premise: the coarse level contracts
+    assert (
+        diag["residual"]["total_dist_sq"] < diag["raw"]["total_dist_sq"]
+    ), diag  # the payoff: the same budget reconstructs better
+    grid = {
+        (r["codes"], r["index_kind"]): r["recall_permille"]
+        for r in s.q_ann_residual_recall(spark, sf).collect()
+    }
+    assert grid[("residual", "single")] >= grid[("raw", "single")], grid
+    assert grid[("residual", "spill")] >= grid[("raw", "spill")], grid
+
+
 def test_residual_micro_is_exact_integer_identity(spark):
     """The residual micro table is the EXACT integer decomposition of
     the raw one: for every (vec, m, d) with a home cell, residual +
