@@ -541,7 +541,6 @@ def _pqr_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     total either way. Session-cached 'pqr_micro'; the residual is
     floor(x*1e6) - floor(c*1e6) (floored FIRST, then subtracted), so
     both engines subtract identical integers."""
-    from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         px = _pq_micro(spark, sf_dir)
@@ -620,7 +619,6 @@ def _pq_seed(
     smallest-ids seeding rule as the k-means trainer) — of the raw
     micro table, or of the residual one for the residual family.
     Session-cached 'pq_c0' / 'pqr_c0'."""
-    from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         px = _pq_micro_of(spark, sf_dir, res)
@@ -668,7 +666,6 @@ def _pq_assignment(
     """The round-`rnd` assignment (against the round rnd-1 centroids),
     session-cached '{pq|pqr}_a{rnd}' — read by the centroid update and
     the convergence report."""
-    from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         cent = (
@@ -697,7 +694,6 @@ def _pq_centroids(
     Like the k-means centroids, this is a persisted pipeline artifact:
     training runs once per corpus snapshot; every consumer (the coder,
     the ADC LUTs, the convergence report) reads the result."""
-    from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         prev = (
@@ -1998,7 +1994,6 @@ def _pqr_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded by the same integer argmin as the raw coder
     (with_pq_codes micro=True). Session-cached 'pqr_codes'; the
     centroid side is an N_CELLS-row broadcast."""
-    from .dedup import _cached_frame
 
     def _build() -> DataFrame:
         cb = _pq_codebook(spark, sf_dir, res=True)

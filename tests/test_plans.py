@@ -203,6 +203,17 @@ _SHUFFLE_BUDGETS = {
 }
 
 
+def test_shuffle_budgets_cover_registry():
+    """The land-with-budget rule, mechanically: EVERY registered
+    query carries an exchange ceiling, and no ceiling outlives its
+    query — registering a query without one fails here the day it
+    lands, not in a verdict diff."""
+    assert set(_SHUFFLE_BUDGETS) == set(QUERIES), (
+        sorted(set(QUERIES) - set(_SHUFFLE_BUDGETS)),
+        sorted(set(_SHUFFLE_BUDGETS) - set(QUERIES)),
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGETS))
 def test_shuffle_budgets(spark, name):
     got = shuffle_count(QUERIES[name](spark, SF_SMOKE))
