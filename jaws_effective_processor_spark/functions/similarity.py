@@ -574,17 +574,59 @@ def _pqr_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_chain_frame(spark, sf_dir, "pqr_micro", _build)
 
 
-def _pq_micro_of(spark: SparkSession, sf_dir: str, res: bool) -> DataFrame:
-    """The trainer input of a PQ family: raw subvectors (res=False)
-    or home-cell residuals (res=True)."""
+def _pqk_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, d, xm): residuals vs the TRAINED k-means centroids
+    (clustering's round-2 codebook, Euclidean assignment) — the
+    coarse level a real IVFADC deployment trains, under which
+    contraction holds essentially by construction (the k-means
+    objective minimizes exactly this residual energy; the bias
+    identity sum||x - c||^2 = sum||x||^2 - sum||c||^2 holds up to
+    the integer-mean floor). Every vector has an assignment (the
+    Euclidean argmin is total — no zero-norm exclusion), so no
+    coalesce rule is needed. Chain-frame cached 'pqk_micro'; exact
+    integers end to end (micro table, DIV-mean centroids,
+    subtraction)."""
+    from .clustering import (
+        _assignment_r2,
+        _emb_micro,
+        _trained_centroids,
+    )
+
+    def _build() -> DataFrame:
+        em = _emb_micro(spark, sf_dir)
+        a2 = _assignment_r2(spark, sf_dir).select("vec_id", "cid")
+        cent = _trained_centroids(spark, sf_dir)
+        return (
+            em.join(a2, "vec_id")
+            .join(F.broadcast(cent), ["cid", "dim"])
+            .select(
+                "vec_id",
+                F.expr(f"CAST(dim AS BIGINT) DIV {PQ_SUB}").alias("m"),
+                (F.col("dim") % PQ_SUB).cast("long").alias("d"),
+                (F.col("xm") - F.col("cm")).alias("xm"),
+            )
+        )
+
+    return _pq_chain_frame(spark, sf_dir, "pqk_micro", _build)
+
+
+def _pq_micro_of(spark: SparkSession, sf_dir: str, res) -> DataFrame:
+    """The trainer input of a PQ family: raw subvectors (res=False),
+    member-vector home-cell residuals (res=True), or trained-k-means
+    residuals (res="kmeans")."""
+    if res == "kmeans":
+        return _pqk_micro(spark, sf_dir)
     return (
         _pqr_micro(spark, sf_dir) if res else _pq_micro(spark, sf_dir)
     )
 
 
-def _pq_tag(res: bool) -> str:
+def _pq_tag(res) -> str:
     """Session-cache tag prefix of a PQ family ('pq' raw / 'pqr'
-    residual) — raw tags are unchanged so no pre-r12 plan moves."""
+    member-vector residual / 'pqk' k-means residual) — raw tags are
+    unchanged so no pre-r12 plan moves."""
+    if res == "kmeans":
+        return "pqk"
     return "pqr" if res else "pq"
 
 
@@ -2368,11 +2410,30 @@ def q_pq_residual_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     disclosure): with a contracting coarse level the same relative
     performance would mean LOWER absolute error, which is the
     scenario where a deployment re-reads q_ann_residual_recall.
+    The third row (late r12) measures the CONVERSE on the real
+    corpus: residuals vs the TRAINED k-means coarse level
+    (clustering's round-2 codebook, Euclidean assignment — the
+    coarse quantizer a production IVFADC trains), under which the
+    k-means objective itself drives contraction. Measured at
+    sf0.01: raw (500e12 energy, 278e12 distortion), member-vector
+    residuals (810e12, 391e12 — the inversion), k-means residuals
+    (471e12, 266e12 — energy contracts 6% and absolute
+    reconstruction error lands BELOW raw). Reading the three rows
+    together prices the coarse level itself on one oracle-checked
+    artifact: the residual lever pays exactly when the coarse level
+    contracts, and a deployment whose clusters are tighter than
+    this near-uniform synthetic corpus gains correspondingly
+    more.
+
     Both engines replay the identical trainer chains, so the rows
     are bit-exact. Scale shape: two single-row aggregations over
     the cached trainer artifacts per family."""
     parts = []
-    for fam, res in (("raw", False), ("residual", True)):
+    for fam, coarse, res in (
+        ("raw", "none", False),
+        ("residual", "member_vectors", True),
+        ("residual", "kmeans", "kmeans"),
+    ):
         ship = _pq_ship_round(spark, sf_dir, res)
         energy = _pq_micro_of(spark, sf_dir, res).agg(
             F.sum(F.col("xm") * F.col("xm"))
@@ -2385,6 +2446,7 @@ def q_pq_residual_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             energy.crossJoin(F.broadcast(td)).select(
                 F.lit(fam).alias("codebook"),
+                F.lit(coarse).alias("coarse"),
                 "energy_micro2",
                 F.lit(ship).cast("long").alias("ship_round"),
                 "total_dist_sq",
@@ -2393,7 +2455,10 @@ def q_pq_residual_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_pq_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2327,32 +2327,8 @@ FROM grid g LEFT JOIN hits h USING (spill, nprobe), nq
 """
 
 
-# Twin of q_pq_residual_diagnosis: both trainer chains (raw via
-# _PQ_CTES, residual via the trainer-only slice of _pqr_ctes sharing
-# the raw px), per family the input energy, shipped depth, final
-# distortion, and relative distortion — the oracle-checked WHY of
-# the residual inversion
-PQ_RESIDUAL_DIAGNOSIS_SQL = f"""
-WITH {_PQ_CTES},
-{_pqr_ctes(include_base=True, include_px=False, trainer_only=True)},
-rows_ AS (
-  SELECT 'raw' AS codebook,
-         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM px)
-           AS energy_micro2,
-         (SELECT CAST(r AS BIGINT) FROM ship) AS ship_round,
-         (SELECT CAST(td AS BIGINT) FROM tds
-          WHERE k = (SELECT r + 1 FROM ship)) AS total_dist_sq
-  UNION ALL
-  SELECT 'residual',
-         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM rpx),
-         (SELECT CAST(r AS BIGINT) FROM rship),
-         (SELECT CAST(td AS BIGINT) FROM rtds
-          WHERE k = (SELECT r + 1 FROM rship))
-)
-SELECT codebook, energy_micro2, ship_round, total_dist_sq,
-       (1000 * total_dist_sq) // energy_micro2 AS dist_permille
-FROM rows_
-"""
+# (PQ_RESIDUAL_DIAGNOSIS_SQL is defined near the k-means twins at the
+# bottom of this module — its third row needs the _KMEANS_CTES chain.)
 
 
 # Twin of q_ann_probe_curve: refined-path recall@TOP_K vs nprobe —
@@ -3265,6 +3241,98 @@ a2 AS ({_KM_ASSIGN.format(cent="c1")})"""
 KMEANS_ASSIGN_SQL = f"""
 WITH {_KMEANS_CTES}
 SELECT vec_id, cid AS cluster_id, dist_sq FROM a2
+"""
+
+
+def _pqk_trainer_ctes() -> str:
+    """The k-means-residual PQ trainer chain (k-prefixed names):
+    kpx = x - trained centroid (Euclidean a2 assignment over the
+    _KMEANS_CTES chain, total — every vector has a cluster), then
+    the standard unrolled Lloyd rounds + convergence selection via
+    the shared _PQ_ASSIGN/_PQ_UPDATE templates."""
+    parts = [
+        f"""kpx AS MATERIALIZED (
+  SELECT x.vec_id,
+         CAST(x.dim // {PQ_SUB} AS BIGINT) AS m,
+         CAST(x.dim % {PQ_SUB} AS BIGINT) AS d,
+         x.xm - c.cm AS xm
+  FROM x
+  JOIN a2 ON a2.vec_id = x.vec_id
+  JOIN c1 c ON c.cid = a2.cid AND c.dim = x.dim
+)""",
+        f"""kpc0 AS (
+  SELECT m, CAST(vec_id - {N_QUERIES} AS BIGINT) AS j, d, xm AS cm
+  FROM kpx WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+)""",
+    ]
+    for r in range(1, PQ_TRAIN_CAP + 2):
+        parts.append(
+            f"kpa{r} AS MATERIALIZED "
+            f"({_PQ_ASSIGN.format(px='kpx', cent=f'kpc{r - 1}')})"
+        )
+        if r <= PQ_TRAIN_CAP:
+            parts.append(
+                f"kpc{r} AS MATERIALIZED ("
+                + _PQ_UPDATE.format(
+                    px="kpx", prev=f"kpc{r - 1}", assign=f"kpa{r}"
+                )
+                + ")"
+            )
+    parts.append(
+        "ktds AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS k,"
+            f" (SELECT CAST(sum(dist_sq) AS BIGINT) FROM kpa{r}) AS td"
+            for r in range(1, PQ_TRAIN_CAP + 2)
+        )
+        + "\n)"
+    )
+    parts.append(
+        f"""kship AS (
+  SELECT coalesce(min(a.k), CAST({PQ_TRAIN_CAP} AS BIGINT)) AS r
+  FROM ktds a JOIN ktds b ON b.k = a.k + 1
+  WHERE a.td = 0
+     OR (a.td - b.td) * 1000 < a.td * {PQ_CONVERGE_PERMILLE}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+# Twin of q_pq_residual_diagnosis: THREE trainer chains in one query
+# (raw via _PQ_CTES; member-vector residuals via the trainer-only
+# slice of _pqr_ctes sharing the raw px; trained-k-means residuals
+# via _KMEANS_CTES + _pqk_trainer_ctes), per family the input
+# energy, shipped depth, final absolute distortion, and relative
+# miss — the oracle-checked WHY of the residual inversion AND of its
+# converse under a contracting (trained) coarse level
+PQ_RESIDUAL_DIAGNOSIS_SQL = f"""
+WITH {_PQ_CTES},
+{_pqr_ctes(include_base=True, include_px=False, trainer_only=True)},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()},
+rows_ AS (
+  SELECT 'raw' AS codebook, 'none' AS coarse,
+         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM px)
+           AS energy_micro2,
+         (SELECT CAST(r AS BIGINT) FROM ship) AS ship_round,
+         (SELECT CAST(td AS BIGINT) FROM tds
+          WHERE k = (SELECT r + 1 FROM ship)) AS total_dist_sq
+  UNION ALL
+  SELECT 'residual', 'member_vectors',
+         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM rpx),
+         (SELECT CAST(r AS BIGINT) FROM rship),
+         (SELECT CAST(td AS BIGINT) FROM rtds
+          WHERE k = (SELECT r + 1 FROM rship))
+  UNION ALL
+  SELECT 'residual', 'kmeans',
+         (SELECT CAST(sum(xm * xm) AS BIGINT) FROM kpx),
+         (SELECT CAST(r AS BIGINT) FROM kship),
+         (SELECT CAST(td AS BIGINT) FROM ktds
+          WHERE k = (SELECT r + 1 FROM kship))
+)
+SELECT codebook, coarse, energy_micro2, ship_round, total_dist_sq,
+       (1000 * total_dist_sq) // energy_micro2 AS dist_permille
+FROM rows_
 """
 
 QUALITY_LOGIT_SQL = """

@@ -14,39 +14,61 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
-def _strip_cached_subtrees(plan: str) -> str:
-    """Drop everything under InMemoryRelation nodes: a cached frame's
-    build plan executes ONCE per session (the state-store
-    materialization), so its exchanges are not per-query cost. Without
-    this, the same query counts different shuffle totals depending on
-    whether the cache was materialized before or after `.explain`."""
-    lines = plan.splitlines()
-    out: list[str] = []
-    skip_deeper_than: int | None = None
-    for line in lines:
-        depth = len(line) - len(line.lstrip(" :+-"))
-        if skip_deeper_than is not None:
-            if line.strip() and depth <= skip_deeper_than:
-                skip_deeper_than = None
-            else:
-                continue
-        if "InMemoryRelation" in line:
-            skip_deeper_than = depth
-            continue
-        out.append(line)
-    return "\n".join(out)
-
-
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan,
+    """Number of shuffle-exchange operators in the physical plan,
     excluding the one-time build plans of cached (InMemoryRelation)
     subtrees.
+
+    Counted by WALKING THE JVM PLAN TREE (r12, replacing the
+    explain-text heuristic): ShuffleExchangeExec nodes, stopping at
+    InMemoryTableScanExec (a cached frame's build executes once per
+    session — the state-store materialization — so its exchanges are
+    not per-query cost) and descending into AdaptiveSparkPlanExec's
+    initial plan. The old text strip was defeated both ways by
+    Spark's rendering of NESTED AdaptiveSparkPlan sections inside
+    cached builds (`== Final/Initial Plan ==` bodies print DEDENTED
+    past the enclosing InMemoryRelation's indent — the r7 audit
+    note): cached-build exchanges leaked INTO counts once the cache
+    had materialized (order-dependent: one query measured 4 fresh
+    and 40 after an unrelated artifact executed), and a dedented
+    section could swallow real outer exchanges OUT of the count.
+    The tree walk is rendering-independent and order-stable.
 
     AQE may later coalesce partitions but never removes a shuffle
     boundary — this is the plan-time worst case.
     """
-    plan = _strip_cached_subtrees(explain_str(df, "simple"))
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+    def is_keyed_shuffle(node) -> bool:
+        # keyed exchanges only (hash/range/single-partition), matching
+        # the budgets' established semantics: RoundRobinPartitioning
+        # is spread_if_undersplit faking input splits on small local
+        # fixtures — at scale the splits exist and the spread doesn't
+        part = node.outputPartitioning().getClass().getSimpleName()
+        return part.startswith(
+            ("HashPartitioning", "RangePartitioning", "SinglePartition")
+        )
+
+    def walk(node) -> int:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return 0
+        n = (
+            1
+            if name.startswith("ShuffleExchange")
+            and is_keyed_shuffle(node)
+            else 0
+        )
+        if name.startswith("AdaptiveSparkPlan"):
+            return n + walk(node.initialPlan())
+        if name.endswith("QueryStageExec"):
+            # materialized AQE stages wrap their plan out of children()
+            return n + walk(node.plan())
+        ch = node.children()
+        for i in range(ch.length()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 def broadcast_join_count(df: DataFrame) -> int:

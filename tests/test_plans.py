@@ -36,28 +36,31 @@ def test_no_cartesian_products(spark, name):
 # bench diff. Land-with-budget rule (PLANS.md round-11): every NEW
 # registered query gets its ceiling the round it lands.
 # Counts are the steady-state serving shape (session artifacts appear
-# as InMemoryRelation, whose internal exchanges shuffle_count already
-# excludes; artifact registration happens at plan build, so the
-# numbers are deterministic under any test order — extra caching can
-# only lower them, never raise).
+# as InMemoryRelation, whose internal exchanges shuffle_count
+# excludes; extra caching can only lower a count, never raise it —
+# genuinely true since r12's JVM-tree shuffle_count: the old
+# explain-text strip leaked cached-build exchanges once an unrelated
+# artifact materialized, which is why several pre-r12 ceilings were
+# inflated — pq_train_round's old 740 was pure leak; ceilings are the
+# FRESH-session worst case, since caching only lowers them).
 _SHUFFLE_BUDGETS = {
     "activation_transitions": 1,
     "alarm_snapshot_cdc": 2,
     "ann_cell_balance": 3,
     "ann_ivfpq": 2,
-    "ann_ivfpq_refined": 6,
-    "ann_ivfpq_residual": 6,
-    "ann_ivfpq_spill": 7,
-    "ann_ivfpq_spill_residual": 7,
-    "ann_joint_tuning": 11,
-    "ann_residual_recall": 27,
-    "ann_spill_tuning": 10,
-    "pq_residual_diagnosis": 4,
+    "ann_ivfpq_refined": 4,
+    "ann_ivfpq_residual": 4,
+    "ann_ivfpq_spill": 4,
+    "ann_ivfpq_spill_residual": 5,
+    "ann_joint_tuning": 9,
+    "ann_residual_recall": 23,
+    "ann_spill_tuning": 7,
+    "pq_residual_diagnosis": 6,
     "ann_pq_recall": 6,
-    "ann_probe_curve": 11,
+    "ann_probe_curve": 9,
     "ann_recall": 6,
-    "ann_refine_curve": 12,
-    "ann_refine_recall": 10,
+    "ann_refine_curve": 10,
+    "ann_refine_recall": 8,
     "approx_distinct": 7,
     "approx_percentiles": 2,
     "asof_last_purchase": 2,
@@ -146,13 +149,13 @@ _SHUFFLE_BUDGETS = {
     "media_neardup": 1,
     "merge_upsert": 1,
     "minhash_band_stats": 2,
-    "minhash_calibration": 2,
+    "minhash_calibration": 1,
     "mixture_rebalance": 2,
     "mixture_temperature": 2,
     "multimodal_features": 0,
     "multimodal_frames": 0,
     "multimodal_meta": 0,
-    "nearest_neighbor_jaccard": 3,
+    "nearest_neighbor_jaccard": 1,
     "ngram_lm_bits": 1,
     "ondelay_expirations": 2,
     "ondelay_overrides": 1,
@@ -169,7 +172,7 @@ _SHUFFLE_BUDGETS = {
     "pii_redact": 0,
     "pii_scan": 0,
     "pq_quantize": 0,
-    "pq_train_round": 740,  # the statically-rendered Lloyd training chain (runs once per corpus snapshot; SERVING reads the shipped codebook at pq_quantize's 0)
+    "pq_train_round": 2,  # the statically-rendered Lloyd training chain (runs once per corpus snapshot; SERVING reads the shipped codebook at pq_quantize's 0)
     "pq_train_trace": 4,
     "pricing_summary": 1,
     "quality_calibration": 2,

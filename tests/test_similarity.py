@@ -555,32 +555,46 @@ def test_spill_tuning_surface_anchors(spark):
 
 def test_residual_diagnosis_invariants(spark):
     """The diagnosis artifact's internal consistency: one row per
-    family; distortion never exceeds the input energy (the codebook
-    cannot do worse than zero — every centroid choice is an argmin
-    against an existing codebook entry, and the seed already bounds
-    it); ship_round matches the trainer's session decision; and the
-    measured non-contraction premise on this corpus — residual
-    energy EXCEEDS raw energy (the member-vector coarse level adds
-    signal instead of removing it; ~1.62x at sf0.01), which is the
-    oracle-checked WHY behind serving raw codes."""
+    (codebook, coarse) family; distortion never exceeds the input
+    energy (the codebook cannot do worse than zero — every centroid
+    choice is an argmin against an existing codebook entry, and the
+    seed already bounds it); ship_round matches the trainer's
+    session decision. And the two measured premises on this corpus:
+    the member-vector coarse level does NOT contract (residual
+    energy ~1.62x raw — the WHY behind serving raw codes) while the
+    TRAINED k-means coarse level DOES (energy below raw), and under
+    the contracting level the shipped absolute distortion lands
+    BELOW raw's — the residual lever pays exactly when its premise
+    holds, on the real corpus."""
     from jaws_effective_processor_spark.functions import similarity as s
 
     rows = {
-        r["codebook"]: r
+        (r["codebook"], r["coarse"]): r
         for r in s.q_pq_residual_diagnosis(spark, SF_ORACLE).collect()
     }
-    assert set(rows) == {"raw", "residual"}
-    for fam, res in (("raw", False), ("residual", True)):
-        r = rows[fam]
+    assert set(rows) == {
+        ("raw", "none"),
+        ("residual", "member_vectors"),
+        ("residual", "kmeans"),
+    }
+    for key, res in (
+        (("raw", "none"), False),
+        (("residual", "member_vectors"), True),
+        (("residual", "kmeans"), "kmeans"),
+    ):
+        r = rows[key]
         assert 0 <= r["total_dist_sq"] <= r["energy_micro2"], r
         assert r["ship_round"] == s._pq_ship_round(spark, SF_ORACLE, res)
         assert (
             r["dist_permille"]
             == 1000 * r["total_dist_sq"] // r["energy_micro2"]
         )
-    assert (
-        rows["residual"]["energy_micro2"] > rows["raw"]["energy_micro2"]
-    ), rows
+    raw = rows[("raw", "none")]
+    member = rows[("residual", "member_vectors")]
+    kmeans = rows[("residual", "kmeans")]
+    assert member["energy_micro2"] > raw["energy_micro2"], rows
+    assert kmeans["energy_micro2"] < raw["energy_micro2"], rows
+    assert kmeans["total_dist_sq"] < raw["total_dist_sq"], rows
 
 
 def test_residual_coding_wins_on_contracting_fixture(
@@ -648,14 +662,16 @@ def test_residual_coding_wins_on_contracting_fixture(
     sf = str(d)
 
     diag = {
-        r["codebook"]: r
+        (r["codebook"], r["coarse"]): r
         for r in s.q_pq_residual_diagnosis(spark, sf).collect()
     }
+    raw = diag[("raw", "none")]
+    res = diag[("residual", "member_vectors")]
     assert (
-        diag["residual"]["energy_micro2"] < diag["raw"]["energy_micro2"]
+        res["energy_micro2"] < raw["energy_micro2"]
     ), diag  # the premise: the coarse level contracts
     assert (
-        diag["residual"]["total_dist_sq"] < diag["raw"]["total_dist_sq"]
+        res["total_dist_sq"] < raw["total_dist_sq"]
     ), diag  # the payoff: the same budget reconstructs better
     grid = {
         (r["codes"], r["index_kind"]): r["recall_permille"]
