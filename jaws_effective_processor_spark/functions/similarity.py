@@ -659,8 +659,9 @@ def _pq_seed(
     """Round-0 seed sub-centroids (m, j, d, cm): the subvectors of
     designated corpus vectors N_QUERIES..N_QUERIES+PQ_K-1 (the same
     smallest-ids seeding rule as the k-means trainer) — of the raw
-    micro table, or of the residual one for the residual family.
-    Session-cached 'pq_c0' / 'pqr_c0'."""
+    micro table, or of the residual one for a residual family.
+    Session-cached '{pq|pqr|pqk}_c0' per _pq_tag (raw /
+    member-vector residual / k-means residual)."""
 
     def _build() -> DataFrame:
         px = _pq_micro_of(spark, sf_dir, res)
@@ -706,8 +707,8 @@ def _pq_assignment(
     spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
 ) -> DataFrame:
     """The round-`rnd` assignment (against the round rnd-1 centroids),
-    session-cached '{pq|pqr}_a{rnd}' — read by the centroid update and
-    the convergence report."""
+    session-cached '{pq|pqr|pqk}_a{rnd}' per _pq_tag — read by the
+    centroid update and the convergence report."""
 
     def _build() -> DataFrame:
         cent = (

@@ -36,6 +36,23 @@ def shuffle_count(df: DataFrame) -> int:
 
     AQE may later coalesce partitions but never removes a shuffle
     boundary — this is the plan-time worst case.
+
+    Counting semantics (ADVICE r12): a ReusedExchangeExec is a LEAF
+    that re-reads another subtree's shuffle output, so a reused
+    shuffle counts ONCE (the budgets price distinct exchanges, not
+    fan-out of their readers), and scalar-subquery expression plans
+    hang off expressions rather than children() so their exchanges
+    are NOT counted — subquery-shaped builds are one-time scalar
+    materializations (the trainer-chain convergence scalars), the
+    same class the InMemoryTableScan stop excludes.
+
+    VERSION ASSUMPTION: the walk reflects into Spark's internal
+    physical-plan API (AdaptiveSparkPlanExec.initialPlan(),
+    QueryStageExec.plan(), TreeNode.children()), present in Spark
+    3.2-4.x and pinned by tests/test_plans.py (every budget test
+    exercises the walk). If a future Spark renames them, the walk
+    raises a clear error below instead of silently returning a wrong
+    count.
     """
 
     def is_keyed_shuffle(node) -> bool:
@@ -68,7 +85,15 @@ def shuffle_count(df: DataFrame) -> int:
             n += walk(ch.apply(i))
         return n
 
-    return walk(df._jdf.queryExecution().executedPlan())
+    try:
+        return walk(df._jdf.queryExecution().executedPlan())
+    except Exception as exc:  # pragma: no cover - version guard
+        raise RuntimeError(
+            "shuffle_count's JVM plan-tree walk failed — it assumes "
+            "Spark 3.2-4.x internal plan APIs (AdaptiveSparkPlanExec."
+            "initialPlan, QueryStageExec.plan, TreeNode.children); "
+            "re-pin the walk against this Spark version"
+        ) from exc
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -501,6 +501,78 @@ def test_exsub_gate_matches_batch(spark, tmpdir):
         assert hit == (spans > 0)
 
 
+def test_exsub_bloom_gate_superset_of_exact(spark, tmpdir):
+    """Bloom ExactSubstr gate vs the exact gate on the same feed
+    (verdict r12 #3): the Bloom side may over-flag (disclosed false
+    positives) but NEVER under-flags — per doc its dup_tokens and
+    span count dominate the exact gate's, every exact hit stays a
+    hit, the report stays internally consistent (kept + dup ==
+    total), and the FP inflation on this fixture is bounded (the
+    rate formula at EXSUB_BLOOM_BITS predicts ~0 at the sf0.001
+    dup-set size)."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        _dup_gram_set,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = load_table(spark, sf, "documents")
+    feed_cols = [f.name for f in ingest.DOC_FEED_SCHEMA.fields]
+    feed = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(t0).alias("ingest_ts")
+    ).select(*feed_cols)
+    src = os.path.join(tmpdir, "exsubb_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    stream = rules.dir_stream(spark, f"{src}/*", ingest.DOC_FEED_SCHEMA)
+    name = f"exsubb_{uuid.uuid4().hex[:8]}"
+    dup = _dup_gram_set(spark, sf)
+    rules.run_to_memory(
+        ingest.exsub_bloom_gate_stream(stream, dup),
+        name,
+        os.path.join(tmpdir, "exsubb_ckpt"),
+    )
+    bloom = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["exsub_hit"],
+        )
+        for r in _memory_table(spark, name).collect()
+    }
+    exact = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["exsub_hit"],
+        )
+        for r in ingest.exsub_gate_stream(
+            feed, _dup_gram_set(spark, sf)
+        ).collect()
+    }
+    assert set(bloom) == set(exact) and bloom
+    fp_docs = 0
+    for d, (n_tok, spans, dup_t, kept, hit) in bloom.items():
+        e_tok, e_spans, e_dup, _e_kept, e_hit = exact[d]
+        assert n_tok == e_tok, (d, n_tok, e_tok)
+        assert kept + dup_t == n_tok, (d, bloom[d])
+        assert hit == (spans > 0)
+        # no false negatives: Bloom membership is a superset
+        assert dup_t >= e_dup, (d, bloom[d], exact[d])
+        assert hit or not e_hit, (d, bloom[d], exact[d])
+        if (spans, dup_t) != (e_spans, e_dup):
+            fp_docs += 1
+    # FP rate (1 - e^(-kn/m))^k is < 1e-4 per window at this dup-set
+    # size; allow a thin margin rather than asserting exact zero
+    assert fp_docs <= max(2, len(bloom) // 100), fp_docs
+
+
 def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     """With a PQ codebook, the streaming ingest lands the SAME packed
     code the batch coder assigns (shared with_pq_codes expressions,
