@@ -750,6 +750,27 @@ def _register_llm() -> None:
         similarity.q_pq_residual_diagnosis,
         osql.PQ_RESIDUAL_DIAGNOSIS_SQL,
     )
+    # round-13 additions (the r12 verdict's top item): the serve
+    # stack over the TRAINED k-means coarse level — the contracting
+    # geometry the r12 diagnosis measured residual coding pays under
+    # — plus the index-build price tag of each coarse level. The
+    # acceptance grid (ann_residual_recall) is extended in place to
+    # the (coarse x codes x index) 2x2x2.
+    register(
+        "ann_ivfpq_kmeans",
+        similarity.q_ann_ivfpq_kmeans,
+        osql.ANN_IVFPQ_KMEANS_SQL,
+    )
+    register(
+        "ann_ivfpq_spill_kmeans",
+        similarity.q_ann_ivfpq_spill_kmeans,
+        osql.ANN_IVFPQ_SPILL_KMEANS_SQL,
+    )
+    register(
+        "ann_coarse_cost",
+        similarity.q_ann_coarse_cost,
+        osql.ANN_COARSE_COST_SQL,
+    )
 
 
 _register_rules()
@@ -1013,6 +1034,48 @@ _register_llm()
 # dup_gram_coverage (dedup), split_leakage/corpus family REWRITTEN
 # rows, token_entropy + tokenizer_fertility + unigram_surprisal
 # (token stats), and the keepers.
+# Round 13 rotation — drain the r8 cohort to zero; land the
+# trained-k-means coarse serve stack.
+# Composition:
+#   15 alarm-core keepers (every round).
+#    3 round-13 additions (land-day rule): ann_ivfpq_kmeans +
+#      ann_ivfpq_spill_kmeans (the serve stack over the TRAINED
+#      k-means coarse level — the r12 verdict's top item) and
+#      ann_coarse_cost (the per-coarse index-build price tag,
+#      verdict item 5).
+#    1 REWRITTEN_SINCE_CHECK: ann_residual_recall — the acceptance
+#      grid gained the coarse axis (4 -> 8 rows, new `coarse`
+#      column), so its r12 evidence no longer describes its output.
+#   23 EVIDENCE_AGE: the ENTIRE r8-evidence cohort (verdict item 2's
+#      drain list, bm25_search at queue head per the r12
+#      displacement): bm25_search, bpe_merge_round, bpe_pair_counts,
+#      dedup_keep, dedup_minhash_lsh, dedup_simhash,
+#      dedup_simhash_pairs, doc_repetition, effective_alarms_nested,
+#      heavy_hitters, importance_resampling, kmeans_report,
+#      media_dedup_keep, media_neardup, minhash_calibration,
+#      mixture_rebalance, multimodal_frames, packed_token_ids,
+#      packing_report, pii_redact, quality_logit, rag_bucket_report,
+#      user_retention_cohorts.
+#    8 EVIDENCE_AGE: the oldest-slot picks of the 24-row r9 cohort,
+#      chosen for family diversity (dedup_exact, dedup_clusters,
+#      doc_chunks, embedding_neardup — the perf-watch row —,
+#      events_debounce, hard_negatives, knn_bruteforce,
+#      multimodal_features).
+# After this window: zero r8 evidence remains; the r9 cohort shrinks
+# 24 -> 16 (remaining: customer_order_windows, distinct_counts,
+# doc_fingerprint, event_type_pivot, event_type_unpivot, events_daily,
+# json_array_functions, knn_ivf_multiprobe, knn_label_vote,
+# lineitem_rollup, order_priority, pricing_summary, stratified_sample,
+# text_stats, top_customers, vocab_topk) and heads the r14 queue.
+# Swapped-out r12-greens all keep in-window siblings: the
+# 13 gram-family REWRITTEN rows re-greened r12 are represented by
+# the dedup/exsub r8-cohort rows re-entering here plus the keepers;
+# the r12 ANN rows (ann_ivfpq_residual, ann_ivfpq_spill_residual,
+# ann_spill_tuning, ann_ivfpq_spill, pq_residual_diagnosis) are
+# superseded-composed by the extended 2x2x2 grid (which recomputes
+# all four member serve paths outright) + the two kmeans serve rows;
+# the r7-cohort rows re-greened r12 (best_of_source ...
+# unigram_surprisal) re-queue at r16 per EVIDENCE_AGE.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -1030,48 +1093,52 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-12 additions — driver-checked the round they land
-    "ann_ivfpq_residual",
-    "ann_ivfpq_spill_residual",
+    # round-13 additions — driver-checked the round they land (the
+    # trained-k-means coarse serve stack + the coarse build price)
+    "ann_ivfpq_kmeans",
+    "ann_ivfpq_spill_kmeans",
+    "ann_coarse_cost",
+    # REWRITTEN_SINCE_CHECK: the acceptance grid gained the coarse
+    # axis (4 -> 8 rows, new `coarse` column) in r13
     "ann_residual_recall",
-    "ann_spill_tuning",
-    # NEVER_CHECKED round-11 post-window addition
-    "ann_ivfpq_spill",
-    # REWRITTEN_SINCE_CHECK: the r12 gram-hash widening (see the
-    # rotation comment) changes every gram-family result
-    "contamination",
-    "decontaminate",
-    "curation_funnel",
-    "dsir_weights",
-    "dsir_resample",
-    "dsir_mixture_shift",
-    "source_quality_report",
-    "quality_calibration",
-    "dup_gram_coverage",
-    "split_leakage",
-    "source_overlap",
-    "exact_substring_spans",
-    "exact_substring_cut",
-    # EVIDENCE_AGE: the entire remaining r7-evidence cohort
-    "best_of_source",
-    "context_length_report",
-    "doc_length_deciles",
-    "embedding_outliers",
-    "kmeans_balanced_sample",
-    "kmeans_centroid_shift",
-    "language_confusion",
-    "minhash_band_stats",
-    "mixture_temperature",
-    "nearest_neighbor_jaccard",
-    "ngram_lm_bits",
-    "phrase_search",
-    "stopword_candidates",
-    "token_entropy",
-    "tokenizer_fertility",
-    "unigram_surprisal",
-    # round-12 late addition (land-day rule; displaced bm25_search
-    # to the r13 queue head)
-    "pq_residual_diagnosis",
+    # EVIDENCE_AGE: the entire r8-evidence cohort (5 rounds old at
+    # r13 — the verdict's drain list, bm25_search at queue head per
+    # the r12 displacement)
+    "bm25_search",
+    "bpe_merge_round",
+    "bpe_pair_counts",
+    "dedup_keep",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_repetition",
+    "effective_alarms_nested",
+    "heavy_hitters",
+    "importance_resampling",
+    "kmeans_report",
+    "media_dedup_keep",
+    "media_neardup",
+    "minhash_calibration",
+    "mixture_rebalance",
+    "multimodal_frames",
+    "packed_token_ids",
+    "packing_report",
+    "pii_redact",
+    "quality_logit",
+    "rag_bucket_report",
+    "user_retention_cohorts",
+    # EVIDENCE_AGE: the 8 oldest-slot picks of the 24-row r9 cohort
+    # (the window holds 50; the remaining 16 r9 rows head the r14
+    # queue) — chosen for family diversity incl. the perf-watch
+    # embedding_neardup
+    "dedup_exact",
+    "dedup_clusters",
+    "doc_chunks",
+    "embedding_neardup",
+    "events_debounce",
+    "hard_negatives",
+    "knn_bruteforce",
+    "multimodal_features",
 ]
 
 

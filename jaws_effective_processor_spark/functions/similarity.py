@@ -2124,49 +2124,61 @@ def _adc_res_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_CELLS x the raw LUT build — re-analyzing ~9k literals per serve
     query measured ~10 s of pure driver time at any SF."""
     def _build() -> DataFrame:
-        cellbooks = _pqr_cellbooks(spark, sf_dir)
-        e = _vectors(spark, sf_dir)
-        qf = e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("norm").alias("_qnorm"),
-            *[
-                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
-                for m in range(PQ_M)
-            ],
+        return _cell_luts_frame(
+            spark, sf_dir, _pqr_cellbooks(spark, sf_dir)
         )
-        parts = []
-        for cell in sorted(cellbooks):
-            cd = cellbooks[cell]
-            parts.append(
-                qf.select(
-                    "query_id",
-                    F.lit(cell).cast("long").alias("cell"),
-                    "_qnorm",
-                    *[
-                        F.transform(
-                            F.array(
-                                *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
-                            ),
-                            # one-arg lambda; eager transform makes the
-                            # m closure safe (see with_pq_codes)
-                            lambda c: dot(F.col(f"_q{m}"), c),
-                        ).alias(f"_lut{m}")
-                        for m in range(PQ_M)
-                    ],
-                    *[
-                        _lit_vec(
-                            [_sq_fold(cd[m][j]) for j in range(PQ_K)]
-                        ).alias(f"_cn2_{m}")
-                        for m in range(PQ_M)
-                    ],
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     return _pq_chain_frame(spark, sf_dir, "pqr_luts", _build)
+
+
+def _cell_luts_frame(
+    spark: SparkSession, sf_dir: str, cellbooks: dict
+) -> DataFrame:
+    """Build the (query x cell) ADC LUT frame from any per-cell
+    reconstruction cellbooks dict — shared by the member-vector
+    (_adc_res_query_luts) and k-means (_adc_kres_query_luts) residual
+    families so both serve stacks price candidates through the
+    identical literal-array shape."""
+    e = _vectors(spark, sf_dir)
+    qf = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("norm").alias("_qnorm"),
+        *[
+            F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(f"_q{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    parts = []
+    for cell in sorted(cellbooks):
+        cd = cellbooks[cell]
+        parts.append(
+            qf.select(
+                "query_id",
+                F.lit(cell).cast("long").alias("cell"),
+                "_qnorm",
+                *[
+                    F.transform(
+                        F.array(
+                            *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
+                        ),
+                        # one-arg lambda; eager transform makes the
+                        # m closure safe (see with_pq_codes)
+                        lambda c: dot(F.col(f"_q{m}"), c),
+                    ).alias(f"_lut{m}")
+                    for m in range(PQ_M)
+                ],
+                *[
+                    _lit_vec(
+                        [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                    ).alias(f"_cn2_{m}")
+                    for m in range(PQ_M)
+                ],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _adc_cos_hat_cells() -> Column:
@@ -2297,22 +2309,19 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     under trained k-means means); this engine's IVF centroids are
     designated member VECTORS with mean home-cell cosine ~0.19, so
     the residual carries ~1.6x the raw signal energy and the same
-    code budget describes it WORSE. Serving defaults therefore stay
-    on raw codes; the residual path ships as the measured
-    alternative a deployment with a contracting coarse level (real
-    k-means, higher cell affinity) would re-evaluate via the grid.
+    code budget describes it WORSE. Raw codes therefore remain the
+    default ON THIS (member-vector) coarse level; r13 measured the
+    converse on the trained k-means coarse level, where residual
+    codes win outright — see q_ann_ivfpq_kmeans and the extended
+    q_ann_residual_recall grid, whose (kmeans, residual, single)
+    point is now the engine's recommended serving configuration.
 
     Scale shape: identical to the raw refined path — cell equi-join
     against the broadcast probes x LUTs, two-level partial_topk,
     candidates-only broadcast exact stage."""
-    scored = _ivfpq_res_scored(spark, sf_dir, 1)
-    short = partial_topk(
-        scored,
-        ["query_id"],
-        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
-        REFINE_K,
-    ).select("query_id", "neighbor_id")
-    return _exact_refine_topk(spark, sf_dir, short)
+    return _refined_of(
+        spark, sf_dir, _ivfpq_res_scored(spark, sf_dir, 1)
+    )
 
 
 def q_ann_ivfpq_spill_residual(
@@ -2328,43 +2337,62 @@ def q_ann_ivfpq_spill_residual(
     keeps the best reconstruction per (query, neighbor) (rows differ
     per cell, unlike the raw spill path's byte-identical ones). Same
     output shape as q_ann_ivfpq_spill for row-for-row diffing."""
-    scored = _ivfpq_res_scored(spark, sf_dir, SPILL_ASSIGN)
-    short = partial_topk(
-        scored,
-        ["query_id"],
-        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
-        REFINE_K,
-    ).select("query_id", "neighbor_id")
-    return _exact_refine_topk(spark, sf_dir, short)
+    return _refined_of(
+        spark, sf_dir, _ivfpq_res_scored(spark, sf_dir, SPILL_ASSIGN)
+    )
 
 
 def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The residual-coding ACCEPTANCE GRID: total recall@TOP_K of the
-    refined serve path at every (codes, index) combination — codes in
-    {raw, residual} x index in {single, spill} — the four serve paths
-    this engine ships, evaluated against the exact ground truth on
-    one artifact. The (raw, single) row is q_ann_ivfpq_refined's
-    total recall and the (residual, spill) row is the full
-    classic-IVFADC stack; reading across rows prices each lever
-    separately (residual coding is free at serve time; spill costs
-    2x code storage), which is exactly the evidence a deployment
-    needs to pick a point — and on THIS corpus it decides AGAINST
-    residual codes (measured: raw/residual 260/280 single and
-    580/540 spill at sf0.01; 480/380 and 540/480 at sf0.1 — the
-    non-contracting-coarse-quantizer inversion disclosed in
-    q_ann_ivfpq_residual). One row per combination, emitted even at
-    zero hits; all four serve paths ride the session-cached
-    artifacts, and the evaluation joins are O(queries x k)."""
+    """The serve-stack ACCEPTANCE GRID, extended (r13) to the coarse
+    axis the r12 diagnosis demanded: total recall@TOP_K of the
+    refined serve path at every (coarse, codes, index) combination —
+    coarse in {member_vectors, kmeans} x codes in {raw, residual} x
+    index in {single, spill} — the eight serve paths this engine
+    ships, evaluated against the exact ground truth on one artifact.
+    (member, raw, single) is q_ann_ivfpq_refined's recall; (member,
+    residual, spill) was the r12 classic-IVFADC stack on the
+    non-contracting member-vector coarse level (where residual codes
+    measurably LOSE — the r12 inversion); (kmeans, residual, *) is
+    the same stack on the TRAINED coarse level that contracts, where
+    the diagnosis predicts the residual lever finally pays. Reading
+    across rows prices every lever separately: residual coding is
+    free at serve time, spill costs SPILL_ASSIGN x code storage, the
+    kmeans coarse level costs 2 extra build passes (priced by
+    q_ann_coarse_cost). The serving default is re-justified from
+    THIS grid each round — MEASURED r13 (permille, sf0.01 / sf0.1):
+    member raw 260/480 single 580/540 spill, member residual
+    280/380 single 540/480 spill (the r12 inversion), kmeans raw
+    800/500 single 920/540 spill, kmeans residual 820/600 single
+    900/600 spill — so (kmeans, residual, single) is the
+    recommended point: best sf0.1 recall at half the spill storage,
+    equal total build passes. One row per combination, emitted even
+    at zero hits; all eight serve paths ride session-cached
+    artifacts, and the evaluation joins are O(queries x k) with the
+    truth side broadcast."""
     paths = [
-        ("raw", "single", q_ann_ivfpq_refined),
-        ("raw", "spill", q_ann_ivfpq_spill),
-        ("residual", "single", q_ann_ivfpq_residual),
-        ("residual", "spill", q_ann_ivfpq_spill_residual),
+        ("member_vectors", "raw", "single",
+         lambda s, d: q_ann_ivfpq_refined(s, d)),
+        ("member_vectors", "raw", "spill",
+         lambda s, d: q_ann_ivfpq_spill(s, d)),
+        ("member_vectors", "residual", "single",
+         lambda s, d: q_ann_ivfpq_residual(s, d)),
+        ("member_vectors", "residual", "spill",
+         lambda s, d: q_ann_ivfpq_spill_residual(s, d)),
+        ("kmeans", "raw", "single",
+         lambda s, d: _refined_of(s, d, _ivfpq_kraw_scored(s, d, 1))),
+        ("kmeans", "raw", "spill",
+         lambda s, d: _refined_of(
+             s, d, _ivfpq_kraw_scored(s, d, SPILL_ASSIGN)
+         )),
+        ("kmeans", "residual", "single",
+         lambda s, d: q_ann_ivfpq_kmeans(s, d)),
+        ("kmeans", "residual", "spill",
+         lambda s, d: q_ann_ivfpq_spill_kmeans(s, d)),
     ]
     bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
     nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
     parts = []
-    for codes_name, index_name, fn in paths:
+    for coarse_name, codes_name, index_name, fn in paths:
         ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
         # both sides are queries x k rows; broadcast the truth side
         # so the static plan never sorts (AQE would fix it anyway)
@@ -2373,6 +2401,7 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count("*").cast("long").alias("n_hits"))
         parts.append(
             hits.select(
+                F.lit(coarse_name).alias("coarse"),
                 F.lit(codes_name).alias("codes"),
                 F.lit(index_name).alias("index_kind"),
                 "n_hits",
@@ -2382,6 +2411,7 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.crossJoin(F.broadcast(nq)).select(
+        "coarse",
         "codes",
         "index_kind",
         "n_hits",
@@ -2454,6 +2484,352 @@ def q_pq_residual_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(1000 * total_dist_sq) DIV energy_micro2").alias(
                     "dist_permille"
                 ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------------------------
+# TRAINED K-MEANS COARSE LEVEL (r13, the r12 verdict's top item): the
+# serve stack routed on clustering's trained round-2 codebook instead
+# of the designated member vectors. The r12 diagnosis measured that
+# this coarse level CONTRACTS on the real corpus (energy 471e12 vs
+# raw 500e12 at sf0.01, absolute PQ distortion 266e12 < raw 278e12),
+# which is exactly the premise under which residual coding pays —
+# the geometry the member-vector centroids (mean home-cell cosine
+# ~0.19, energy 1.62x raw) violate. Routing is Euclidean argmin (the
+# k-means assignment rule, clustering._assign's (dist_sq, cid)
+# tie-break) rather than cosine; otherwise the serve shape is the
+# member family's verbatim: cell equi-join against broadcast
+# (query x cell) LUTs, per-assignment residual codes, candidates-only
+# exact refine. The coarse level costs 2 extra Lloyd passes at index
+# build (priced by q_ann_coarse_cost); serve cost is unchanged.
+
+
+def _kranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, dist_sq, rn): every vector's Euclidean ranking
+    against the TRAINED k-means centroids (clustering's round-2
+    codebook) — rn=1 is the home cell (identical to _assignment_r2's
+    argmin by the shared (dist_sq, cid) tie-break), rn<=p the probe
+    order. The k-means analog of _ranked_cells; session-cached
+    'kivf_cell_ranked' because it is the index's routing table (built
+    once per corpus snapshot, read by every probe). Euclidean is
+    total, so zero-norm vectors rank too — consumers that serve
+    cosine restrict to _vectors members explicitly."""
+    from .clustering import _emb_micro, _trained_centroids
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        e = _emb_micro(spark, sf_dir)
+        cent = _trained_centroids(spark, sf_dir)
+        d = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("cm"))
+                    * (F.col("xm") - F.col("cm"))
+                ).alias("dist_sq")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).select(
+            "vec_id", F.col("cid").alias("cell"), "dist_sq", "rn"
+        )
+
+    return _cached_frame(spark, sf_dir, "kivf_cell_ranked", _build)
+
+
+def _kcent_micro(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-k-means-cell centroid micro vectors {cid: [DIM ints]} — a
+    K x DIM-row collect off the session-cached trained centroid table
+    (the codebook-load class of .collect(), like _cent_micro). Cells
+    can be FEWER than KMEANS_K when a seed's members all tie away
+    (edge fixtures) — the dict carries exactly the cells the trained
+    codebook has."""
+    from .clustering import _trained_centroids
+
+    rows = _trained_centroids(spark, sf_dir).collect()
+    cm: dict = {}
+    for r in rows:
+        cm.setdefault(int(r["cid"]), [0] * DIM)[int(r["dim"])] = int(
+            r["cm"]
+        )
+    return cm
+
+
+def _pqk_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, assign_rn, code_0..): the k-means-coarse
+    residual code table — every SERVABLE (norm > 0, cosine serve)
+    corpus vector coded once per assigned k-means cell
+    (rn <= SPILL_ASSIGN) against the pqk codebook (trained on
+    round-2-assignment residuals, _pqk_micro), the residual taken vs
+    THAT cell's trained centroid. Mirrors _pqr_codes exactly —
+    floor-first integer residuals, chain-frame cached 'pqk_codes',
+    K-row broadcast centroid side."""
+
+    def _build() -> DataFrame:
+        cb = _pq_codebook(spark, sf_dir, res="kmeans")
+        cm = _kcent_micro(spark, sf_dir)
+        cent_df = spark.createDataFrame(
+            [(c, cm[c]) for c in sorted(cm)],
+            "cell long, _cm_arr array<long>",
+        )
+        assigns = (
+            _kranked_cells(spark, sf_dir)
+            .filter(F.col("rn") <= SPILL_ASSIGN)
+            .select(
+                "vec_id",
+                "cell",
+                F.col("rn").cast("long").alias("assign_rn"),
+            )
+            .join(_vectors(spark, sf_dir).select("vec_id", "v"), "vec_id")
+        )
+        staged = assigns.join(F.broadcast(cent_df), "cell").withColumn(
+            "_rv",
+            F.zip_with(
+                F.transform(
+                    F.col("v"),
+                    lambda t: F.floor(t * PQ_MICRO).cast("long"),
+                ),
+                F.col("_cm_arr"),
+                lambda a, b: a - b,
+            ),
+        )
+        return with_pq_codes(staged, cb, v_col="_rv", micro=True).select(
+            "vec_id",
+            "cell",
+            "assign_rn",
+            *[f"code_{m}" for m in range(PQ_M)],
+        )
+
+    return _pq_chain_frame(spark, sf_dir, "pqk_codes", _build)
+
+
+def _pqk_cellbooks(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-k-means-cell reconstruction books: trained centroid micro +
+    pqk residual codebook micro combined at the INTEGER level, then
+    one shared /1e6 division — pqr_cellbooks_of over the k-means
+    artifacts."""
+    return pqr_cellbooks_of(
+        _pq_codebook(spark, sf_dir, res="kmeans"),
+        _kcent_micro(spark, sf_dir),
+    )
+
+
+def _adc_kres_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast (query x k-means cell) residual-ADC LUT frame —
+    _adc_res_query_luts' build over the k-means cellbooks, chain-frame
+    cached 'pqk_luts' (same literal-tree re-analysis argument)."""
+
+    def _build() -> DataFrame:
+        return _cell_luts_frame(
+            spark, sf_dir, _pqk_cellbooks(spark, sf_dir)
+        )
+
+    return _pq_chain_frame(spark, sf_dir, "pqk_luts", _build)
+
+
+def _ivfpq_kres_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """The k-means-coarse residual-ADC candidate frame (query_id,
+    neighbor_id, _cos_hat) at assignment multiplicity `spill` —
+    _ivfpq_res_scored with routing, codes, and LUTs swapped to the
+    k-means artifacts; probes at IVF_NPROBE, best-reconstruction
+    dedupe when spill > 1 (per-cell residual codes differ)."""
+    codes = _pqk_codes(spark, sf_dir).filter(F.col("assign_rn") <= spill)
+    ranked = _kranked_cells(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    q = probes.join(
+        _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
+    )
+    scored = codes.join(
+        F.broadcast(q),
+        (codes["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_cos_hat_cells().alias("_cos_hat"),
+    )
+    if spill > 1:
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("_cos_hat").alias("_cos_hat")
+        )
+    return scored
+
+
+def _ivfpq_kraw_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """RAW codes routed on the k-means coarse level: candidates from
+    the k-means assignment (rn <= spill over servable vectors), ADC
+    scoring from the GLOBAL raw codebook's query LUTs (cell-
+    independent — the code describes the vector itself, so only
+    ROUTING differs from the member-vector raw path). Multi-cell
+    duplicates are byte-identical, deduped with DISTINCT like
+    q_ann_ivfpq_spill."""
+    cd = _pq_codebook_double(_pq_codebook(spark, sf_dir))
+    codes = _pq_codes(spark, sf_dir)
+    ranked = _kranked_cells(spark, sf_dir)
+    corpus = (
+        ranked.filter(F.col("rn") <= spill)
+        .select("vec_id", "cell")
+        .join(_vectors(spark, sf_dir).select("vec_id"), "vec_id")
+        .join(codes, "vec_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    scored = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+    return scored.distinct() if spill > 1 else scored
+
+
+def _refined_of(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """ADC shortlist (REFINE_K) + candidates-only exact refine — the
+    shared serve tail applied to any scored candidate frame."""
+    short = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("query_id", "neighbor_id")
+    return _exact_refine_topk(spark, sf_dir, short)
+
+
+def q_ann_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined IVFADC serve path over the TRAINED k-means coarse
+    level with residual codes — the classic-IVFADC configuration the
+    r12 diagnosis argued FOR: routing and residuals against
+    clustering's round-2 codebook, under which the coarse level
+    contracts (energy 471e12 < raw 500e12 at sf0.01) and the
+    residual code budget describes a smaller signal than the raw one
+    (absolute distortion 266e12 < 278e12). Probes/shortlist/refine
+    are the serving defaults, so this row diffs against
+    q_ann_ivfpq_refined (member, raw) and q_ann_ivfpq_residual
+    (member, residual) row-for-row; the acceptance grid is
+    q_ann_residual_recall's extended coarse axis.
+
+    MEASURED (r13, PLANS.md): the diagnosis's prediction holds
+    end-to-end — at sf0.1 this path reads 600 permille recall vs the
+    member family's best 540 (raw, spill), and ON the contracting
+    coarse level residual codes now BEAT raw (600 vs 500 single,
+    600 vs 540 spill), the exact converse of the member-level
+    inversion. At sf0.01 the kmeans rows read 800-920 vs member
+    260-580. (kmeans, residual, single) is therefore the grid's
+    recommended serving point: highest measured recall at HALF the
+    spill layout's code storage, with the +2 coarse training passes
+    exactly offset by the residual trainer converging in 3 PQ rounds
+    vs raw's 5 (q_ann_coarse_cost: corpus_passes 7 == 7).
+
+    Scale shape: identical to the member family — the routing table
+    is one broadcast-centroid assignment pass (built once per
+    snapshot), candidates come from the cell equi-join against
+    broadcast probes x LUTs (LUT side bounded by queries x K cells,
+    never the corpus), refine touches shortlist rows only. The extra
+    build cost (2 Lloyd passes for the coarse codebook) is priced by
+    q_ann_coarse_cost."""
+    return _refined_of(
+        spark, sf_dir, _ivfpq_kres_scored(spark, sf_dir, 1)
+    )
+
+
+def q_ann_ivfpq_spill_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means coarse x residual codes x SPILL_ASSIGN multi-assignment
+    — the full classic-IVFADC stack on the trained coarse level:
+    spill attacks the routing bound, residual coding concentrates the
+    code budget on within-cell offsets, and on a CONTRACTING coarse
+    level both levers point the same way. Output shape matches
+    q_ann_ivfpq_spill_residual for row-for-row diffing."""
+    return _refined_of(
+        spark, sf_dir, _ivfpq_kres_scored(spark, sf_dir, SPILL_ASSIGN)
+    )
+
+
+def q_ann_coarse_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-BUILD price tag of each coarse level (verdict r12
+    #5) — what the recall grid's coarse axis costs to stand up, per
+    family: coarse_train_rounds (member vectors are designated, 0
+    Lloyd passes; the k-means codebook is 2 — the fixed trained
+    depth of clustering._trained_centroids), coarse_cells (measured
+    codebook size — k-means can ship < KMEANS_K cells when a seed
+    loses every member in edge corpora), coarse_dist_sq (the
+    assignment's total Euclidean distortion in micro^2 — the
+    contraction evidence, BY IDENTITY equal to the residual
+    trainer-input energy the diagnosis reports, restated here as
+    what the training passes bought), pq_train_rounds (the residual
+    family's convergence-chosen depth), and corpus_passes — the
+    build's total full-corpus passes: coarse training + 1 routing
+    assignment + PQ Lloyd rounds + 1 coding pass. Read next to
+    q_ann_residual_recall's grid this prices BOTH axes: (kmeans,
+    residual) buys its recall with corpus_passes - 2 extra passes
+    over (member, raw). Each pass is one bounded exchange group at
+    any scale (broadcast codebook join + partial agg), so passes are
+    the right cluster-cost unit.
+
+    Scale shape: two single-row aggregations over cached trainer
+    artifacts plus two K-row codebook counts."""
+    parts = []
+    for coarse, res, coarse_rounds in (
+        ("member_vectors", True, 0),
+        ("kmeans", "kmeans", 2),
+    ):
+        ship = _pq_ship_round(spark, sf_dir, res)
+        if res == "kmeans":
+            from .clustering import _trained_centroids
+
+            cells = _trained_centroids(spark, sf_dir).agg(
+                F.countDistinct("cid").cast("long").alias("coarse_cells")
+            )
+        else:
+            cells = (
+                _vectors(spark, sf_dir)
+                .filter(
+                    (F.col("vec_id") >= N_QUERIES)
+                    & (F.col("vec_id") < N_QUERIES + N_CELLS)
+                )
+                .agg(
+                    F.countDistinct("vec_id")
+                    .cast("long")
+                    .alias("coarse_cells")
+                )
+            )
+        dist = _pq_micro_of(spark, sf_dir, res).agg(
+            F.sum(F.col("xm") * F.col("xm"))
+            .cast("long")
+            .alias("coarse_dist_sq")
+        )
+        parts.append(
+            cells.crossJoin(F.broadcast(dist)).select(
+                F.lit(coarse).alias("coarse"),
+                F.lit(coarse_rounds).cast("long").alias(
+                    "coarse_train_rounds"
+                ),
+                "coarse_cells",
+                "coarse_dist_sq",
+                F.lit(ship).cast("long").alias("pq_train_rounds"),
+                F.lit(coarse_rounds + ship + 2)
+                .cast("long")
+                .alias("corpus_passes"),
             )
         )
     out = parts[0]

@@ -2107,26 +2107,40 @@ _RES_COS_HAT_EXPR = f"""CASE
                         {" + ".join(f"l{m}.cn2" for m in range(PQ_M))}))
               ELSE -2.0 END"""
 
-_RES_LUT_JOINS = " ".join(
-    f"JOIN rlut l{m} ON l{m}.query_id = p.vec_id AND l{m}.cell = k.cell"
-    f" AND l{m}.m = {m} AND l{m}.j = k.code_{m}"
-    for m in range(PQ_M)
-)
+def _res_lut_joins(lut: str) -> str:
+    """The PQ_M cell-keyed LUT joins of a residual ADC score, against
+    an arbitrary (query, cell)-keyed LUT CTE."""
+    return " ".join(
+        f"JOIN {lut} l{m} ON l{m}.query_id = p.vec_id"
+        f" AND l{m}.cell = k.cell"
+        f" AND l{m}.m = {m} AND l{m}.j = k.code_{m}"
+        for m in range(PQ_M)
+    )
 
 
-def _res_scored_sql(spill: int, name: str) -> str:
+_RES_LUT_JOINS = _res_lut_joins("rlut")
+
+
+def _res_scored_sql(
+    spill: int,
+    name: str,
+    probes: str = "probes",
+    codes: str = "rpcodes",
+    lut: str = "rlut",
+) -> str:
     """The residual ADC candidate CTE at assignment multiplicity
-    `spill` (needs probes + rpcodes + rlut in scope). spill > 1 rows
-    are NOT byte-identical (codes differ per cell) — dedupe keeps the
-    best reconstruction per (query, neighbor), matching Spark's
-    groupBy/max."""
+    `spill` (needs the named probes/codes/lut CTEs in scope —
+    defaults are the member-vector family's; the k-means twins pass
+    kprobes/kpcodes/klut). spill > 1 rows are NOT byte-identical
+    (codes differ per cell) — dedupe keeps the best reconstruction
+    per (query, neighbor), matching Spark's groupBy/max."""
     base = f"""
   SELECT p.vec_id AS query_id, k.vec_id AS neighbor_id,
          {_RES_COS_HAT_EXPR} AS cos_hat
-  FROM probes p
-  JOIN rpcodes k ON k.cell = p.cell AND k.vec_id <> p.vec_id
+  FROM {probes} p
+  JOIN {codes} k ON k.cell = p.cell AND k.vec_id <> p.vec_id
                 AND k.assign_rn <= {spill}
-  {_RES_LUT_JOINS}"""
+  {_res_lut_joins(lut)}"""
     if spill == 1:
         return f"{name} AS ({base})"
     return (
@@ -2191,55 +2205,9 @@ SELECT query_id, neighbor_id, rank,
 FROM r_topk
 """
 
-# Twin of q_ann_residual_recall: the 2x2 (codes x index) acceptance
-# grid — BOTH trainers (raw chain via _IVFPQ_SCORED_CTES, residual
-# chain via _pqr_ctes) in one query, four refined serve tails, total
-# recall per combination
-ANN_RESIDUAL_RECALL_SQL = f"""
-WITH {_IVFPQ_SCORED_CTES},
-{_pqr_ctes(include_base=False)},
-cells2 AS (
-  SELECT vec_id, cent_id AS cell FROM assigned
-  WHERE rn <= {SPILL_ASSIGN}
-),
-sscored AS (
-  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_ADC_COS_HAT_EXPR} AS cos_hat
-  FROM probes p
-  JOIN cells2 c ON p.cell = c.cell AND p.vec_id <> c.vec_id
-  JOIN codes k ON k.vec_id = c.vec_id
-  {_ADC_LUT_JOINS}
-),
-{_res_scored_sql(1, "rscored1")},
-{_res_scored_sql(SPILL_ASSIGN, "rscored2")},
-{_refine_topk_sql("scored", "rawsingle_")},
-{_refine_topk_sql("sscored", "rawspill_")},
-{_refine_topk_sql("rscored1", "ressingle_")},
-{_refine_topk_sql("rscored2", "resspill_")},
-bf AS (
-  {KNN_BRUTEFORCE_SQL}
-),
-hits AS (
-  SELECT 'raw' AS codes, 'single' AS index_kind,
-         CAST(count(*) AS BIGINT) AS n_hits
-  FROM rawsingle_topk t JOIN bf USING (query_id, neighbor_id)
-  UNION ALL
-  SELECT 'raw', 'spill', CAST(count(*) AS BIGINT)
-  FROM rawspill_topk t JOIN bf USING (query_id, neighbor_id)
-  UNION ALL
-  SELECT 'residual', 'single', CAST(count(*) AS BIGINT)
-  FROM ressingle_topk t JOIN bf USING (query_id, neighbor_id)
-  UNION ALL
-  SELECT 'residual', 'spill', CAST(count(*) AS BIGINT)
-  FROM resspill_topk t JOIN bf USING (query_id, neighbor_id)
-),
-nq AS (
-  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
-)
-SELECT h.codes, h.index_kind, h.n_hits,
-       (1000 * h.n_hits) // (nq.n * {TOP_K}) AS recall_permille
-FROM hits h, nq
-"""
+# (ANN_RESIDUAL_RECALL_SQL — extended r13 to the coarse axis — is
+# defined near the k-means twins at the bottom of this module; its
+# kmeans rows need the _KMEANS_CTES + _pqk_* chains.)
 
 
 # Twin of q_ann_spill_tuning: the (spill x nprobe) surface at fixed
@@ -3333,6 +3301,259 @@ rows_ AS (
 SELECT codebook, coarse, energy_micro2, ship_round, total_dist_sq,
        (1000 * total_dist_sq) // energy_micro2 AS dist_permille
 FROM rows_
+"""
+
+
+# ------------------------------------------------------------------
+# K-MEANS COARSE serve twins (r13): the IVFADC serve chain routed on
+# the TRAINED round-2 k-means codebook — Euclidean full ranking
+# (kassigned, the serve extension of a2's argmin), servable spills,
+# per-assignment residual codes against the kpx-trained codebook,
+# per-(query, k-means cell) combined-reconstruction LUTs. Mirrors
+# similarity._kranked_cells/_pqk_codes/_adc_kres_query_luts.
+
+
+def _pqk_serve_ctes() -> str:
+    """The k-means serve chain (needs _KMEANS_CTES + _pqk_trainer_ctes
+    + an `e` CTE in scope): kassigned/kspills/kprobes routing,
+    kshipc/kpcodes coding, kcvd/klut ADC tables."""
+    codes_cols = ", ".join(
+        f"CAST(max(CASE WHEN m = {m} THEN j END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    parts = [
+        """kassigned AS MATERIALIZED (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_sq, cid) AS rn
+  FROM (
+    SELECT x.vec_id, c.cid,
+           CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist_sq
+    FROM x JOIN c1 c ON x.dim = c.dim
+    GROUP BY x.vec_id, c.cid
+  )
+)""",
+        f"""kspills AS (
+  SELECT a.vec_id, a.cid AS cell, CAST(a.rn AS BIGINT) AS assign_rn
+  FROM kassigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.rn <= {SPILL_ASSIGN}
+)""",
+        f"""kprobes AS (
+  SELECT a.vec_id, e.norm, a.cid AS cell
+  FROM kassigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id < {N_QUERIES} AND a.rn <= {IVF_NPROBE}
+)""",
+        "kpc_all AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r, m, j, d, cm FROM kpc{r}"
+            for r in range(0, PQ_TRAIN_CAP + 1)
+        )
+        + "\n)",
+        """kshipc AS MATERIALIZED (
+  SELECT m, j, d, cm FROM kpc_all WHERE r = (SELECT r FROM kship)
+)""",
+        f"""kspx AS MATERIALIZED (
+  SELECT s.vec_id, s.cell, s.assign_rn,
+         CAST(x.dim // {PQ_SUB} AS BIGINT) AS m,
+         CAST(x.dim % {PQ_SUB} AS BIGINT) AS d,
+         x.xm - c.cm AS xm
+  FROM x
+  JOIN kspills s ON s.vec_id = x.vec_id
+  JOIN c1 c ON c.cid = s.cell AND c.dim = x.dim
+)""",
+        f"""kpcodes AS MATERIALIZED (
+  SELECT vec_id, cell, assign_rn, {codes_cols}
+  FROM (
+    SELECT vec_id, cell, assign_rn, m, j,
+           row_number() OVER (PARTITION BY vec_id, cell, m
+                              ORDER BY dist_sq, j) AS rn
+    FROM (
+      SELECT r.vec_id, r.cell, r.assign_rn, r.m, c.j,
+             CAST(sum((r.xm - c.cm) * (r.xm - c.cm)) AS BIGINT)
+               AS dist_sq
+      FROM kspx r JOIN kshipc c ON r.m = c.m AND r.d = c.d
+      GROUP BY r.vec_id, r.cell, r.assign_rn, r.m, c.j
+    )
+  ) WHERE rn = 1
+  GROUP BY vec_id, cell, assign_rn
+)""",
+        f"""kcvd AS MATERIALIZED (
+  SELECT c1.cid AS cell, k.m, k.j,
+         list(CAST(c1.cm + k.cm AS DOUBLE) / {PQ_MICRO}.0
+              ORDER BY k.d) AS cv
+  FROM kshipc k
+  JOIN c1 ON c1.dim = k.m * {PQ_SUB} + k.d
+  GROUP BY c1.cid, k.m, k.j
+)""",
+        f"""klut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cell, c.m, c.j,
+         list_dot_product(
+           q.v[CAST(c.m*{PQ_SUB}+1 AS INT)
+               : CAST(c.m*{PQ_SUB}+{PQ_SUB} AS INT)],
+           c.cv
+         ) AS d,
+         list_dot_product(c.cv, c.cv) AS cn2
+  FROM e q, kcvd c
+  WHERE q.vec_id < {N_QUERIES}
+)""",
+    ]
+    return ",\n".join(parts)
+
+
+def _kraw_scored_sql(spill: int, name: str) -> str:
+    """RAW codes routed on the k-means coarse level (needs kprobes +
+    kspills + the raw chain's codes/lut in scope): the global
+    query-keyed LUT joins — only ROUTING differs from the member raw
+    path. Multi-cell rows are byte-identical; DISTINCT when
+    spill > 1, matching Spark."""
+    distinct = "DISTINCT " if spill > 1 else ""
+    return f"""{name} AS (
+  SELECT {distinct}p.vec_id AS query_id, k.vec_id AS neighbor_id,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM kprobes p
+  JOIN kspills c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+                AND c.assign_rn <= {spill}
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+)"""
+
+
+_E_CTE = f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+)"""
+
+_KRES_SCORED_KW = dict(probes="kprobes", codes="kpcodes", lut="klut")
+
+# Twin of q_ann_ivfpq_kmeans: the refined serve chain over the
+# trained-k-means coarse level with single-assignment residual codes
+ANN_IVFPQ_KMEANS_SQL = f"""
+WITH {_E_CTE},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()},
+{_pqk_serve_ctes()},
+{_res_scored_sql(1, "kscored", **_KRES_SCORED_KW)},
+{_refine_topk_sql("kscored", "k_")}
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM k_topk
+"""
+
+# Twin of q_ann_ivfpq_spill_kmeans: k-means coarse x residual codes x
+# SPILL_ASSIGN multi-assignment, best-reconstruction dedupe
+ANN_IVFPQ_SPILL_KMEANS_SQL = f"""
+WITH {_E_CTE},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()},
+{_pqk_serve_ctes()},
+{_res_scored_sql(SPILL_ASSIGN, "kscored", **_KRES_SCORED_KW)},
+{_refine_topk_sql("kscored", "k_")}
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_permyriad
+FROM k_topk
+"""
+
+# Twin of q_ann_residual_recall (extended r13): the FULL 2x2x2
+# (coarse x codes x index) acceptance grid — all three trainer
+# chains (raw, member-vector residual, k-means residual) plus both
+# routing levels in ONE query, eight refined serve tails, total
+# recall per combination
+ANN_RESIDUAL_RECALL_SQL = f"""
+WITH {_IVFPQ_SCORED_CTES},
+{_pqr_ctes(include_base=False)},
+cells2 AS (
+  SELECT vec_id, cent_id AS cell FROM assigned
+  WHERE rn <= {SPILL_ASSIGN}
+),
+sscored AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ADC_COS_HAT_EXPR} AS cos_hat
+  FROM probes p
+  JOIN cells2 c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  {_ADC_LUT_JOINS}
+),
+{_res_scored_sql(1, "rscored1")},
+{_res_scored_sql(SPILL_ASSIGN, "rscored2")},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()},
+{_pqk_serve_ctes()},
+{_kraw_scored_sql(1, "kraw1")},
+{_kraw_scored_sql(SPILL_ASSIGN, "kraw2")},
+{_res_scored_sql(1, "kres1", **_KRES_SCORED_KW)},
+{_res_scored_sql(SPILL_ASSIGN, "kres2", **_KRES_SCORED_KW)},
+{_refine_topk_sql("scored", "rawsingle_")},
+{_refine_topk_sql("sscored", "rawspill_")},
+{_refine_topk_sql("rscored1", "ressingle_")},
+{_refine_topk_sql("rscored2", "resspill_")},
+{_refine_topk_sql("kraw1", "krawsingle_")},
+{_refine_topk_sql("kraw2", "krawspill_")},
+{_refine_topk_sql("kres1", "kressingle_")},
+{_refine_topk_sql("kres2", "kresspill_")},
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT 'member_vectors' AS coarse, 'raw' AS codes,
+         'single' AS index_kind, CAST(count(*) AS BIGINT) AS n_hits
+  FROM rawsingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'member_vectors', 'raw', 'spill', CAST(count(*) AS BIGINT)
+  FROM rawspill_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'member_vectors', 'residual', 'single',
+         CAST(count(*) AS BIGINT)
+  FROM ressingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'member_vectors', 'residual', 'spill',
+         CAST(count(*) AS BIGINT)
+  FROM resspill_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'kmeans', 'raw', 'single', CAST(count(*) AS BIGINT)
+  FROM krawsingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'kmeans', 'raw', 'spill', CAST(count(*) AS BIGINT)
+  FROM krawspill_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'kmeans', 'residual', 'single', CAST(count(*) AS BIGINT)
+  FROM kressingle_topk t JOIN bf USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'kmeans', 'residual', 'spill', CAST(count(*) AS BIGINT)
+  FROM kresspill_topk t JOIN bf USING (query_id, neighbor_id)
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT h.coarse, h.codes, h.index_kind, h.n_hits,
+       (1000 * h.n_hits) // (nq.n * {TOP_K}) AS recall_permille
+FROM hits h, nq
+"""
+
+# Twin of q_ann_coarse_cost: per coarse level the build price tag —
+# training rounds, measured codebook size, assignment distortion
+# (== the residual trainer-input energy, by identity), the residual
+# family's convergence-chosen PQ depth, and total full-corpus passes
+ANN_COARSE_COST_SQL = f"""
+WITH {_pqr_ctes(include_base=True, trainer_only=True)},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()}
+SELECT 'member_vectors' AS coarse,
+       CAST(0 AS BIGINT) AS coarse_train_rounds,
+       (SELECT CAST(count(*) AS BIGINT) FROM cent) AS coarse_cells,
+       (SELECT CAST(sum(xm * xm) AS BIGINT) FROM rpx)
+         AS coarse_dist_sq,
+       (SELECT CAST(r AS BIGINT) FROM rship) AS pq_train_rounds,
+       (SELECT CAST(r + 2 AS BIGINT) FROM rship) AS corpus_passes
+UNION ALL
+SELECT 'kmeans', CAST(2 AS BIGINT),
+       (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM c1),
+       (SELECT CAST(sum(xm * xm) AS BIGINT) FROM kpx),
+       (SELECT CAST(r AS BIGINT) FROM kship),
+       (SELECT CAST(r + 4 AS BIGINT) FROM kship)
 """
 
 QUALITY_LOGIT_SQL = """

@@ -104,6 +104,51 @@ def load_residual_artifacts(
     )
 
 
+def load_kmeans_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, dict]:
+    """(k-means-residual PQ codebook, per-trained-cell centroid micro
+    vectors) — the config-sized artifacts of the r13 TRAINED k-means
+    coarse level (similarity._pq_codebook(res='kmeans') /
+    similarity._kcent_micro), crossing the driver once at stream
+    setup. The micro dict doubles as the Euclidean routing codebook
+    (pass it as euclidean_centroids) AND the residual base (pass it
+    as residual_centroids) — routing and coding read the same trained
+    table, exactly like the batch serve stack."""
+    from ..functions.similarity import _kcent_micro, _pq_codebook
+
+    return _pq_codebook(spark, sf_dir, res="kmeans"), _kcent_micro(
+        spark, sf_dir
+    )
+
+
+def _euclid_candidates(xm_col: F.Column, cent_micro: dict) -> F.Column:
+    """The (dist_sq, cid) candidate struct array of Euclidean
+    micro-int routing — exact integer arithmetic (the k-means
+    assignment rule), ascending struct order == the batch
+    (dist_sq, cid) tie-break of clustering._assign /
+    similarity._kranked_cells."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xm_col,
+                        F.array(
+                            *[F.lit(int(c)).cast("long") for c in cm]
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, z: acc + z,
+                ).alias("dist"),
+                F.lit(int(cid)).cast("long").alias("cent"),
+            )
+            for cid, cm in sorted(cent_micro.items())
+        ]
+    )
+
+
 def _cent_micro_map(cent_micro: dict) -> F.Column:
     """The per-cell centroid micro vectors as a literal MAP column
     (cell -> array<long>) — config-sized (N_CELLS x DIM literals),
@@ -121,10 +166,11 @@ def _cent_micro_map(cent_micro: dict) -> F.Column:
 
 def vector_ingest_stream(
     vecs: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     pq_codebook: list | None = None,
     spill: int = 1,
     residual_centroids: dict | None = None,
+    euclidean_centroids: dict | None = None,
 ) -> DataFrame:
     """Feed -> zero-norm-filtered, cell-routed, int8-quantized vectors
     ready for a partitioned ANN store. With `pq_codebook` the row also
@@ -152,11 +198,27 @@ def vector_ingest_stream(
     similarity.q_ann_ivfpq_spill_residual; parity pinned by
     test_residual_store_server_matches_batch). The centroid micro
     vectors inline as a literal map (config-sized), so coding stays
-    scan-local and stateless."""
+    scan-local and stateless.
+
+    `euclidean_centroids` (r13) switches ROUTING to exact-integer
+    Euclidean argmin over the given micro centroid vectors — the
+    TRAINED k-means coarse level of similarity._kranked_cells
+    (`centroids` is then ignored and may be None). Pass the same
+    dict as residual_centroids to land the full (kmeans, residual)
+    layout of similarity.q_ann_ivfpq_spill_kmeans; parity pinned by
+    test_kmeans_store_server_matches_batch. Zero-norm rows are
+    filtered either way: Euclidean COULD assign them, but the store
+    only holds servable (cosine-scorable) vectors, matching the
+    batch _pqk_codes servable-join rule."""
     if residual_centroids is not None and pq_codebook is None:
         raise ValueError(
             "residual_centroids requires pq_codebook (the residual "
             "family's codebook)"
+        )
+    if centroids is None and euclidean_centroids is None:
+        raise ValueError(
+            "either centroids (cosine routing) or euclidean_centroids "
+            "(trained k-means routing) is required"
         )
     v = F.col("embedding").cast("array<double>")
     base = vecs.select(
@@ -167,45 +229,63 @@ def vector_ingest_stream(
         F.sqrt(dot(v, v)).alias("norm"),
     ).filter(F.col("norm") > 0)
 
-    # argmax over the codebook: array_max on (cos, -cent_id) structs
-    # == the batch window's ORDER BY cos DESC, cent_id ASC
-    candidates = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-                    / (F.col("norm") * F.lit(_fold_norm(cv)))
-                ).alias("ccos"),
-                F.lit(-cid).cast("long").alias("neg_cent"),
+    if euclidean_centroids is not None:
+        from ..functions.similarity import PQ_MICRO as _MICRO
+
+        xm = F.transform(
+            F.col("v"), lambda t: F.floor(t * _MICRO).cast("long")
+        )
+        ecand = _euclid_candidates(xm, euclidean_centroids)
+        if spill == 1:
+            # ascending struct order (dist, cid): ties to the
+            # smallest cid, the batch _assign rule
+            routed = base.withColumn("cell", F.array_min(ecand)["cent"])
+        else:
+            eordered = F.slice(F.array_sort(ecand), 1, spill)
+            routed = base.withColumn(
+                "cell",
+                F.explode(F.transform(eordered, lambda s: s["cent"])),
             )
-            for cid, cv in centroids
-        ]
-    )
-    if spill == 1:
-        routed = base.withColumn(
-            "cell", -F.array_max(candidates)["neg_cent"]
-        )
     else:
-        # top-`spill` cells: ascending sort on (neg_cos, cent_id)
-        # structs == the batch window's (cos DESC, cent_id ASC), then
-        # one landed row per home cell
-        ordered = F.slice(
-            F.array_sort(
-                F.transform(
-                    candidates,
-                    lambda c: F.struct(
-                        (-c["ccos"]).alias("neg_cos"),
-                        (-c["neg_cent"]).alias("cent"),
-                    ),
+        # argmax over the codebook: array_max on (cos, -cent_id)
+        # structs == the batch window's ORDER BY cos DESC, cent_id ASC
+        candidates = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                        / (F.col("norm") * F.lit(_fold_norm(cv)))
+                    ).alias("ccos"),
+                    F.lit(-cid).cast("long").alias("neg_cent"),
                 )
-            ),
-            1,
-            spill,
+                for cid, cv in centroids
+            ]
         )
-        routed = base.withColumn(
-            "cell",
-            F.explode(F.transform(ordered, lambda s: s["cent"])),
-        )
+        if spill == 1:
+            routed = base.withColumn(
+                "cell", -F.array_max(candidates)["neg_cent"]
+            )
+        else:
+            # top-`spill` cells: ascending sort on (neg_cos, cent_id)
+            # structs == the batch window's (cos DESC, cent_id ASC),
+            # then one landed row per home cell
+            ordered = F.slice(
+                F.array_sort(
+                    F.transform(
+                        candidates,
+                        lambda c: F.struct(
+                            (-c["ccos"]).alias("neg_cos"),
+                            (-c["neg_cent"]).alias("cent"),
+                        ),
+                    )
+                ),
+                1,
+                spill,
+            )
+            routed = base.withColumn(
+                "cell",
+                F.explode(F.transform(ordered, lambda s: s["cent"])),
+            )
 
     # int8 storage quantization — the same floor expression tree as
     # functions/similarity.q_embedding_quantize
@@ -264,13 +344,14 @@ def vector_ingest_stream(
 
 def start_vector_shards(
     vecs: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     path: str,
     checkpoint: str,
     available_now: bool = False,
     pq_codebook: list | None = None,
     spill: int = 1,
     residual_centroids: dict | None = None,
+    euclidean_centroids: dict | None = None,
 ):
     """Run the vector ingest continuously into a cell-partitioned
     parquet store — each cell directory is exactly the file set an
@@ -279,7 +360,8 @@ def start_vector_shards(
     `pq_codebook` each landed row also carries its packed PQ code,
     which adc_topk_against_store serves from without touching the
     int8 payload. `spill` lands the multi-assignment layout and
-    `residual_centroids` the residual-code layout (see
+    `residual_centroids` the residual-code layout,
+    `euclidean_centroids` the trained-k-means routing (see
     vector_ingest_stream)."""
     writer = (
         vector_ingest_stream(
@@ -288,6 +370,7 @@ def start_vector_shards(
             pq_codebook=pq_codebook,
             spill=spill,
             residual_centroids=residual_centroids,
+            euclidean_centroids=euclidean_centroids,
         )
         .writeStream.format("parquet")
         .partitionBy("cell")
@@ -322,32 +405,46 @@ def _dequant_store(store: DataFrame) -> DataFrame:
 
 def route_query_cells(
     queries: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     nprobe: int,
+    euclidean_centroids: dict | None = None,
 ) -> DataFrame:
     """(query cols, v, norm, cells): each query's `nprobe` nearest IVF
     cells, ranked by the SAME (cos DESC, cent_id ASC) ordering as the
     batch multiprobe's window (q_knn_ivf_multiprobe) and the ingest
     router's argmax — pure column work over the inlined codebook, so
-    it composes into a streaming plan."""
+    it composes into a streaming plan. With `euclidean_centroids`
+    routing is the exact-integer Euclidean (dist ASC, cid ASC)
+    ranking of the trained k-means coarse level instead
+    (similarity._kranked_cells); the norm > 0 filter stays — the
+    serve stack scores cosine, so zero-norm queries are unservable
+    under either routing."""
     v = F.col("embedding").cast("array<double>")
     base = queries.select(
         "*",
         v.alias("v"),
         F.sqrt(dot(v, v)).alias("norm"),
     ).filter(F.col("norm") > 0)
-    candidates = F.array(
-        *[
-            F.struct(
-                (
-                    -dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-                    / (F.col("norm") * F.lit(_fold_norm(cv)))
-                ).alias("neg_cos"),
-                F.lit(cid).cast("long").alias("cent"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+    if euclidean_centroids is not None:
+        from ..functions.similarity import PQ_MICRO as _MICRO
+
+        xm = F.transform(
+            F.col("v"), lambda t: F.floor(t * _MICRO).cast("long")
+        )
+        candidates = _euclid_candidates(xm, euclidean_centroids)
+    else:
+        candidates = F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                        / (F.col("norm") * F.lit(_fold_norm(cv)))
+                    ).alias("neg_cos"),
+                    F.lit(cid).cast("long").alias("cent"),
+                )
+                for cid, cv in centroids
+            ]
+        )
     ranked = F.slice(F.array_sort(candidates), 1, nprobe)
     return base.withColumn(
         "cells", F.transform(ranked, lambda s: s["cent"])
@@ -685,7 +782,7 @@ def adc_residual_topk_against_store(
     spark: SparkSession,
     queries: DataFrame,
     store_path: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     res_codebook: list,
     cent_micro: dict,
     k: int = 5,
@@ -693,6 +790,7 @@ def adc_residual_topk_against_store(
     prune: bool = True,
     exclude_self: bool = False,
     dedupe_best: bool = False,
+    euclidean_route: bool = False,
 ) -> DataFrame:
     """IVFADC serving against a RESIDUAL-code store (the streaming
     twin of functions/similarity's residual serve paths): probe
@@ -704,7 +802,10 @@ def adc_residual_topk_against_store(
     reconstruction per (query, neighbor) — required on a spill store,
     where the same vector carries a DIFFERENT residual code per home
     cell (unlike the raw spill store's byte-identical rows); mirrors
-    the batch groupBy/max."""
+    the batch groupBy/max. `euclidean_route` probes by exact-integer
+    Euclidean rank against cent_micro itself — the trained-k-means
+    store's routing (the cellbooks are generic over the coarse level
+    either way)."""
     from ..functions.similarity import (
         _adc_cos_hat_cells,
         pq_unpack_exprs,
@@ -712,7 +813,12 @@ def adc_residual_topk_against_store(
     )
 
     cellbooks = pqr_cellbooks_of(res_codebook, cent_micro)
-    routed = route_query_cells(queries, centroids, nprobe)
+    routed = route_query_cells(
+        queries,
+        centroids,
+        nprobe,
+        euclidean_centroids=cent_micro if euclidean_route else None,
+    )
     cells = [
         r["c"]
         for r in routed.select(F.explode("cells").alias("c"))
@@ -775,7 +881,7 @@ def adc_residual_refine_topk_against_store(
     spark: SparkSession,
     queries: DataFrame,
     store_path: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     res_codebook: list,
     cent_micro: dict,
     vectors: DataFrame,
@@ -785,10 +891,13 @@ def adc_residual_refine_topk_against_store(
     prune: bool = True,
     exclude_self: bool = False,
     dedupe_best: bool = False,
+    euclidean_route: bool = False,
 ) -> DataFrame:
     """Residual IVFADC + REFINE against the landed store — the
     serving twin of q_ann_ivfpq_residual (single-assignment store) /
-    q_ann_ivfpq_spill_residual (spill store + dedupe_best): residual
+    q_ann_ivfpq_spill_residual (spill store + dedupe_best), and with
+    `euclidean_route` of q_ann_ivfpq_kmeans /
+    q_ann_ivfpq_spill_kmeans (the trained-k-means store): residual
     ADC shortlist from the persisted codes, candidates-only exact
     re-rank against the raw-vector side table. k_refine defaults to
     similarity.REFINE_K at call time like the raw serving twin."""
@@ -808,6 +917,7 @@ def adc_residual_refine_topk_against_store(
         prune=prune,
         exclude_self=exclude_self,
         dedupe_best=dedupe_best,
+        euclidean_route=euclidean_route,
     ).select("query_id", "neighbor_id")
     v = F.col("embedding").cast("array<double>")
     qv = queries.select(

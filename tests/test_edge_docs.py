@@ -180,7 +180,15 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                "ann_ivfpq_spill", "ann_probe_curve", "ann_joint_tuning",
                "ann_spill_tuning", "ann_ivfpq_residual",
                "ann_ivfpq_spill_residual", "ann_residual_recall",
-               "pq_residual_diagnosis")
+               "pq_residual_diagnosis",
+               # round 13: the trained-k-means coarse serve stack —
+               # the zero vector IS k-means-assignable (Euclidean is
+               # total) but NOT servable (norm>0), exercising the
+               # servable-join rule on both engines; duplicate seeds
+               # can empty a trained cluster, exercising the
+               # fewer-than-K-cells path end to end
+               "ann_ivfpq_kmeans", "ann_ivfpq_spill_kmeans",
+               "ann_coarse_cost")
 
 
 @pytest.fixture(scope="module")

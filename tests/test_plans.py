@@ -50,10 +50,13 @@ _SHUFFLE_BUDGETS = {
     "ann_ivfpq": 2,
     "ann_ivfpq_refined": 4,
     "ann_ivfpq_residual": 4,
+    "ann_ivfpq_kmeans": 4,
     "ann_ivfpq_spill": 4,
+    "ann_ivfpq_spill_kmeans": 5,
     "ann_ivfpq_spill_residual": 5,
     "ann_joint_tuning": 9,
-    "ann_residual_recall": 23,
+    "ann_coarse_cost": 6,
+    "ann_residual_recall": 45,  # 8 serve paths (2x2x2 grid) + truth, one bounded artifact each
     "ann_spill_tuning": 7,
     "pq_residual_diagnosis": 6,
     "ann_pq_recall": 6,
@@ -501,6 +504,31 @@ def test_residual_exact_stage_candidates_only(spark):
         q_ann_ivfpq_spill_residual,
         q_ann_residual_recall,
     ):
+        df = fn(spark, SF_SMOKE)
+        plan = explain_str(df)
+        subs = broadcast_subtrees(df)
+        assert len(subs) >= 3, (fn.__name__, subs)
+        assert "Left keys [1]: [neighbor_id" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert not has_cartesian(df), fn.__name__
+        assert "_tk_pid" in plan, fn.__name__
+
+
+def test_kmeans_coarse_exact_stage_candidates_only(spark):
+    """The trained-k-means coarse serve paths (r13) inherit every
+    plan discipline of the member family: routing is one broadcast
+    centroid join (the K x DIM trained codebook, never the corpus),
+    the ADC stage is a cell equi-join against the broadcast probes x
+    (query, cell) LUT side, the exact stage is the candidates-only
+    broadcast lookup keyed on neighbor_id, no SortMergeJoin, no
+    cartesian, partial_topk at both ranking levels."""
+    from jaws_effective_processor_spark.functions.similarity import (
+        q_ann_ivfpq_kmeans,
+        q_ann_ivfpq_spill_kmeans,
+    )
+    from jaws_effective_processor_spark.plans import broadcast_subtrees
+
+    for fn in (q_ann_ivfpq_kmeans, q_ann_ivfpq_spill_kmeans):
         df = fn(spark, SF_SMOKE)
         plan = explain_str(df)
         subs = broadcast_subtrees(df)

@@ -674,11 +674,19 @@ def test_residual_coding_wins_on_contracting_fixture(
         res["total_dist_sq"] < raw["total_dist_sq"]
     ), diag  # the payoff: the same budget reconstructs better
     grid = {
-        (r["codes"], r["index_kind"]): r["recall_permille"]
+        (r["coarse"], r["codes"], r["index_kind"]): r["recall_permille"]
         for r in s.q_ann_residual_recall(spark, sf).collect()
     }
-    assert grid[("residual", "single")] >= grid[("raw", "single")], grid
-    assert grid[("residual", "spill")] >= grid[("raw", "spill")], grid
+    m = "member_vectors"
+    assert grid[(m, "residual", "single")] >= grid[(m, "raw", "single")], grid
+    assert grid[(m, "residual", "spill")] >= grid[(m, "raw", "spill")], grid
+    # the r13 coarse axis: all eight grid points emit on this fixture
+    # too (the trained k-means level also contracts here — its seeds
+    # are cluster members — but its recall relation to the designated
+    # member-vector level is a property of the fixture, not asserted)
+    assert len(grid) == 8, grid
+    diagk = diag[("residual", "kmeans")]
+    assert diagk["energy_micro2"] < raw["energy_micro2"], diag
 
 
 def test_residual_micro_is_exact_integer_identity(spark):
@@ -748,33 +756,39 @@ def test_residual_code_table_shape(spark):
 
 
 def test_residual_recall_grid_consistency(spark):
-    """The 2x2 acceptance grid is internally consistent: the (raw,
-    single) row reproduces q_ann_refine_recall's total exactly and
-    the (raw, spill) row reproduces the spill path's recall (same
+    """The (coarse x codes x index) acceptance grid is internally
+    consistent: the (member, raw, single) row reproduces
+    q_ann_refine_recall's total exactly, the (member, raw, spill) row
+    reproduces the spill path's recall, and the (kmeans, residual, *)
+    rows reproduce the dedicated kmeans serve queries' recall (same
     serve chains, same evaluation) — the grid adds no new ranking,
     only the side-by-side artifact. Measured (recorded, deliberately
-    NOT asserted as a lift: on this corpus the classic residual
-    lever INVERTS at sf0.1 because the member-vector coarse
-    quantizer does not contract — mean home-cell cosine ~0.19,
-    residual energy ~1.6x raw; see q_ann_ivfpq_residual's
-    disclosure): sf0.01 raw/single 260, raw/spill 580,
-    residual/single 280, residual/spill 540; sf0.1 480 / 540 /
-    380 / 480 permille."""
+    NOT asserted as a lift for the member rows: on this corpus the
+    classic residual lever INVERTS on the non-contracting
+    member-vector coarse level — see q_ann_ivfpq_residual's
+    disclosure — while the r13 trained-k-means coarse level routes
+    dramatically better): sf0.01 member raw/single 260, raw/spill
+    580, residual/single 280, residual/spill 540; kmeans rows
+    measured in PLANS.md round-13."""
     from jaws_effective_processor_spark.functions import similarity as s
 
     grid = {
-        (r["codes"], r["index_kind"]): (r["n_hits"], r["recall_permille"])
+        (r["coarse"], r["codes"], r["index_kind"]): (
+            r["n_hits"],
+            r["recall_permille"],
+        )
         for r in s.q_ann_residual_recall(spark, SF_ORACLE).collect()
     }
     assert set(grid) == {
-        ("raw", "single"),
-        ("raw", "spill"),
-        ("residual", "single"),
-        ("residual", "spill"),
+        (coarse, codes, kind)
+        for coarse in ("member_vectors", "kmeans")
+        for codes in ("raw", "residual")
+        for kind in ("single", "spill")
     }
+    m = "member_vectors"
     single = s.q_ann_refine_recall(spark, SF_ORACLE).collect()
     raw_single_hits = sum(r["n_hits"] for r in single)
-    assert grid[("raw", "single")][0] == raw_single_hits
+    assert grid[(m, "raw", "single")][0] == raw_single_hits
     spill = s._recall_vs_truth(
         spark,
         SF_ORACLE,
@@ -783,10 +797,20 @@ def test_residual_recall_grid_consistency(spark):
         ),
     ).collect()
     raw_spill_hits = sum(r["n_hits"] for r in spill)
-    assert grid[("raw", "spill")][0] == raw_spill_hits
+    assert grid[(m, "raw", "spill")][0] == raw_spill_hits
+    kres_single = s._recall_vs_truth(
+        spark,
+        SF_ORACLE,
+        s.q_ann_ivfpq_kmeans(spark, SF_ORACLE).select(
+            "query_id", "neighbor_id"
+        ),
+    ).collect()
+    assert grid[("kmeans", "residual", "single")][0] == sum(
+        r["n_hits"] for r in kres_single
+    )
     # recall values are sane permille quantities; no cross-codebook
-    # ordering is asserted (the measured inversion above is exactly
+    # ordering is asserted (the measured member inversion is exactly
     # why the grid exists)
-    for (codes, kind), (n_hits, permille) in grid.items():
-        assert 0 <= permille <= 1000, (codes, kind, permille)
+    for (coarse, codes, kind), (n_hits, permille) in grid.items():
+        assert 0 <= permille <= 1000, (coarse, codes, kind, permille)
         assert n_hits >= 0

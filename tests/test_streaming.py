@@ -2206,3 +2206,106 @@ def test_residual_store_server_matches_batch(spark, tmpdir):
     }
     assert served_spill == batch_spill
     assert served_spill
+
+
+def test_kmeans_store_server_matches_batch(spark, tmpdir):
+    """The TRAINED-k-means store round trip (r13): land the feed with
+    Euclidean micro-int routing (euclidean_centroids = the trained
+    round-2 codebook) + spill + residual coding against the pqk
+    codebook, then serve the residual refined tier with
+    euclidean_route probing — and land EXACTLY
+    q_ann_ivfpq_spill_kmeans's rows. Pins: the streaming Euclidean
+    argmin/top-spill rank equals the batch _kranked_cells window
+    (ties to the smallest cid), per-(vec, kmeans cell) residual codes
+    survive pack -> parquet -> unpack, and the generic cellbooks LUT
+    union scores the trained coarse level bit-identically to
+    batch."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_M,
+        SPILL_ASSIGN,
+        TOP_K,
+        _kranked_cells,
+        _pqk_codes,
+        _vectors,
+        pq_pack_expr,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "kres_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "kres_store")
+    kcb, kcent = sv.load_kmeans_artifacts(spark, sf)
+    q = sv.start_vector_shards(
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        None,
+        store,
+        os.path.join(tmpdir, "kres_ckpt"),
+        available_now=True,
+        pq_codebook=kcb,
+        spill=SPILL_ASSIGN,
+        residual_centroids=kcent,
+        euclidean_centroids=kcent,
+    )
+    q.awaitTermination()
+
+    # landed (vec, kmeans cell, code) rows equal the batch pqk code
+    # table — the layout IS q_ann_ivfpq_spill_kmeans's index
+    landed = {
+        (r["vec_id"], r["cell"], r["pq_code"])
+        for r in spark.read.parquet(store)
+        .select("vec_id", "cell", "pq_code")
+        .collect()
+    }
+    batch_codes = {
+        (r["vec_id"], r["cell"], r["pq_code"])
+        for r in _pqk_codes(spark, sf)
+        .select("vec_id", "cell", pq_pack_expr().alias("pq_code"))
+        .collect()
+    }
+    assert landed == batch_codes
+    assert landed
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    served_spill = {
+        tuple(r)
+        for r in sv.adc_residual_refine_topk_against_store(
+            spark,
+            queries,
+            store,
+            None,
+            kcb,
+            kcent,
+            _vectors(spark, sf),
+            k=TOP_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+            dedupe_best=True,
+            euclidean_route=True,
+        ).collect()
+    }
+    batch_spill = {
+        tuple(r)
+        for r in QUERIES["ann_ivfpq_spill_kmeans"](spark, sf).collect()
+    }
+    assert served_spill == batch_spill
+    assert served_spill
