@@ -2200,23 +2200,15 @@ def _adc_cos_hat_cells() -> Column:
     ).otherwise(F.lit(-2.0))
 
 
-def _ivfpq_res_scored(
-    spark: SparkSession, sf_dir: str, spill: int
-) -> DataFrame:
-    """The residual-ADC candidate frame (query_id, neighbor_id,
-    _cos_hat) at assignment multiplicity `spill`: probes at the
-    serving default, candidates from the residual code table's
-    assign_rn <= spill rows via the cell equi-join, scoring from
-    codes + the broadcast (query, cell) LUTs. With spill > 1 a
-    neighbor reachable through several probed cells carries a
-    DIFFERENT code (and score) per cell — residual rows are not
-    byte-identical like the raw family's — so dedupe keeps the BEST
-    reconstruction estimate per (query, neighbor) (max cos_hat, the
-    FAISS multi-assignment rule); spill = 1 has no duplicates by
-    construction."""
-    codes = _pqr_codes(spark, sf_dir).filter(
-        F.col("assign_rn") <= spill
-    )
+def _res_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-ADC candidate frame with the assignment rank
+    RETAINED: (query_id, neighbor_id, assign_rn, _cos_hat) over ALL
+    assign_rn <= SPILL_ASSIGN code rows — candidate sets NEST along
+    the spill axis, so every index setting is a FILTER over this one
+    cell equi-join (the _ivfpq_scored_probed_spill discipline).
+    Probes at the serving default, scoring from codes + the broadcast
+    (query, cell) LUTs."""
+    codes = _pqr_codes(spark, sf_dir)
     ranked = _ranked_cells(spark, sf_dir)
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
@@ -2226,14 +2218,35 @@ def _ivfpq_res_scored(
     q = probes.join(
         _adc_res_query_luts(spark, sf_dir), ["query_id", "cell"]
     )
-    scored = codes.join(
+    return codes.join(
         F.broadcast(q),
         (codes["cell"] == q["cell"])
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        codes["assign_rn"],
         _adc_cos_hat_cells().alias("_cos_hat"),
+    )
+
+
+def _ivfpq_res_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """The residual-ADC candidate frame (query_id, neighbor_id,
+    _cos_hat) at assignment multiplicity `spill` — a filter over the
+    rank-retaining frame (Catalyst pushes assign_rn <= spill below
+    the join, so the single-assignment plan never scores spill
+    rows). With spill > 1 a neighbor reachable through several
+    probed cells carries a DIFFERENT code (and score) per cell —
+    residual rows are not byte-identical like the raw family's — so
+    dedupe keeps the BEST reconstruction estimate per
+    (query, neighbor) (max cos_hat, the FAISS multi-assignment
+    rule); spill = 1 has no duplicates by construction."""
+    scored = (
+        _res_scored_ranked(spark, sf_dir)
+        .filter(F.col("assign_rn") <= spill)
+        .drop("assign_rn")
     )
     if spill > 1:
         scored = scored.groupBy("query_id", "neighbor_id").agg(
@@ -2366,58 +2379,156 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     900/600 spill — so (kmeans, residual, single) is the
     recommended point: best sf0.1 recall at half the spill storage,
     equal total build passes. One row per combination, emitted even
-    at zero hits; all eight serve paths ride session-cached
-    artifacts, and the evaluation joins are O(queries x k) with the
-    truth side broadcast."""
-    paths = [
-        ("member_vectors", "raw", "single",
-         lambda s, d: q_ann_ivfpq_refined(s, d)),
-        ("member_vectors", "raw", "spill",
-         lambda s, d: q_ann_ivfpq_spill(s, d)),
-        ("member_vectors", "residual", "single",
-         lambda s, d: q_ann_ivfpq_residual(s, d)),
-        ("member_vectors", "residual", "spill",
-         lambda s, d: q_ann_ivfpq_spill_residual(s, d)),
-        ("kmeans", "raw", "single",
-         lambda s, d: _refined_of(s, d, _ivfpq_kraw_scored(s, d, 1))),
-        ("kmeans", "raw", "spill",
-         lambda s, d: _refined_of(
-             s, d, _ivfpq_kraw_scored(s, d, SPILL_ASSIGN)
-         )),
-        ("kmeans", "residual", "single",
-         lambda s, d: q_ann_ivfpq_kmeans(s, d)),
-        ("kmeans", "residual", "spill",
-         lambda s, d: q_ann_ivfpq_spill_kmeans(s, d)),
+    at zero hits.
+
+    Cost shape (restructured late r13 to the spill-tuning
+    discipline): ONE rank-retaining ADC pass per (coarse, codes)
+    family — candidate sets nest along the spill axis, so both index
+    settings are FILTERS over it (single = assign_rn == 1; spill =
+    dedupe over all rows: DISTINCT for byte-identical raw rows,
+    best-reconstruction max for residual rows) — then one UNION-keyed
+    shortlist ranking and ONE shared candidates-only exact stage with
+    the (coarse, codes, index) key riding in the group key, instead
+    of eight independent serve pipelines. Grid rows stay EXACTLY the
+    shipped serve paths' results (the filter-over-retained-rank
+    equivalence test_spill_tuning_surface_anchors pins for the spill
+    surface; test_residual_recall_grid_consistency pins it here
+    against q_ann_refine_recall, q_ann_ivfpq_spill, and
+    q_ann_ivfpq_kmeans). Evaluation joins are O(queries x k) with
+    the truth side broadcast."""
+    fams = [
+        (
+            "member_vectors",
+            "raw",
+            lambda: _ivfpq_scored_probed_spill(spark, sf_dir)
+            .filter(F.col("probe_rn") <= IVF_NPROBE)
+            .select("query_id", "neighbor_id", "assign_rn", "_cos_hat"),
+            "distinct",
+        ),
+        (
+            "member_vectors",
+            "residual",
+            lambda: _res_scored_ranked(spark, sf_dir),
+            "max",
+        ),
+        (
+            "kmeans",
+            "raw",
+            lambda: _kraw_scored_ranked(spark, sf_dir),
+            "distinct",
+        ),
+        (
+            "kmeans",
+            "residual",
+            lambda: _kres_scored_ranked(spark, sf_dir),
+            "max",
+        ),
     ]
+    parts = []
+    for coarse_name, codes_name, fn, dd in fams:
+        base = fn()
+        single = base.filter(F.col("assign_rn") == 1).drop("assign_rn")
+        spillc = base.drop("assign_rn")
+        if dd == "distinct":
+            spillc = spillc.distinct()
+        else:
+            spillc = spillc.groupBy("query_id", "neighbor_id").agg(
+                F.max("_cos_hat").alias("_cos_hat")
+            )
+        for index_name, cand in (("single", single), ("spill", spillc)):
+            parts.append(
+                cand.select(
+                    F.lit(coarse_name).alias("coarse"),
+                    F.lit(codes_name).alias("codes"),
+                    F.lit(index_name).alias("index_kind"),
+                    "query_id",
+                    "neighbor_id",
+                    "_cos_hat",
+                )
+            )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    keys = ["coarse", "codes", "index_kind"]
+    short = partial_topk(
+        cand,
+        keys + ["query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select(*keys, "query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            *keys,
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    approx = partial_topk(
+        exact,
+        keys + ["query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select(*keys, "query_id", "neighbor_id")
     bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
     nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
-    parts = []
-    for coarse_name, codes_name, index_name, fn in paths:
-        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        # both sides are queries x k rows; broadcast the truth side
-        # so the static plan never sorts (AQE would fix it anyway)
-        hits = ap.join(
+    hits = (
+        approx.join(
             F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi"
-        ).agg(F.count("*").cast("long").alias("n_hits"))
-        parts.append(
-            hits.select(
-                F.lit(coarse_name).alias("coarse"),
-                F.lit(codes_name).alias("codes"),
-                F.lit(index_name).alias("index_kind"),
-                "n_hits",
-            )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.crossJoin(F.broadcast(nq)).select(
-        "coarse",
-        "codes",
-        "index_kind",
-        "n_hits",
-        F.expr(f"(1000 * n_hits) DIV (_nq * {TOP_K})").alias(
-            "recall_permille"
-        ),
+        .groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    F.lit("member_vectors"), F.lit("kmeans")
+                )
+            ).alias("coarse")
+        )
+        .select(
+            "coarse",
+            F.explode(
+                F.array(F.lit("raw"), F.lit("residual"))
+            ).alias("codes"),
+        )
+        .select(
+            *keys[:2],
+            F.explode(
+                F.array(F.lit("single"), F.lit("spill"))
+            ).alias("index_kind"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(hits), keys, "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            *keys,
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})"
+            ).alias("recall_permille"),
+        )
     )
 
 
@@ -2633,15 +2744,12 @@ def _adc_kres_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_chain_frame(spark, sf_dir, "pqk_luts", _build)
 
 
-def _ivfpq_kres_scored(
-    spark: SparkSession, sf_dir: str, spill: int
-) -> DataFrame:
-    """The k-means-coarse residual-ADC candidate frame (query_id,
-    neighbor_id, _cos_hat) at assignment multiplicity `spill` —
-    _ivfpq_res_scored with routing, codes, and LUTs swapped to the
-    k-means artifacts; probes at IVF_NPROBE, best-reconstruction
-    dedupe when spill > 1 (per-cell residual codes differ)."""
-    codes = _pqk_codes(spark, sf_dir).filter(F.col("assign_rn") <= spill)
+def _kres_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means-coarse residual-ADC candidates with the assignment
+    rank RETAINED (query_id, neighbor_id, assign_rn, _cos_hat) —
+    _res_scored_ranked with routing, codes, and LUTs swapped to the
+    trained-codebook artifacts."""
+    codes = _pqk_codes(spark, sf_dir)
     ranked = _kranked_cells(spark, sf_dir)
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
@@ -2649,14 +2757,30 @@ def _ivfpq_kres_scored(
     q = probes.join(
         _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
     )
-    scored = codes.join(
+    return codes.join(
         F.broadcast(q),
         (codes["cell"] == q["cell"])
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        codes["assign_rn"],
         _adc_cos_hat_cells().alias("_cos_hat"),
+    )
+
+
+def _ivfpq_kres_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """The k-means-coarse residual-ADC candidate frame (query_id,
+    neighbor_id, _cos_hat) at assignment multiplicity `spill` — a
+    filter over the rank-retaining frame (pushed below the join);
+    probes at IVF_NPROBE, best-reconstruction dedupe when spill > 1
+    (per-cell residual codes differ)."""
+    scored = (
+        _kres_scored_ranked(spark, sf_dir)
+        .filter(F.col("assign_rn") <= spill)
+        .drop("assign_rn")
     )
     if spill > 1:
         scored = scored.groupBy("query_id", "neighbor_id").agg(
@@ -2665,22 +2789,23 @@ def _ivfpq_kres_scored(
     return scored
 
 
-def _ivfpq_kraw_scored(
-    spark: SparkSession, sf_dir: str, spill: int
-) -> DataFrame:
-    """RAW codes routed on the k-means coarse level: candidates from
-    the k-means assignment (rn <= spill over servable vectors), ADC
-    scoring from the GLOBAL raw codebook's query LUTs (cell-
-    independent — the code describes the vector itself, so only
-    ROUTING differs from the member-vector raw path). Multi-cell
-    duplicates are byte-identical, deduped with DISTINCT like
-    q_ann_ivfpq_spill."""
+def _kraw_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW codes routed on the k-means coarse level, assignment rank
+    RETAINED (query_id, neighbor_id, assign_rn, _cos_hat): candidates
+    from the k-means assignment over servable vectors, ADC scoring
+    from the GLOBAL raw codebook's query LUTs (cell-independent —
+    the code describes the vector itself, so only ROUTING differs
+    from the member-vector raw path)."""
     cd = _pq_codebook_double(_pq_codebook(spark, sf_dir))
     codes = _pq_codes(spark, sf_dir)
     ranked = _kranked_cells(spark, sf_dir)
     corpus = (
-        ranked.filter(F.col("rn") <= spill)
-        .select("vec_id", "cell")
+        ranked.filter(F.col("rn") <= SPILL_ASSIGN)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("rn").cast("long").alias("assign_rn"),
+        )
         .join(_vectors(spark, sf_dir).select("vec_id"), "vec_id")
         .join(codes, "vec_id")
     )
@@ -2688,14 +2813,28 @@ def _ivfpq_kraw_scored(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
     q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
-    scored = corpus.join(
+    return corpus.join(
         F.broadcast(q),
         (corpus["cell"] == q["cell"])
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        "assign_rn",
         _adc_cos_hat(cd).alias("_cos_hat"),
+    )
+
+
+def _ivfpq_kraw_scored(
+    spark: SparkSession, sf_dir: str, spill: int
+) -> DataFrame:
+    """The (kmeans, raw) candidate frame at multiplicity `spill` — a
+    filter over the rank-retaining frame. Multi-cell duplicates are
+    byte-identical, deduped with DISTINCT like q_ann_ivfpq_spill."""
+    scored = (
+        _kraw_scored_ranked(spark, sf_dir)
+        .filter(F.col("assign_rn") <= spill)
+        .drop("assign_rn")
     )
     return scored.distinct() if spill > 1 else scored
 

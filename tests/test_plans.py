@@ -56,7 +56,7 @@ _SHUFFLE_BUDGETS = {
     "ann_ivfpq_spill_residual": 5,
     "ann_joint_tuning": 9,
     "ann_coarse_cost": 6,
-    "ann_residual_recall": 45,  # 8 serve paths (2x2x2 grid) + truth, one bounded artifact each
+    "ann_residual_recall": 10,  # 2x2x2 grid: ONE rank-retaining ADC pass per (coarse, codes) family, union-keyed shortlist, ONE shared exact stage
     "ann_spill_tuning": 7,
     "pq_residual_diagnosis": 6,
     "ann_pq_recall": 6,
