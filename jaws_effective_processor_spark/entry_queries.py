@@ -771,6 +771,13 @@ def _register_llm() -> None:
         similarity.q_ann_coarse_cost,
         osql.ANN_COARSE_COST_SQL,
     )
+    # round-13 late addition: the (spill x nprobe) tuning surface
+    # re-priced on the NEW (kmeans, residual) serving default
+    register(
+        "ann_kmeans_tuning",
+        similarity.q_ann_kmeans_tuning,
+        osql.ANN_KMEANS_TUNING_SQL,
+    )
 
 
 _register_rules()
@@ -1056,14 +1063,16 @@ _register_llm()
 #      mixture_rebalance, multimodal_frames, packed_token_ids,
 #      packing_report, pii_redact, quality_logit, rag_bucket_report,
 #      user_retention_cohorts.
-#    8 EVIDENCE_AGE: the oldest-slot picks of the 24-row r9 cohort,
+#    7 EVIDENCE_AGE: the oldest-slot picks of the 24-row r9 cohort,
 #      chosen for family diversity (dedup_exact, dedup_clusters,
 #      doc_chunks, embedding_neardup — the perf-watch row —,
-#      events_debounce, hard_negatives, knn_bruteforce,
-#      multimodal_features).
+#      events_debounce, hard_negatives, knn_bruteforce; the 8th pick,
+#      multimodal_features, was displaced by the land-day
+#      ann_kmeans_tuning and heads the r14 queue).
 # After this window: zero r8 evidence remains; the r9 cohort shrinks
-# 24 -> 16 (remaining: customer_order_windows, distinct_counts,
-# doc_fingerprint, event_type_pivot, event_type_unpivot, events_daily,
+# 24 -> 17 (multimodal_features at queue head, then
+# customer_order_windows, distinct_counts, doc_fingerprint,
+# event_type_pivot, event_type_unpivot, events_daily,
 # json_array_functions, knn_ivf_multiprobe, knn_label_vote,
 # lineitem_rollup, order_priority, pricing_summary, stratified_sample,
 # text_stats, top_customers, vocab_topk) and heads the r14 queue.
@@ -1094,10 +1103,14 @@ _CHECK_FIRST = [
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
     # round-13 additions — driver-checked the round they land (the
-    # trained-k-means coarse serve stack + the coarse build price)
+    # trained-k-means coarse serve stack + the coarse build price +
+    # the tuning surface on the new serving default; the 4th land-day
+    # entry displaces the multimodal_features r9-cohort pick to the
+    # r14 queue head, the r12 bm25_search precedent)
     "ann_ivfpq_kmeans",
     "ann_ivfpq_spill_kmeans",
     "ann_coarse_cost",
+    "ann_kmeans_tuning",
     # REWRITTEN_SINCE_CHECK: the acceptance grid gained the coarse
     # axis (4 -> 8 rows, new `coarse` column) in r13
     "ann_residual_recall",
@@ -1138,7 +1151,6 @@ _CHECK_FIRST = [
     "events_debounce",
     "hard_negatives",
     "knn_bruteforce",
-    "multimodal_features",
 ]
 
 

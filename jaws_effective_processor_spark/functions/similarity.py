@@ -2904,6 +2904,154 @@ def q_ann_ivfpq_spill_kmeans(
     )
 
 
+def _kres_scored_probed_spill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (kmeans, residual) candidate frame with BOTH sweep ranks
+    retained: (query_id, neighbor_id, probe_rn, assign_rn, _cos_hat)
+    at probe_rn <= max(SPILL_TUNING_NPROBES) and assign_rn <=
+    SPILL_ASSIGN — candidate sets nest along both axes, so every
+    (spill, nprobe) grid point of the kmeans tuning surface is a
+    FILTER over this ONE cell equi-join (the
+    _ivfpq_scored_probed_spill discipline on the trained coarse
+    level)."""
+    codes = _pqk_codes(spark, sf_dir)
+    ranked = _kranked_cells(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES)
+        & (F.col("rn") <= max(SPILL_TUNING_NPROBES))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("rn").cast("long").alias("probe_rn"),
+    )
+    q = probes.join(
+        _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
+    )
+    return codes.join(
+        F.broadcast(q),
+        (codes["cell"] == q["cell"])
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "probe_rn",
+        codes["assign_rn"],
+        _adc_cos_hat_cells().alias("_cos_hat"),
+    )
+
+
+def q_ann_kmeans_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (spill x nprobe) tuning surface of the NEW serving default
+    — (kmeans coarse, residual codes) — at k' = REFINE_K: recall@TOP_K
+    at every grid point of SPILL_TUNING_SPILLS x SPILL_TUNING_NPROBES,
+    the q_ann_spill_tuning surface re-priced on the coarse level the
+    r13 grid selected. What a deployment reads off it: whether the
+    trained level's routing is good enough that nprobe=1 suffices
+    (the member level needed nprobe=2+ and spill to pass 50%), and
+    whether multi-assignment still buys anything once routing is
+    trained — the equal-ADC-cost diagonal (spill=2, nprobe=1) vs
+    (spill=1, nprobe=2) priced at 2x code storage.
+
+    MEASURED (permille, sf0.01 / sf0.1): single-assignment nprobe=1
+    reads 760/600 — the trained level's CHEAPEST point already
+    matches the serving default's sf0.1 recall and beats every fully
+    tuned member point — and the surface is near-flat at sf0.1
+    (600 everywhere except nprobe=4's 700/680). The equal-ADC-cost
+    diagonal TIES here ((2,1) == (1,2): 820/600), where the member
+    level favored spill — once routing is trained, storage stops
+    being the patch for it. And at nprobe=4 spill DROPS recall
+    (700 -> 680 at sf0.1): a superset of candidates flooding the
+    fixed k' shortlist, the joint-surface lesson recurring. A
+    deployment on this level starts at (spill=1, nprobe=1) and buys
+    nprobe, not storage. Grid-point anchors reproduce
+    q_ann_ivfpq_kmeans / q_ann_ivfpq_spill_kmeans exactly
+    (test_kmeans_tuning_surface_anchors).
+
+    Cost shape: still ONE index pass — _kres_scored_probed_spill
+    scores the spill code layout once at max routing with both ranks
+    retained (every grid point a filter), per-grid-point
+    best-reconstruction dedupe (residual rows differ per cell —
+    groupBy/max, not DISTINCT), candidates-only exact stage with the
+    grid key in the group key."""
+    scored = _kres_scored_probed_spill(spark, sf_dir)
+    ps = F.array(*[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES])
+    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
+    staged = (
+        scored.select("*", F.explode(ps).alias("nprobe"))
+        .filter(F.col("probe_rn") <= F.col("nprobe"))
+        .select("*", F.explode(ss).alias("spill"))
+        .filter(F.col("assign_rn") <= F.col("spill"))
+    )
+    cand = staged.groupBy(
+        "spill", "nprobe", "query_id", "neighbor_id"
+    ).agg(F.max("_cos_hat").alias("_cos_hat"))
+    short = partial_topk(
+        cand,
+        ["spill", "nprobe", "query_id"],
+        [F.col("_cos_hat").desc(), F.col("neighbor_id")],
+        REFINE_K,
+    ).select("spill", "nprobe", "query_id", "neighbor_id")
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("norm").alias("_qnorm"),
+    )
+    exact = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("_cv"),
+            F.col("norm").alias("_cnorm"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "spill",
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    approx = partial_topk(
+        exact,
+        ["spill", "nprobe", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("spill", "nprobe", "query_id", "neighbor_id")
+    bf = _brute_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(
+            F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy("spill", "nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    grid = (
+        spark.range(1)
+        .select(F.explode(ss).alias("spill"))
+        .select("spill", F.explode(ps).alias("nprobe"))
+    )
+    return (
+        grid.join(F.broadcast(hits), ["spill", "nprobe"], "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "spill",
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) DIV (_nq * {TOP_K})")
+            .alias("recall_permille"),
+        )
+    )
+
+
 def q_ann_coarse_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INDEX-BUILD price tag of each coarse level (verdict r12
     #5) — what the recall grid's coarse axis costs to stand up, per

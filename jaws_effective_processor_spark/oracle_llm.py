@@ -3556,6 +3556,85 @@ SELECT 'kmeans', CAST(2 AS BIGINT),
        (SELECT CAST(r + 4 AS BIGINT) FROM kship)
 """
 
+# Twin of q_ann_kmeans_tuning: the (spill x nprobe) surface on the
+# (kmeans, residual) serving default — the kmeans code layout scored
+# once at max routing with both ranks retained, per-grid-point
+# best-reconstruction dedupe (GROUP BY max — residual rows differ per
+# cell), refined tails, recall per point
+ANN_KMEANS_TUNING_SQL = f"""
+WITH {_E_CTE},
+{_KMEANS_CTES},
+{_pqk_trainer_ctes()},
+{_pqk_serve_ctes()},
+kprobesx AS (
+  SELECT a.vec_id, e.norm, a.cid AS cell, CAST(a.rn AS BIGINT) AS probe_rn
+  FROM kassigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id < {N_QUERIES} AND a.rn <= {max(SPILL_TUNING_NPROBES)}
+),
+kscoredx AS (
+  SELECT p.vec_id AS query_id, k.vec_id AS neighbor_id,
+         p.probe_rn, k.assign_rn,
+         {_RES_COS_HAT_EXPR} AS cos_hat
+  FROM kprobesx p
+  JOIN kpcodes k ON k.cell = p.cell AND k.vec_id <> p.vec_id
+  {_res_lut_joins("klut")}
+),
+grid AS (
+  SELECT CAST(s.spill AS BIGINT) AS spill,
+         CAST(n.np AS BIGINT) AS nprobe
+  FROM (VALUES {", ".join(f"({s})" for s in SPILL_TUNING_SPILLS)})
+         s(spill),
+       (VALUES {", ".join(f"({p})" for p in SPILL_TUNING_NPROBES)})
+         n(np)
+),
+cand AS (
+  SELECT g.spill, g.nprobe, x.query_id, x.neighbor_id,
+         max(x.cos_hat) AS cos_hat
+  FROM kscoredx x JOIN grid g
+    ON x.probe_rn <= g.nprobe AND x.assign_rn <= g.spill
+  GROUP BY g.spill, g.nprobe, x.query_id, x.neighbor_id
+),
+shortx AS (
+  SELECT spill, nprobe, query_id, neighbor_id FROM (
+    SELECT spill, nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY spill, nprobe, query_id
+                              ORDER BY cos_hat DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn <= {REFINE_K}
+),
+exactx AS (
+  SELECT s.spill, s.nprobe, s.query_id, s.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+  FROM shortx s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+approxx AS (
+  SELECT spill, nprobe, query_id, neighbor_id FROM (
+    SELECT spill, nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY spill, nprobe, query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM exactx
+  ) WHERE rn <= {TOP_K}
+),
+bf AS (
+  {KNN_BRUTEFORCE_SQL}
+),
+hits AS (
+  SELECT a.spill, a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approxx a JOIN bf USING (query_id, neighbor_id)
+  GROUP BY a.spill, a.nprobe
+),
+nq AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bf
+)
+SELECT g.spill, g.nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000 * CAST(coalesce(h.n_hits, 0) AS BIGINT))
+         // (nq.n * {TOP_K}) AS recall_permille
+FROM grid g LEFT JOIN hits h USING (spill, nprobe), nq
+"""
+
 QUALITY_LOGIT_SQL = """
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

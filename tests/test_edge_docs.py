@@ -188,7 +188,7 @@ EMB_QUERIES = ("embedding_neardup", "knn_bruteforce", "knn_lsh", "knn_ivf",
                # can empty a trained cluster, exercising the
                # fewer-than-K-cells path end to end
                "ann_ivfpq_kmeans", "ann_ivfpq_spill_kmeans",
-               "ann_coarse_cost")
+               "ann_coarse_cost", "ann_kmeans_tuning")
 
 
 @pytest.fixture(scope="module")

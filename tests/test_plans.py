@@ -55,6 +55,7 @@ _SHUFFLE_BUDGETS = {
     "ann_ivfpq_spill_kmeans": 5,
     "ann_ivfpq_spill_residual": 5,
     "ann_joint_tuning": 9,
+    "ann_kmeans_tuning": 8,
     "ann_coarse_cost": 6,
     "ann_residual_recall": 10,  # 2x2x2 grid: ONE rank-retaining ADC pass per (coarse, codes) family, union-keyed shortlist, ONE shared exact stage
     "ann_spill_tuning": 7,

@@ -553,6 +553,41 @@ def test_spill_tuning_surface_anchors(spark):
     assert grid[(s.SPILL_ASSIGN, s.IVF_NPROBE)] == spill_hits
 
 
+def test_kmeans_tuning_surface_anchors(spark):
+    """The kmeans tuning surface (the r13 serving default's
+    (spill x nprobe) grid) is internally consistent: one row per
+    grid point, and the serving-default anchors reproduce the
+    shipped kmeans serve paths' totals exactly —
+    (1, IVF_NPROBE) IS q_ann_ivfpq_kmeans's recall and
+    (SPILL_ASSIGN, IVF_NPROBE) IS q_ann_ivfpq_spill_kmeans's. No
+    monotonicity asserted (measured: spill DROPS recall at nprobe=4
+    at sf0.1 — shortlist flooding)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    grid = {
+        (r["spill"], r["nprobe"]): r["n_hits"]
+        for r in s.q_ann_kmeans_tuning(spark, SF_ORACLE).collect()
+    }
+    assert set(grid) == {
+        (sp, np)
+        for sp in s.SPILL_TUNING_SPILLS
+        for np in s.SPILL_TUNING_NPROBES
+    }
+    for fn, sp in (
+        (s.q_ann_ivfpq_kmeans, 1),
+        (s.q_ann_ivfpq_spill_kmeans, s.SPILL_ASSIGN),
+    ):
+        hits = sum(
+            r["n_hits"]
+            for r in s._recall_vs_truth(
+                spark,
+                SF_ORACLE,
+                fn(spark, SF_ORACLE).select("query_id", "neighbor_id"),
+            ).collect()
+        )
+        assert grid[(sp, s.IVF_NPROBE)] == hits, (sp, grid)
+
+
 def test_residual_diagnosis_invariants(spark):
     """The diagnosis artifact's internal consistency: one row per
     (codebook, coarse) family; distortion never exceeds the input
