@@ -2825,20 +2825,6 @@ def _kraw_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_kraw_scored(
-    spark: SparkSession, sf_dir: str, spill: int
-) -> DataFrame:
-    """The (kmeans, raw) candidate frame at multiplicity `spill` — a
-    filter over the rank-retaining frame. Multi-cell duplicates are
-    byte-identical, deduped with DISTINCT like q_ann_ivfpq_spill."""
-    scored = (
-        _kraw_scored_ranked(spark, sf_dir)
-        .filter(F.col("assign_rn") <= spill)
-        .drop("assign_rn")
-    )
-    return scored.distinct() if spill > 1 else scored
-
-
 def _refined_of(
     spark: SparkSession, sf_dir: str, scored: DataFrame
 ) -> DataFrame:

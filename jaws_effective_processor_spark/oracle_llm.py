@@ -2118,9 +2118,6 @@ def _res_lut_joins(lut: str) -> str:
     )
 
 
-_RES_LUT_JOINS = _res_lut_joins("rlut")
-
-
 def _res_scored_sql(
     spill: int,
     name: str,
