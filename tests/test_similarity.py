@@ -724,6 +724,41 @@ def test_residual_coding_wins_on_contracting_fixture(
     assert diagk["energy_micro2"] < raw["energy_micro2"], diag
 
 
+def test_kranked_home_cell_is_the_kmeans_assignment(spark):
+    """The k-means serve stack's routing table agrees with the
+    clustering surface it claims to route on: _kranked_cells' rn=1
+    row per vector IS _assignment_r2's (cid, dist_sq) exactly — the
+    trained coarse level serves the SAME partition kmeans_assign
+    publishes, so a curation step joining on cluster_id and an ANN
+    probe routing on cell read one geometry. Also pins the probe
+    order's totality: every vector ranks every trained cell exactly
+    once (rn is a permutation of 1..n_cells)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+    from jaws_effective_processor_spark.functions.clustering import (
+        _assignment_r2,
+    )
+
+    ranked = s._kranked_cells(spark, SF_ORACLE).collect()
+    homes = {
+        r["vec_id"]: (r["cell"], r["dist_sq"])
+        for r in ranked
+        if r["rn"] == 1
+    }
+    a2 = {
+        r["vec_id"]: (r["cid"], r["dist_sq"])
+        for r in _assignment_r2(spark, SF_ORACLE).collect()
+    }
+    assert homes == a2
+    from collections import defaultdict
+
+    per_vec = defaultdict(list)
+    n_cells = len({r["cell"] for r in ranked})
+    for r in ranked:
+        per_vec[r["vec_id"]].append(r["rn"])
+    for vid, rns in per_vec.items():
+        assert sorted(rns) == list(range(1, n_cells + 1)), vid
+
+
 def test_residual_micro_is_exact_integer_identity(spark):
     """The residual micro table is the EXACT integer decomposition of
     the raw one: for every (vec, m, d) with a home cell, residual +
