@@ -1310,10 +1310,12 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
     )
-    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    q = probes.join(
+        _adc_query_luts(spark, sf_dir, cd), "query_id"
+    ).withColumnRenamed("cell", "_qcell")
     return corpus.join(
         F.broadcast(q),
-        (corpus["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -1518,10 +1520,12 @@ def _ivfpq_scored_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_id").alias("cell"),
         F.col("rn").cast("long").alias("probe_rn"),
     )
-    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    q = probes.join(
+        _adc_query_luts(spark, sf_dir, cd), "query_id"
+    ).withColumnRenamed("cell", "_qcell")
     return corpus.join(
         F.broadcast(q),
-        (corpus["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -1777,10 +1781,12 @@ def q_ann_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
     )
-    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    q = probes.join(
+        _adc_query_luts(spark, sf_dir, cd), "query_id"
+    ).withColumnRenamed("cell", "_qcell")
     scored = corpus.join(
         F.broadcast(q),
-        (corpus["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -1873,10 +1879,12 @@ def _ivfpq_scored_probed_spill(
         F.col("cent_id").alias("cell"),
         F.col("rn").cast("long").alias("probe_rn"),
     )
-    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    q = probes.join(
+        _adc_query_luts(spark, sf_dir, cd), "query_id"
+    ).withColumnRenamed("cell", "_qcell")
     return corpus.join(
         F.broadcast(q),
-        (corpus["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -2217,10 +2225,10 @@ def _res_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = probes.join(
         _adc_res_query_luts(spark, sf_dir), ["query_id", "cell"]
-    )
+    ).withColumnRenamed("cell", "_qcell")
     return codes.join(
         F.broadcast(q),
-        (codes["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -2756,10 +2764,10 @@ def _kres_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), "cell")
     q = probes.join(
         _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
-    )
+    ).withColumnRenamed("cell", "_qcell")
     return codes.join(
         F.broadcast(q),
-        (codes["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -2812,10 +2820,12 @@ def _kraw_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    q = probes.join(_adc_query_luts(spark, sf_dir, cd), "query_id")
+    q = probes.join(
+        _adc_query_luts(spark, sf_dir, cd), "query_id"
+    ).withColumnRenamed("cell", "_qcell")
     return corpus.join(
         F.broadcast(q),
-        (corpus["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -2913,10 +2923,10 @@ def _kres_scored_probed_spill(
     )
     q = probes.join(
         _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
-    )
+    ).withColumnRenamed("cell", "_qcell")
     return codes.join(
         F.broadcast(q),
-        (codes["cell"] == q["cell"])
+        (F.col("cell") == F.col("_qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
