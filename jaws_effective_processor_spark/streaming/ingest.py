@@ -134,12 +134,13 @@ def exsub_gate_stream(docs: DataFrame, dup_grams: DataFrame) -> DataFrame:
     per-row membership test is array_contains over the full collected
     array, i.e. O(windows x |dup set|) LINEAR scans per document
     (ADVICE r12), fine at broadcast-range set sizes but compounding
-    the growth problem. Beyond broadcast range the production shape
-    is exsub_bloom_gate_stream below — constant-space Bloom bits over
-    the same 62-bit hashes, O(windows x BLOOM_K) per row, at the
-    price of disclosed false-positive flags — or an exploded
-    stream-static join + a watermarked regroup to reassemble
-    documents."""
+    the growth problem. Beyond broadcast range the production shapes
+    BOTH ship (r13): exsub_bloom_gate_stream — constant-space Bloom
+    bits over the same 62-bit hashes, O(windows x k) bit probes per
+    row, at the price of disclosed false-positive flags — and
+    exsub_join_gate_stream — the exploded stream-static join +
+    watermarked regroup, exact at ANY dup-set size at the price of
+    one (doc, window)-row shuffle."""
     from ..functions.corpus import contam_gram_combine, with_contam_tkh
 
     gset = dup_grams.agg(F.collect_set("gram_h").alias("_dup_arr"))
@@ -172,6 +173,23 @@ def _exsub_island_report(
             window_is_dup,
         ),
     ).otherwise(F.array().cast("array<int>"))
+    folded = staged.withColumn("_hits", hits).withColumn(
+        "_isl", _exsub_island_struct(F.col("_hits"))
+    )
+    return folded.select(
+        *docs.columns, *_exsub_report_cols(F.col("_n_tok"))
+    )
+
+
+def _exsub_island_struct(hits_col) -> F.Column:
+    """The gaps-and-islands integer fold over an ASCENDING array of
+    1-based duplicated-window positions: struct(prev, dup, spans)
+    where dup is Lee et al.'s merged-span token total (first hit of
+    an island adds CONTAM_K tokens, a merge-range hit adds its gap)
+    and spans the island count — shared by all three ExactSubstr
+    streaming gates so their reports are one arithmetic."""
+    from ..functions.corpus import CONTAM_K
+
     zero = F.struct(
         F.lit(-(2**33)).cast("long").alias("prev"),
         F.lit(0).cast("long").alias("dup"),
@@ -193,19 +211,20 @@ def _exsub_island_report(
             ).alias("spans"),
         )
 
-    folded = staged.withColumn("_hits", hits).withColumn(
-        "_isl", F.aggregate(F.col("_hits"), zero, step)
-    )
-    return folded.select(
-        *docs.columns,
-        F.col("_n_tok").cast("long").alias("n_tokens"),
+    return F.aggregate(hits_col, zero, step)
+
+
+def _exsub_report_cols(n_tok_col) -> list:
+    """The per-doc spans-report columns off a folded `_isl` struct +
+    a token-count column — the shared output shape of the gates."""
+    n = n_tok_col.cast("long")
+    return [
+        n.alias("n_tokens"),
         F.col("_isl.spans").alias("n_dup_spans"),
         F.col("_isl.dup").alias("dup_tokens"),
-        (F.col("_n_tok").cast("long") - F.col("_isl.dup")).alias(
-            "kept_tokens"
-        ),
+        (n - F.col("_isl.dup")).alias("kept_tokens"),
         (F.col("_isl.spans") > 0).alias("exsub_hit"),
-    )
+    ]
 
 
 # The Bloom gate's geometry: m bits packed as EXSUB_BLOOM_BITS/32
@@ -322,6 +341,94 @@ def exsub_bloom_gate_stream(
         )
 
     return _exsub_island_report(docs, staged, member)
+
+
+def exsub_join_gate_stream(
+    docs: DataFrame,
+    dup_grams: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ExactSubstr gate via an EXPLODED stream-static join
+    + watermarked regroup — the third (and exact-at-any-size) shape
+    of the gate's scale story, completing the trio the r12
+    disclosure named: the broadcast gate (exact, dup set must fit a
+    broadcast), the Bloom gate (constant space, disclosed false
+    positives), and THIS (exact at ANY dup-set size, at the price of
+    one shuffle of (doc, window) rows — the honest distributed-join
+    cost when the dup-gram table outgrows every in-memory shape).
+
+    Plan: each arriving doc explodes to its positioned 62-bit window
+    hashes (one sentinel pos=0 row keeps zero-window and short docs
+    total), LEFT-joins the dup-gram TABLE as a regular stream-static
+    equi-join (the static side shuffles/broadcasts by Spark's own
+    costing — never collected), then a watermarked groupBy
+    (doc_id, ingest_ts) reassembles the ascending hit positions with
+    collect_list + array_sort and applies the SAME island fold as
+    the other two gates. Emits the identical per-doc spans report in
+    append mode once the watermark passes the doc's ingest_ts.
+    Requires doc_id + ingest_ts columns (DOC_FEED_SCHEMA); parity
+    vs the broadcast gate pinned by
+    tests/test_streaming.py::test_exsub_join_gate_matches_exact."""
+    from ..functions.corpus import (
+        CONTAM_K,
+        contam_gram_combine,
+        with_contam_tkh,
+    )
+
+    staged = with_contam_tkh(docs)
+    wins = F.when(
+        F.col("_n_tok") >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n_tok") - (CONTAM_K - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                contam_gram_combine(i).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:bigint>>"))
+    # sentinel pos=0 (positions are 1-based) keeps every doc present
+    # through the inner explode + the regroup, whatever its hit count
+    sentinel = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(-1).cast("long").alias("g"),
+        )
+    )
+    exploded = staged.select(
+        *docs.columns,
+        "_n_tok",
+        F.explode(F.concat(sentinel, wins)).alias("_w"),
+    ).select(
+        *docs.columns,
+        "_n_tok",
+        F.col("_w.pos").alias("_pos"),
+        F.col("_w.g").alias("_g"),
+    )
+    dup = dup_grams.select(
+        F.col("gram_h").cast("long").alias("_dup_g")
+    ).distinct()
+    joined = exploded.join(
+        dup, exploded["_g"] == dup["_dup_g"], "left"
+    )
+    hit = F.col("_dup_g").isNotNull() & (F.col("_pos") > 0)
+    other_cols = [c for c in docs.columns if c not in ("doc_id", "ingest_ts")]
+    agg = (
+        joined.withWatermark("ingest_ts", watermark)
+        .groupBy("doc_id", "ingest_ts")
+        .agg(
+            *[F.first(c).alias(c) for c in other_cols],
+            F.first("_n_tok").alias("_n_tok"),
+            F.array_sort(
+                F.collect_list(F.when(hit, F.col("_pos")))
+            ).alias("_hits"),
+        )
+    )
+    folded = agg.withColumn(
+        "_isl", _exsub_island_struct(F.col("_hits"))
+    )
+    return folded.select(
+        *docs.columns, *_exsub_report_cols(F.col("_n_tok"))
+    )
 
 
 def start_ingest_shards(

@@ -573,6 +573,73 @@ def test_exsub_bloom_gate_superset_of_exact(spark, tmpdir):
     assert fp_docs <= max(2, len(bloom) // 100), fp_docs
 
 
+def test_exsub_join_gate_matches_exact(spark, tmpdir):
+    """The exploded-join ExactSubstr gate == the broadcast exact gate,
+    per doc, THROUGH A REAL WATERMARKED STREAM: feed the sf0.001
+    corpus as batch0 plus a far-future flush doc as batch1
+    (max_files=1 so the flush advances the watermark and closes
+    batch0's groups), and every emitted doc's full spans report
+    equals the broadcast gate's — the stream-static join + regroup
+    reassembles exactly the per-row fold's numbers, with the
+    sentinel row keeping zero-hit and sub-CONTAM_K docs present."""
+    import datetime
+
+    from jaws_effective_processor_spark.functions.filtering import (
+        _dup_gram_set,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = load_table(spark, sf, "documents")
+    feed_cols = [f.name for f in ingest.DOC_FEED_SCHEMA.fields]
+    feed = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(t0).alias("ingest_ts")
+    ).select(*feed_cols)
+    src = os.path.join(tmpdir, "exsubj_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    flush = spark.createDataFrame(
+        [(-1, "flush doc", "en", "flush",
+          t0 + datetime.timedelta(days=30))],
+        ingest.DOC_FEED_SCHEMA,
+    )
+    flush.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    stream = rules.dir_stream(
+        spark, f"{src}/*", ingest.DOC_FEED_SCHEMA, max_files=1
+    )
+    name = f"exsubj_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.exsub_join_gate_stream(stream, _dup_gram_set(spark, sf)),
+        name,
+        os.path.join(tmpdir, "exsubj_ckpt"),
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["exsub_hit"],
+        )
+        for r in _memory_table(spark, name).collect()
+        if r["doc_id"] >= 0
+    }
+    exact = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["exsub_hit"],
+        )
+        for r in ingest.exsub_gate_stream(
+            feed, _dup_gram_set(spark, sf)
+        ).collect()
+    }
+    assert got == exact
+    assert got
+
+
 def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     """With a PQ codebook, the streaming ingest lands the SAME packed
     code the batch coder assigns (shared with_pq_codes expressions,
