@@ -113,11 +113,26 @@ def main() -> None:
     # priced explicitly by pq_train_round/pq_train_trace/
     # ann_coarse_cost, which re-run timed in every sweep over the
     # cached artifacts exactly as a deployment re-reads them).
+    # A prime failure here is NOT harmless (unlike the warm-up loop
+    # above): the failed query's artifact build lands back inside
+    # timed sweep 1 — the exact poisoning this loop exists to
+    # prevent — so name the casualties before the sweeps start, and
+    # report the measured build cost (verdict r13 #6: the cold-build
+    # line that keeps the warm-serving headline honest).
+    prime_failed: list[str] = []
+    prime_t0 = time.perf_counter()
     for name in sorted(queries):
         try:
             force(queries[name](spark, SF_DIR))
         except Exception:
-            pass
+            prime_failed.append(name)
+    prime_secs = round(time.perf_counter() - prime_t0, 2)
+    if prime_failed:
+        print(
+            f"# PRIME FAILED for {prime_failed} — their artifact "
+            "build cost will land inside timed sweep 1",
+            file=sys.stderr,
+        )
 
     # Interleaved sweeps, not back-to-back repeats: co-tenant load and
     # JVM housekeeping stalls come in multi-second WINDOWS, and three
@@ -230,6 +245,12 @@ def main() -> None:
         "n": sweeps_done,
         "loadavg_per_sweep": sweep_loads,
         "oracle_total_sec": oracle_total,
+        # cold-build price the warm `value` excludes: wall-clock of
+        # the untimed per-snapshot artifact prime at SF_DIR (one-time
+        # per corpus snapshot in a deployment). The headline `value`
+        # is a WARM-SERVING number; warm + this = cold total.
+        "artifact_prime_sec": prime_secs,
+        "prime_failed": prime_failed,
         "oracle_sweeps_sec": [round(t, 2) for t in oracle_sweeps],
         "ratio_vs_oracle": (
             round(total / oracle_total, 3) if oracle_total else None

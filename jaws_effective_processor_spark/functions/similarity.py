@@ -2636,8 +2636,13 @@ def _kranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The k-means analog of _ranked_cells; session-cached
     'kivf_cell_ranked' because it is the index's routing table (built
     once per corpus snapshot, read by every probe). Euclidean is
-    total, so zero-norm vectors rank too — consumers that serve
-    cosine restrict to _vectors members explicitly."""
+    total, so zero-norm vectors rank too — cosine-serving consumers
+    restrict to _vectors members, either by an explicit _vectors
+    join (corpus side: _pqk_codes, _kraw_scored_ranked) or INHERITED
+    through an inner equi-join against a _vectors-built side (probe
+    side: both serve stacks join probes to query LUT frames that are
+    built from _vectors, so zero-norm queries drop there — see
+    _cell_luts_frame / _adc_query_luts)."""
     from .clustering import _emb_micro, _trained_centroids
     from .dedup import _cached_frame
 
@@ -2762,6 +2767,9 @@ def _kres_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
+    # zero-norm queries drop HERE: the LUT frame is _vectors-built
+    # (norm > 0), so this inner join enforces the cosine-serving
+    # restriction _kranked_cells' docstring delegates to consumers
     q = probes.join(
         _adc_kres_query_luts(spark, sf_dir), ["query_id", "cell"]
     ).withColumnRenamed("cell", "_qcell")
@@ -2820,6 +2828,8 @@ def _kraw_scored_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
+    # zero-norm queries drop HERE (LUT side is _vectors-built); the
+    # corpus side carries its explicit _vectors join above
     q = probes.join(
         _adc_query_luts(spark, sf_dir, cd), "query_id"
     ).withColumnRenamed("cell", "_qcell")

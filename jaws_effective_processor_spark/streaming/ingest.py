@@ -321,8 +321,14 @@ def exsub_bloom_gate_stream(
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(_EXSUB_BLOOM_WORDS - 1)),
+            # try_element_at (not element_at): NULL-on-missing under
+            # ANY ansi setting — plain element_at throws
+            # MAP_KEY_DOES_NOT_EXIST on ansi-enabled 3.5.x whenever
+            # the dup set leaves one of the 2048 words unset (the
+            # common case). try_element_at needs Spark >= 3.5, which
+            # this gate therefore requires.
             lambda w: F.coalesce(
-                F.element_at(F.col("_mm"), w.cast("long")),
+                F.try_element_at(F.col("_mm"), w.cast("long")),
                 F.lit(0).cast("long"),
             ),
         ).alias("_mask")
