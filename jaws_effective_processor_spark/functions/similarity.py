@@ -2896,6 +2896,31 @@ def q_ann_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE serving default (r14, shipping the r13 measurement as the
+    entry point a registry user reaches first): refined IVFADC at the
+    configuration the 2x2x2 acceptance grid (q_ann_residual_recall)
+    and the tuning surface (q_ann_kmeans_tuning) measured best —
+    TRAINED k-means coarse level, RESIDUAL codes, SINGLE assignment.
+    Identical rows to q_ann_ivfpq_kmeans by construction (same
+    rank-retaining builders); this name exists so "serve ANN top-k"
+    resolves to the measured recommendation, with every other grid
+    point reachable as an explicit variant (q_ann_ivfpq_refined =
+    member/raw, q_ann_ivfpq_residual = member/residual,
+    q_ann_ivfpq_spill* = the spill index layouts). The streaming twin
+    is vectors.start_ann_store + ann_topk_against_store, parity
+    pinned by test_default_ann_store_serve_matches_batch.
+
+    Why this point (measured, r13 PLANS.md): best sf0.1 recall
+    (600 permille vs member-best 540) at HALF the spill layout's code
+    storage; on the contracting trained coarse level residual codes
+    beat raw (600 vs 500 single), and the tuning surface says to buy
+    nprobe, not spill storage, on this geometry."""
+    return _refined_of(
+        spark, sf_dir, _ivfpq_kres_scored(spark, sf_dir, 1)
+    )
+
+
 def q_ann_ivfpq_spill_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -122,6 +122,74 @@ def load_kmeans_artifacts(
     )
 
 
+def start_ann_store(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """THE shipped ANN ingest — the measured serving recommendation
+    (trained-k-means coarse, residual codes, SINGLE assignment)
+    pre-configured, so a user who just wants "an ANN index" lands
+    the configuration the 2x2x2 acceptance grid
+    (q_ann_residual_recall) and the tuning surface
+    (q_ann_kmeans_tuning) measured best: highest sf0.1 recall
+    (600 permille vs the member family's best 540) at HALF the spill
+    layout's code storage (r13, PLANS.md). Loads the trained
+    artifacts itself (one config-sized driver crossing) and starts
+    the cell-partitioned exactly-once store. Member-vector routing,
+    raw codes, and spill layouts remain available as the explicit
+    start_vector_shards parameters this wrapper pins."""
+    kcb, kcent = load_kmeans_artifacts(spark, sf_dir)
+    return start_vector_shards(
+        vecs,
+        None,
+        path,
+        checkpoint,
+        available_now=available_now,
+        pq_codebook=kcb,
+        spill=1,
+        residual_centroids=kcent,
+        euclidean_centroids=kcent,
+    )
+
+
+def ann_topk_against_store(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    store_path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """THE shipped ANN serve tier over a start_ann_store index —
+    residual ADC shortlist routed on the trained k-means coarse
+    level, candidates-only exact refine; the streaming twin of
+    q_ann_serve (== q_ann_ivfpq_kmeans's measured-best
+    configuration). dedupe_best is OFF because the shipped store is
+    single-assignment (one code per vector); parity vs the batch
+    path is pinned by test_default_ann_store_serve_matches_batch."""
+    from ..functions.similarity import _vectors
+
+    kcb, kcent = load_kmeans_artifacts(spark, sf_dir)
+    return adc_residual_refine_topk_against_store(
+        spark,
+        queries,
+        store_path,
+        None,
+        kcb,
+        kcent,
+        _vectors(spark, sf_dir),
+        k=k,
+        nprobe=nprobe,
+        exclude_self=exclude_self,
+        dedupe_best=False,
+    )
+
+
 def _euclid_candidates(xm_col: F.Column, cent_micro: dict) -> F.Column:
     """The (dist_sq, cid) candidate struct array of Euclidean
     micro-int routing — exact integer arithmetic (the k-means
@@ -790,7 +858,7 @@ def adc_residual_topk_against_store(
     prune: bool = True,
     exclude_self: bool = False,
     dedupe_best: bool = False,
-    euclidean_route: bool = False,
+    euclidean_route: bool = True,
 ) -> DataFrame:
     """IVFADC serving against a RESIDUAL-code store (the streaming
     twin of functions/similarity's residual serve paths): probe
@@ -802,10 +870,14 @@ def adc_residual_topk_against_store(
     reconstruction per (query, neighbor) — required on a spill store,
     where the same vector carries a DIFFERENT residual code per home
     cell (unlike the raw spill store's byte-identical rows); mirrors
-    the batch groupBy/max. `euclidean_route` probes by exact-integer
-    Euclidean rank against cent_micro itself — the trained-k-means
-    store's routing (the cellbooks are generic over the coarse level
-    either way)."""
+    the batch groupBy/max. `euclidean_route` (the DEFAULT since r14 —
+    the measured serving recommendation routes on the trained k-means
+    coarse level, see start_ann_store) probes by exact-integer
+    Euclidean rank against cent_micro itself; pass
+    euclidean_route=False for the member-vector cosine-routing
+    variant (cent_micro is then only the residual base and `centroids`
+    carries the routing codebook — the cellbooks are generic over the
+    coarse level either way)."""
     from ..functions.similarity import (
         _adc_cos_hat_cells,
         pq_unpack_exprs,
@@ -891,16 +963,19 @@ def adc_residual_refine_topk_against_store(
     prune: bool = True,
     exclude_self: bool = False,
     dedupe_best: bool = False,
-    euclidean_route: bool = False,
+    euclidean_route: bool = True,
 ) -> DataFrame:
-    """Residual IVFADC + REFINE against the landed store — the
-    serving twin of q_ann_ivfpq_residual (single-assignment store) /
-    q_ann_ivfpq_spill_residual (spill store + dedupe_best), and with
-    `euclidean_route` of q_ann_ivfpq_kmeans /
-    q_ann_ivfpq_spill_kmeans (the trained-k-means store): residual
-    ADC shortlist from the persisted codes, candidates-only exact
-    re-rank against the raw-vector side table. k_refine defaults to
-    similarity.REFINE_K at call time like the raw serving twin."""
+    """Residual IVFADC + REFINE against the landed store — by DEFAULT
+    (euclidean_route=True, the r14 flip shipping the measured
+    recommendation) the serving twin of q_ann_ivfpq_kmeans /
+    q_ann_ivfpq_spill_kmeans (the trained-k-means store, routed like
+    ann_topk_against_store); with euclidean_route=False the
+    member-vector variant twinning q_ann_ivfpq_residual
+    (single-assignment store) / q_ann_ivfpq_spill_residual (spill
+    store + dedupe_best): residual ADC shortlist from the persisted
+    codes, candidates-only exact re-rank against the raw-vector side
+    table. k_refine defaults to similarity.REFINE_K at call time like
+    the raw serving twin."""
     if k_refine is None:
         from ..functions.similarity import REFINE_K
 

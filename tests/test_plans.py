@@ -51,6 +51,7 @@ _SHUFFLE_BUDGETS = {
     "ann_ivfpq_refined": 4,
     "ann_ivfpq_residual": 4,
     "ann_ivfpq_kmeans": 4,
+    "ann_serve": 4,  # == ann_ivfpq_kmeans by construction (the r14 shipped default)
     "ann_ivfpq_spill": 4,
     "ann_ivfpq_spill_kmeans": 5,
     "ann_ivfpq_spill_residual": 5,

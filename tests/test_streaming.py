@@ -2265,6 +2265,10 @@ def test_residual_store_server_matches_batch(spark, tmpdir):
             nprobe=IVF_NPROBE,
             exclude_self=True,
             dedupe_best=True,
+            # the member-vector cosine-routing VARIANT — since the
+            # r14 default flip the trained-k-means routing is the
+            # default and this path opts out explicitly
+            euclidean_route=False,
         ).collect()
     }
     batch_spill = {
@@ -2367,7 +2371,9 @@ def test_kmeans_store_server_matches_batch(spark, tmpdir):
             nprobe=IVF_NPROBE,
             exclude_self=True,
             dedupe_best=True,
-            euclidean_route=True,
+            # euclidean_route deliberately NOT passed: the trained
+            # k-means routing IS the default since the r14 flip, so
+            # this parity pin now exercises the default path
         ).collect()
     }
     batch_spill = {
@@ -2376,3 +2382,69 @@ def test_kmeans_store_server_matches_batch(spark, tmpdir):
     }
     assert served_spill == batch_spill
     assert served_spill
+
+
+def test_default_ann_store_serve_matches_batch(spark, tmpdir):
+    """The SHIPPED default round trip (r14, verdict item 1): land the
+    feed through start_ann_store — no routing/coding/spill arguments
+    at all — and serve through ann_topk_against_store, and get
+    EXACTLY the rows of q_ann_serve (== q_ann_ivfpq_kmeans, the
+    measured-best (kmeans, residual, single) configuration). This is
+    the pin that a user following the defaults gets the measured
+    recommendation, not the member-vector variant."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "serve_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "serve_store")
+    q = sv.start_ann_store(
+        spark,
+        sf,
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        store,
+        os.path.join(tmpdir, "serve_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    served = {
+        tuple(r)
+        for r in sv.ann_topk_against_store(
+            spark,
+            sf,
+            queries,
+            store,
+            k=TOP_K,
+            nprobe=IVF_NPROBE,
+            exclude_self=True,
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in QUERIES["ann_serve"](spark, sf).collect()
+    }
+    assert served == batch
+    assert served
