@@ -16,6 +16,7 @@ from .inspect import (
     pushed_filters,
     read_schemas,
     shuffle_count,
+    trivial_join_conditions,
     whole_stage_codegen_ids,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "shuffle_count",
+    "trivial_join_conditions",
     "whole_stage_codegen_ids",
 ]

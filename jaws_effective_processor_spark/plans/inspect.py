@@ -121,6 +121,68 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
 
 
+def trivial_join_conditions(df: DataFrame) -> list[str]:
+    """Predicates comparing an attribute to ITSELF (identical exprId
+    on both sides of an equality) anywhere in the physical plan's
+    join keys, join conditions, or filter conditions — the
+    trivially-true self-join class commit 603dc64 fixed at eight ADC
+    cell-join sites (r13 verdict item 7: pin the class so a refactor
+    can't silently reintroduce it).
+
+    Why the ANALYZED logical plan and not the physical one: when a
+    self-join's condition resolves both column references to the
+    SAME attribute, Catalyst cannot extract it as an equi-join key
+    (a key needs one side each) and the optimizer's
+    SimplifyBinaryComparison then rewrites `a = a` to isnotnull(a)
+    — so by executedPlan the smoking gun is GONE and all that
+    remains is a loosened join shape (often a nested-loop with only
+    the residual predicates, the r13 symptom) plus silent
+    NULL-dropping. Results can still be accidentally correct, which
+    is exactly why this needs a plan assertion rather than a value
+    test. At the analyzed level the degenerate EqualTo is still
+    literal, wherever it sits (Join condition, Filter — pushdown has
+    not run yet, so checking every predicate site catches it before
+    the optimizer can relocate or disguise it).
+
+    Walks the JVM logical TreeNode API (children()/condition(),
+    stable across Spark 3.2-4.x like shuffle_count's physical walk).
+    Returns one human-readable string per offending predicate;
+    sound plans return []."""
+
+    def attr_id(e):
+        if e.getClass().getSimpleName() == "AttributeReference":
+            eid = e.exprId()
+            return (eid.id(), str(eid.jvmId()))
+        return None
+
+    out: list[str] = []
+
+    def walk_expr(e, where: str) -> None:
+        if e.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe"):
+            li, ri = attr_id(e.left()), attr_id(e.right())
+            if li is not None and li == ri:
+                out.append(f"{where}: {e.sql()}")
+        ch = e.children()
+        for i in range(ch.length()):
+            walk_expr(ch.apply(i), where)
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in ("Join", "Filter"):
+            cond = node.condition()
+            cname = cond.getClass().getSimpleName()
+            if cname.startswith("Some"):  # Join: Option[Expression]
+                walk_expr(cond.get(), name)
+            elif not cname.startswith("None"):  # Filter: Expression
+                walk_expr(cond, name)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
 def broadcast_subtrees(df: DataFrame) -> list[str]:
     """The plan subtree under each BroadcastExchange — what actually
     gets shipped to every task. Lets tests assert WHICH side of a join

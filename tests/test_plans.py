@@ -10,6 +10,7 @@ cartesian product.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from jaws_effective_processor_spark.entry_queries import QUERIES
 from jaws_effective_processor_spark.plans import (
@@ -19,6 +20,7 @@ from jaws_effective_processor_spark.plans import (
     pushed_filters,
     read_schemas,
     shuffle_count,
+    trivial_join_conditions,
 )
 from tests.conftest import SF_SMOKE
 
@@ -224,8 +226,42 @@ def test_shuffle_budgets_cover_registry():
 
 @pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGETS))
 def test_shuffle_budgets(spark, name):
-    got = shuffle_count(QUERIES[name](spark, SF_SMOKE))
+    df = QUERIES[name](spark, SF_SMOKE)
+    got = shuffle_count(df)
     assert got <= _SHUFFLE_BUDGETS[name], (name, got)
+    # self-join hygiene, registry-wide (r13 verdict item 7): no
+    # predicate anywhere in the analyzed plan compares an attribute
+    # to ITSELF — the trivially-true class commit 603dc64 fixed at
+    # eight ADC cell-join sites must not silently return. Piggybacks
+    # on the already-built plan, so the whole registry is covered at
+    # zero extra plan-build cost.
+    assert trivial_join_conditions(df) == [], name
+
+
+def test_trivial_join_detector_catches_the_class(spark):
+    """The detector itself: a predicate comparing an attribute to
+    itself is reported from BOTH surfaces it can land on (join
+    condition, filter), survives conjunction with genuine
+    predicates, and is NOT triggered by a sound equi-join. Guards
+    the guard: SimplifyBinaryComparison erases `a = a` from the
+    physical plan (rewriting it to isnotnull), so a detector walking
+    the wrong plan level would pass everything silently."""
+    a = spark.range(10).withColumn("k", F.col("id") % 3)
+    b = (
+        a.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("k").alias("k2"), "n")
+    )
+    bad_join = a.join(b, F.col("k") == F.col("k"))
+    assert trivial_join_conditions(bad_join) == ["Join: (k = k)"]
+    bad_filter = a.filter(F.col("k") == F.col("k"))
+    assert trivial_join_conditions(bad_filter) == ["Filter: (k = k)"]
+    conjoined = a.join(
+        b, (F.col("k") == F.col("k2")) & (F.col("k") == F.col("k"))
+    )
+    assert trivial_join_conditions(conjoined) == ["Join: (k = k)"]
+    sound = a.join(b, F.col("k") == F.col("k2"))
+    assert trivial_join_conditions(sound) == []
 
 
 def test_revenue_join_strategy(spark):
