@@ -164,6 +164,85 @@ def assign_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
     )
 
 
+def route_arrow(
+    emb: DataFrame, cent_rows: list, nprobe: int
+) -> DataFrame:
+    """Large-K RANK-RETAINING routing: assign_arrow's blockwise Arrow
+    kernel extended from argmin to the `nprobe` nearest cells — the
+    serve stack's probe routing (similarity._kranked_cells'
+    (vec_id, cell, dist_sq, rn) shape) at a K where neither of the
+    small-K shapes survives: the inlined literal-array candidates of
+    streaming routing grow the plan linearly in K x dims, and the
+    broadcast-join + window ranking ships and shuffles a K x dims
+    table that outgrows executor memory near K ~ 10^6 (the 512 MB
+    bound in PLANS.md's 100 TB sizing note, demonstrated at
+    K > KMEANS_BROADCAST_K_MAX by
+    tests/test_properties.py::test_large_k_routing_matches_window_ranking).
+
+    Same exact-integer distances and (dist_sq, cid) ascending
+    tie-break as _kranked_cells' window: each Arrow batch carries a
+    running (n x p) candidate set; every K-block's distances are
+    concatenated onto it and the per-row top-p re-selected by a
+    lexicographic (dist, cid) sort — so peak memory is
+    n x (K_BLOCK + p), bounded by the batch and the block, never by
+    K. No shuffle; one output row per (vector, probe rank)."""
+    import numpy as np
+
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = int(r["cm"])
+    cids = sorted(by_cid)
+    dims = sorted(by_cid[cids[0]])
+    C = np.array(
+        [[by_cid[c][d] for d in dims] for c in cids], dtype=np.int64
+    )
+    cid_arr = np.array(cids, dtype=np.int64)
+    k_block = ASSIGN_ARROW_K_BLOCK
+    p = min(int(nprobe), len(cid_arr))
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()) * KMEANS_MICRO
+            ).astype(np.int64)
+            best_d = best_c = None
+            for lo in range(0, len(cid_arr), k_block):
+                diff = X[:, None, :] - C[None, lo : lo + k_block, :]
+                d = (diff * diff).sum(axis=2)
+                cb = np.broadcast_to(
+                    cid_arr[lo : lo + k_block], d.shape
+                )
+                if best_d is not None:
+                    d = np.concatenate([best_d, d], axis=1)
+                    cb = np.concatenate([best_c, cb], axis=1)
+                # lexsort: last key primary — (dist ASC, cid ASC),
+                # the _kranked_cells window's ORDER BY dist_sq, cid
+                idx = np.lexsort((cb, d), axis=1)[:, :p]
+                best_d = np.take_along_axis(d, idx, axis=1)
+                best_c = np.take_along_axis(
+                    np.ascontiguousarray(cb), idx, axis=1
+                )
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "cell": best_c.ravel(),
+                    "dist_sq": best_d.ravel(),
+                    "rn": np.tile(
+                        np.arange(1, p + 1, dtype=np.int64), n
+                    ),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _batches, "vec_id long, cell long, dist_sq long, rn long"
+    )
+
+
 def _assignment_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-2 assignment (vec_id, cid, dist_sq), session-cached
     under tag 'kmeans_assign_r2': like the trained centroids it is a

@@ -1112,6 +1112,83 @@ def test_tombstone_through_compaction_matches_dict_replay(spark, log):
         assert row["action"] == last_op[name]
 
 
+def test_large_k_routing_matches_window_ranking(spark):
+    """The 100 TB large-K serve-routing demonstration (r13 verdict
+    item 3): cell assignment AND nprobe probe routing run through the
+    blockwise Arrow kernels (assign_arrow / route_arrow) at
+    K = 2048 > KMEANS_BROADCAST_K_MAX = 1024 — a codebook size where
+    the shipped small-K shapes are OUT OF BOUNDS by their own
+    docstrings (literal-array candidate plans grow linearly in
+    K x dims; the broadcast-join + window ranking ships a K x dims
+    table that stops fitting executor memory near K ~ 10^6) — and
+    produce the IDENTICAL (vec_id, cell, dist_sq, rn) ranking as the
+    window-ranking join (_kranked_cells' exact shape) on the same
+    fixture. The kernel genuinely exercises the blockwise path: 2048
+    centroids over ASSIGN_ARROW_K_BLOCK = 256 is 8 blocks, so the
+    cross-block running top-p merge and the (dist, cid) tie rule are
+    both live. PLANS.md's sizing note cites this test instead of
+    asserting the switch works."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import jaws_effective_processor_spark.functions.clustering as cl
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    K, NPROBE = 2048, 4
+    assert K > cl.KMEANS_BROADCAST_K_MAX
+    assert K > 2 * cl.ASSIGN_ARROW_K_BLOCK  # multi-block for real
+    dims = 64
+    rng = np.random.RandomState(7)
+    cm = rng.randint(-1_000_000, 1_000_000, size=(K, dims))
+    cent_rows = [
+        {"cid": c, "dim": d, "cm": int(cm[c, d])}
+        for c in range(K)
+        for d in range(dims)
+    ]
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    # the blockwise kernels (what a 10^6-cell deployment runs)
+    routed = {
+        (r["vec_id"], r["rn"]): (r["cell"], r["dist_sq"])
+        for r in cl.route_arrow(emb, cent_rows, NPROBE).collect()
+    }
+    assigned = {
+        r["vec_id"]: (r["cid"], r["dist_sq"])
+        for r in cl.assign_arrow(emb, cent_rows).collect()
+    }
+
+    # the window-ranking reference (_kranked_cells' join + window
+    # shape, verbatim) over the same synthetic codebook
+    cent_df = spark.createDataFrame(
+        [(r["cid"], r["dim"], r["cm"]) for r in cent_rows],
+        "cid long, dim long, cm long",
+    )
+    d = (
+        cl._emb_micro(spark, SF_SMOKE)
+        .join(F.broadcast(cent_df), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+    ref = {
+        (r["vec_id"], r["rn"]): (r["cid"], r["dist_sq"])
+        for r in d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NPROBE)
+        .collect()
+    }
+    assert routed == ref
+    # rn=1 of the rank-retaining kernel IS the assignment kernel
+    assert assigned == {
+        v: cd for (v, rn), cd in routed.items() if rn == 1
+    }
+
+
 def test_assign_arrow_multiblock_matches_single(spark, monkeypatch):
     """assign_arrow's blockwise K loop: forcing k_block=3 (several
     blocks over the K=8 codebook, exercising the cross-block running
