@@ -437,6 +437,66 @@ def exsub_join_gate_stream(
     )
 
 
+# The auto gate's broadcast bound is COMPUTE-sized, not memory-sized:
+# the exact broadcast gate's membership test is an array_contains
+# linear scan per window (its own SCALE DISCLOSURE), so past ~10^5
+# grams each window pays ~10^5 comparisons and the join gate's one
+# (doc, window)-row shuffle is the cheaper exact plan long before
+# the 8 B/gram broadcast itself stops fitting.
+EXSUB_AUTO_BROADCAST_MAX = 1 << 17
+
+
+def _exsub_gate_choice(
+    n_dup: int, broadcast_max: int, allow_fp: bool
+) -> str:
+    """The auto gate's shape decision, as a pure function so the
+    boundaries are unit-testable: 'broadcast' (exact, in-memory)
+    while the dup set fits the bound; past it 'bloom' if the caller
+    opted into false positives (constant space, zero shuffle), else
+    'join' (exact at ANY size, one (doc, window) shuffle). The caller
+    stays on an EXACT gate unless it explicitly traded exactness."""
+    if n_dup <= broadcast_max:
+        return "broadcast"
+    return "bloom" if allow_fp else "join"
+
+
+def exsub_gate_auto(
+    docs: DataFrame,
+    dup_grams: DataFrame,
+    broadcast_max: int = EXSUB_AUTO_BROADCAST_MAX,
+    allow_fp: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ONE entry point for the ExactSubstr streaming gate trio (r13
+    verdict item 4): probes the dup-gram snapshot's SIZE (one count
+    over the static side at stream setup — the q_source_overlap
+    planner-probe pattern, corpus._distinct_sources) and picks the
+    scale shape the caller would have had to pick by hand:
+
+    - fits `broadcast_max`      -> exsub_gate_stream (exact,
+      one-row broadcast array, stateless column work)
+    - larger + allow_fp=False   -> exsub_join_gate_stream (exact at
+      ANY size; one (doc, window) shuffle + watermarked regroup —
+      requires doc_id/ingest_ts like the join gate itself)
+    - larger + allow_fp=True    -> exsub_bloom_gate_stream (constant
+      space, O(1) probes, FALSE POSITIVES at the disclosed rate —
+      opt-in only, because it changes semantics: a clean window can
+      flag, a dup never escapes)
+
+    All three emit the identical per-doc spans-report schema, so the
+    choice is invisible downstream; per-shape parity is pinned by the
+    three existing gate tests and the boundary decision by
+    test_exsub_gate_auto_boundaries. The probe count is the static
+    frame's one aggregate — never the stream's."""
+    n_dup = dup_grams.count()
+    shape = _exsub_gate_choice(n_dup, broadcast_max, allow_fp)
+    if shape == "broadcast":
+        return exsub_gate_stream(docs, dup_grams)
+    if shape == "bloom":
+        return exsub_bloom_gate_stream(docs, dup_grams)
+    return exsub_join_gate_stream(docs, dup_grams, watermark=watermark)
+
+
 def start_ingest_shards(
     docs: DataFrame,
     path: str,

@@ -573,6 +573,62 @@ def test_exsub_bloom_gate_superset_of_exact(spark, tmpdir):
     assert fp_docs <= max(2, len(bloom) // 100), fp_docs
 
 
+def test_exsub_gate_auto_boundaries(spark, monkeypatch):
+    """The auto gate's planner probe at its decision boundaries (r13
+    verdict item 4): a dup set exactly AT broadcast_max stays on the
+    exact broadcast gate; ONE past it switches to the exact join
+    gate; the Bloom shape is reachable ONLY by the explicit
+    allow_fp opt-in (exactness is never traded silently). Both the
+    pure decision function and the real delegation path (including
+    the static-side count probe) are exercised; per-shape output
+    parity is each gate's own stream test."""
+    from jaws_effective_processor_spark.streaming import ingest
+
+    # pure decision function at the boundaries
+    assert ingest._exsub_gate_choice(10, 10, False) == "broadcast"
+    assert ingest._exsub_gate_choice(10, 10, True) == "broadcast"
+    assert ingest._exsub_gate_choice(11, 10, False) == "join"
+    assert ingest._exsub_gate_choice(11, 10, True) == "bloom"
+    assert ingest._exsub_gate_choice(0, 0, False) == "broadcast"
+
+    # delegation: the probe counts the REAL static frame and routes
+    # to the matching gate with the caller's frames/watermark
+    seen = []
+    monkeypatch.setattr(
+        ingest,
+        "exsub_gate_stream",
+        lambda d, g: seen.append(("broadcast", d)) or "B",
+    )
+    monkeypatch.setattr(
+        ingest,
+        "exsub_bloom_gate_stream",
+        lambda d, g: seen.append(("bloom", d)) or "F",
+    )
+    monkeypatch.setattr(
+        ingest,
+        "exsub_join_gate_stream",
+        lambda d, g, watermark: seen.append(("join", d, watermark))
+        or "J",
+    )
+    dup = spark.range(10).select(F.col("id").alias("gram_h"))
+    assert ingest.exsub_gate_auto("docs", dup, broadcast_max=10) == "B"
+    assert ingest.exsub_gate_auto("docs", dup, broadcast_max=9) == "J"
+    assert (
+        ingest.exsub_gate_auto(
+            "docs", dup, broadcast_max=9, allow_fp=True
+        )
+        == "F"
+    )
+    assert (
+        ingest.exsub_gate_auto(
+            "docs", dup, broadcast_max=9, watermark="5 minutes"
+        )
+        == "J"
+    )
+    assert seen[0][0] == "broadcast" and seen[1][0] == "join"
+    assert seen[2][0] == "bloom" and seen[3][2] == "5 minutes"
+
+
 def test_exsub_join_gate_matches_exact(spark, tmpdir):
     """The exploded-join ExactSubstr gate == the broadcast exact gate,
     per doc, THROUGH A REAL WATERMARKED STREAM: feed the sf0.001
