@@ -1096,6 +1096,38 @@ _register_llm()
 # all four member serve paths outright) + the two kmeans serve rows;
 # the r7-cohort rows re-greened r12 (best_of_source ...
 # unigram_surprisal) re-queue at r16 per EVIDENCE_AGE.
+# Round 14 rotation — drain the r9 cohort to zero (verdict item 2);
+# ship the serving default as a land-day row.
+# Composition:
+#   15 alarm-core keepers (every round).
+#    1 round-14 addition (land-day rule): ann_serve — the measured
+#      serving recommendation (kmeans, residual, single) shipped as
+#      the default entry point (verdict item 1); same builders and
+#      twin as ann_ivfpq_kmeans, checked the round it lands.
+#    0 REWRITTEN_SINCE_CHECK: no r14 change altered any registered
+#      query's output (the store-default flip and wrappers are
+#      streaming-side; route_arrow is an unregistered kernel).
+#   17 EVIDENCE_AGE: the ENTIRE 17-row r9-evidence cohort (5 rounds
+#      old at r14 — the verdict's drain list, multimodal_features at
+#      queue head per the r13 displacement).
+#   17 EVIDENCE_AGE: family-diverse picks from the 30-row r10 cohort
+#      (next-oldest; ANN serve/eval + PQ trainer/coder, dedup x3,
+#      quality x2, text/tokenizer x2, approx aggregates, star join,
+#      cube, MERGE, sessionization, nested projection).
+# After this window: zero r9 evidence remains; the r10 cohort
+# shrinks 30 -> 13 (ann_cell_balance, ann_pq_recall,
+# asof_last_purchase, customer_value_bands, event_funnel,
+# fuzzy_name_pairs, order_percentiles, parts_above_brand_avg,
+# parts_without_orders, pq_train_trace, range_copurchase,
+# scalar_functions, segment_custkeys_setops) and heads the r15
+# queue, with the 32-row r11 cohort behind it. Swapped-out
+# r13-greens all keep in-window siblings: the r8-cohort rows
+# re-greened r13 re-queue at r17 per EVIDENCE_AGE; the r13 ANN rows
+# (ann_ivfpq_kmeans, ann_ivfpq_spill_kmeans, ann_coarse_cost,
+# ann_kmeans_tuning, ann_residual_recall) are represented in-window
+# by ann_serve (the same kmeans-residual serve chain end-to-end)
+# plus the r10 ANN/PQ picks (ann_ivfpq, ann_recall, pq_train_round,
+# pq_quantize) re-greening the member family's machinery.
 _CHECK_FIRST = [
     # alarm pipeline keepers (S/P/J/A/T/E/W operator rows of SURVEY §2)
     "effective_alarms",
@@ -1113,55 +1145,47 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-13 additions — driver-checked the round they land (the
-    # trained-k-means coarse serve stack + the coarse build price +
-    # the tuning surface on the new serving default; the 4th land-day
-    # entry displaces the multimodal_features r9-cohort pick to the
-    # r14 queue head, the r12 bm25_search precedent)
-    "ann_ivfpq_kmeans",
-    "ann_ivfpq_spill_kmeans",
-    "ann_coarse_cost",
-    "ann_kmeans_tuning",
-    # REWRITTEN_SINCE_CHECK: the acceptance grid gained the coarse
-    # axis (4 -> 8 rows, new `coarse` column) in r13
-    "ann_residual_recall",
-    # EVIDENCE_AGE: the entire r8-evidence cohort (5 rounds old at
-    # r13 — the verdict's drain list, bm25_search at queue head per
-    # the r12 displacement)
-    "bm25_search",
-    "bpe_merge_round",
-    "bpe_pair_counts",
-    "dedup_keep",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_repetition",
-    "effective_alarms_nested",
-    "heavy_hitters",
-    "importance_resampling",
-    "kmeans_report",
-    "media_dedup_keep",
-    "media_neardup",
-    "minhash_calibration",
-    "mixture_rebalance",
-    "multimodal_frames",
-    "packed_token_ids",
-    "packing_report",
-    "pii_redact",
-    "quality_logit",
-    "rag_bucket_report",
-    "user_retention_cohorts",
-    # EVIDENCE_AGE: the 8 oldest-slot picks of the 24-row r9 cohort
-    # (the window holds 50; the remaining 16 r9 rows head the r14
-    # queue) — chosen for family diversity incl. the perf-watch
-    # embedding_neardup
-    "dedup_exact",
-    "dedup_clusters",
-    "doc_chunks",
-    "embedding_neardup",
-    "events_debounce",
-    "hard_negatives",
-    "knn_bruteforce",
+    # round-14 addition (land-day rule): the shipped serving default
+    "ann_serve",
+    # EVIDENCE_AGE: the entire r9-evidence cohort (the verdict's
+    # drain list, multimodal_features at queue head per the r13
+    # displacement)
+    "multimodal_features",
+    "customer_order_windows",
+    "distinct_counts",
+    "doc_fingerprint",
+    "event_type_pivot",
+    "event_type_unpivot",
+    "events_daily",
+    "json_array_functions",
+    "knn_ivf_multiprobe",
+    "knn_label_vote",
+    "lineitem_rollup",
+    "order_priority",
+    "pricing_summary",
+    "stratified_sample",
+    "text_stats",
+    "top_customers",
+    "vocab_topk",
+    # EVIDENCE_AGE: 17 family-diverse picks of the 30-row r10 cohort
+    # (the remaining 13 head the r15 queue)
+    "ann_ivfpq",
+    "ann_recall",
+    "pq_train_round",
+    "pq_quantize",
+    "bloom_dedup_gate",
+    "dedup_ngram_jaccard",
+    "semdedup_keep",
+    "gopher_quality",
+    "language_id",
+    "quality_score",
+    "vocab_coverage",
+    "approx_distinct",
+    "revenue_by_nation",
+    "lineitem_cube",
+    "merge_upsert",
+    "events_sessionization",
+    "effective_registrations_nested",
 ]
 
 
