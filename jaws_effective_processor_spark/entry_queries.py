@@ -409,6 +409,14 @@ def _register_llm() -> None:
         "curation_funnel", corpus.q_curation_funnel, osql.CURATION_FUNNEL_SQL
     )
     register("dedup_keep", corpus.q_dedup_keep, osql.DEDUP_KEEP_SQL)
+    # round-14 addition: the quality-aware keeper a production dedup
+    # pass actually ships (highest composite quality per near-dup
+    # component, not the arbitrary min-doc_id representative)
+    register(
+        "dedup_keep_best",
+        corpus.q_dedup_keep_best,
+        osql.DEDUP_KEEP_BEST_SQL,
+    )
     register(
         "source_quality_report",
         corpus.q_source_quality_report,
@@ -576,6 +584,14 @@ def _register_llm() -> None:
     )
     register(
         "ngram_lm_bits", tokenizer.q_ngram_lm_bits, osql.NGRAM_LM_BITS_SQL
+    )
+    # round-14 addition: CCNet's head/middle/tail perplexity terciles
+    # per language — the standard curation ACTION on the bigram-LM
+    # signal (Wenzek et al. 2020)
+    register(
+        "ccnet_buckets",
+        tokenizer.q_ccnet_buckets,
+        osql.CCNET_BUCKETS_SQL,
     )
     register(
         "minhash_band_stats",
@@ -1100,22 +1116,30 @@ _register_llm()
 # ship the serving default as a land-day row.
 # Composition:
 #   15 alarm-core keepers (every round).
-#    1 round-14 addition (land-day rule): ann_serve — the measured
+#    3 round-14 additions (land-day rule): ann_serve — the measured
 #      serving recommendation (kmeans, residual, single) shipped as
 #      the default entry point (verdict item 1); same builders and
-#      twin as ann_ivfpq_kmeans, checked the round it lands.
+#      twin as ann_ivfpq_kmeans — plus ccnet_buckets (the CCNet
+#      head/middle/tail perplexity terciles) and dedup_keep_best
+#      (the quality-aware cluster keeper); all checked the round
+#      they land. The 2 extra land-day entries displace the last two
+#      r10-cohort picks (events_sessionization,
+#      effective_registrations_nested) to the r15 queue head — the
+#      r12 bm25_search precedent.
 #    0 REWRITTEN_SINCE_CHECK: no r14 change altered any registered
 #      query's output (the store-default flip and wrappers are
 #      streaming-side; route_arrow is an unregistered kernel).
 #   17 EVIDENCE_AGE: the ENTIRE 17-row r9-evidence cohort (5 rounds
 #      old at r14 — the verdict's drain list, multimodal_features at
 #      queue head per the r13 displacement).
-#   17 EVIDENCE_AGE: family-diverse picks from the 30-row r10 cohort
+#   15 EVIDENCE_AGE: family-diverse picks from the 30-row r10 cohort
 #      (next-oldest; ANN serve/eval + PQ trainer/coder, dedup x3,
 #      quality x2, text/tokenizer x2, approx aggregates, star join,
-#      cube, MERGE, sessionization, nested projection).
+#      cube, MERGE).
 # After this window: zero r9 evidence remains; the r10 cohort
-# shrinks 30 -> 13 (ann_cell_balance, ann_pq_recall,
+# shrinks 30 -> 15 (events_sessionization,
+# effective_registrations_nested at queue head per the land-day
+# displacement, then ann_cell_balance, ann_pq_recall,
 # asof_last_purchase, customer_value_bands, event_funnel,
 # fuzzy_name_pairs, order_percentiles, parts_above_brand_avg,
 # parts_without_orders, pq_train_trace, range_copurchase,
@@ -1145,8 +1169,11 @@ _CHECK_FIRST = [
     "registration_scd2",
     "incremental_effective_alarms",
     "alarm_snapshot_cdc",
-    # round-14 addition (land-day rule): the shipped serving default
+    # round-14 additions (land-day rule): the shipped serving
+    # default + the CCNet bucketing action + the quality-aware keeper
     "ann_serve",
+    "ccnet_buckets",
+    "dedup_keep_best",
     # EVIDENCE_AGE: the entire r9-evidence cohort (the verdict's
     # drain list, multimodal_features at queue head per the r13
     # displacement)
@@ -1184,8 +1211,6 @@ _CHECK_FIRST = [
     "revenue_by_nation",
     "lineitem_cube",
     "merge_upsert",
-    "events_sessionization",
-    "effective_registrations_nested",
 ]
 
 

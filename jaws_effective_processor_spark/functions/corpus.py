@@ -1188,6 +1188,49 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup retention set: keep the HIGHEST-quality
+    member of each MinHash-LSH near-dup component (composite quality
+    score DESC, doc_id ASC tie-break) plus every unpaired document —
+    what a production dedup pass actually ships, vs q_dedup_keep's
+    arbitrary min-doc_id representative: near-dup clusters routinely
+    mix a clean original with truncated/boilerplate-wrapped copies,
+    and keeping by cluster id keeps whichever crawled first. The
+    score is the shared exact-integer QUALITY_EXPR_T (both engines
+    agree at bucket boundaries), so the winner choice is
+    deterministic cross-engine.
+
+    Scale shape: the component labels are the session-cached
+    artifact (_minhash_components); cluster MEMBERS are scored by
+    one documents scan joined to the broadcast label set, ranked by
+    ONE window over cluster_id — an exchange of member rows only,
+    never the corpus — and the loser ids AQE-broadcast LEFT ANTI
+    against a second scan-local scoring pass. The corpus itself is
+    never shuffled (the q_dedup_keep anti-join stance); the price
+    over q_dedup_keep is one extra scan + the members-only window."""
+    from pyspark.sql import Window
+
+    from .text import QUALITY_EXPR_T, quality_stat_columns
+
+    comp = _minhash_components(spark, sf_dir)
+    score = F.expr(f"CAST({QUALITY_EXPR_T.format(d='DIV')} AS BIGINT)")
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", *quality_stat_columns())
+        .select("doc_id", "lang", score.alias("quality_score"))
+    )
+    members = scored.join(comp, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    dropped = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    return scored.join(dropped, "doc_id", "left_anti")
+
+
 def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-crawl-source curation dashboard: doc/token mass, mean
     quality score, exact-duplicate rate, and contamination rate — the

@@ -319,3 +319,79 @@ def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head / middle / tail TERCILES of
+    bigram-LM mean surprisal — the standard curation action on top
+    of the q_ngram_lm_bits signal (CCNet keeps head+middle and drops
+    or down-weights tail; the per-bucket report here is the decision
+    artifact). Deterministic across engines: the per-doc score is
+    the exact-integer floor-log2 surprisal (no libm), and the
+    tercile assignment is ntile(3) over the fully-tied-broken
+    (mean_millibits, doc_id) ordering, so both engines place every
+    doc in the same bucket. Docs under 2 tokens have no bigrams and
+    are excluded, exactly like q_ngram_lm_bits.
+
+    Output per (lang, bucket): doc count, total bigrams, and the
+    bucket's observed millibit range — head's max <= middle's min <=
+    tail's min by construction.
+
+    Scale shape: q_ngram_lm_bits' one pair-explode + broadcast
+    lookups + doc aggregation, then ONE ntile window partitioned by
+    lang (the per-language sort a real CCNet shard pass does) and a
+    final few-row (lang, bucket) aggregation on the same exchange's
+    output. The LM tables are the session-cached corpus artifacts —
+    built once per snapshot, read here."""
+    docs = spread_if_undersplit(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    staged = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("_tk")
+    ).filter(F.size("_tk") >= 2)
+    per_pair = staged.select(
+        "doc_id", "lang", F.explode(_adjacent_pairs(F.col("_tk"))).alias("p")
+    ).select("doc_id", "lang", "p.left", "p.right")
+    pairs = _pair_count_table(spark, sf_dir).select(
+        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+    marg = _left_marginal(spark, sf_dir)
+
+    def bits(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    per_doc = (
+        per_pair.join(pairs, ["left", "right"])
+        .join(marg, "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits(F.col("left_n")) - bits(F.col("n_pairs")))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("(1000 * surprisal_bits) DIV n_bigrams").alias(
+                "mean_millibits"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("mean_millibits", "doc_id")
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return (
+        per_doc.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("mean_millibits").alias("min_millibits"),
+            F.max("mean_millibits").alias("max_millibits"),
+        )
+    )

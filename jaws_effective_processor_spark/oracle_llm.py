@@ -1227,6 +1227,56 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+# Twin of q_dedup_keep_best: the same recursive component CTE, the
+# same exact-integer composite quality score (QUALITY_EXPR_T with
+# DuckDB's // division), winner per cluster by
+# (quality_score DESC, doc_id) — replayed entirely in SQL so the
+# hash match proves both the clustering and the winner rule.
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_LSH_SQL}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.doc_b, w.lab
+  FROM walk w JOIN edges e ON w.node = e.doc_a
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+scored AS (
+  SELECT doc_id, lang, CAST({_Q} AS BIGINT) AS quality_score
+  FROM (
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(tk, t -> t IN ({_STOP_LIST}))) AS BIGINT)
+             AS n_stopwords,
+           CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+             AS tok_chars
+    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+          FROM documents) t0
+  ) t1
+),
+ranked AS (
+  SELECT s.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.quality_score DESC, s.doc_id)
+           AS rn
+  FROM scored s JOIN comp c ON s.doc_id = c.node
+),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT doc_id, lang, quality_score FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 # Twin of q_embedding_quantize: identical IEEE expression tree,
 # floor quantization, integer micro-unit scale
 # Twin of q_dsir_weights: same hashed-bucket counts over the shared
@@ -4171,6 +4221,62 @@ agg AS (
 SELECT doc_id, n_bigrams, surprisal_bits,
        (1000 * surprisal_bits) // n_bigrams AS mean_millibits
 FROM agg
+"""
+
+# Twin of q_ccnet_buckets: the bigram-LM chain with lang carried
+# through, per-language ntile(3) over the identical fully-tie-broken
+# (mean_millibits, doc_id) ordering, folded to the per-bucket report.
+CCNET_BUCKETS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+dp AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+  FROM t
+),
+dpx AS (
+  SELECT doc_id, lang, pr.l AS l, pr.r AS r FROM dp
+),
+c AS (
+  SELECT l, r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dpx GROUP BY l, r
+),
+marg AS (
+  SELECT l, CAST(sum(n_pairs) AS BIGINT) AS left_n FROM c GROUP BY l
+),
+per_doc AS (
+  SELECT dpx.doc_id, dpx.lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(length(bin(marg.left_n)) AS BIGINT)
+                  - CAST(length(bin(c.n_pairs)) AS BIGINT)) AS BIGINT)
+           AS surprisal_bits
+  FROM dpx
+  JOIN c ON dpx.l = c.l AND dpx.r = c.r
+  JOIN marg ON dpx.l = marg.l
+  GROUP BY dpx.doc_id, dpx.lang
+),
+scored AS (
+  SELECT doc_id, lang, n_bigrams,
+         (1000 * surprisal_bits) // n_bigrams AS mean_millibits
+  FROM per_doc
+),
+bucketed AS (
+  SELECT lang, n_bigrams, mean_millibits,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_millibits, doc_id) AS b
+  FROM scored
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       min(mean_millibits) AS min_millibits,
+       max(mean_millibits) AS max_millibits
+FROM bucketed GROUP BY lang, b
 """
 
 # Twin of q_minhash_band_stats: the band CTE chain folded to the

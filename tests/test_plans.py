@@ -89,7 +89,9 @@ _SHUFFLE_BUDGETS = {
     "dedup_cluster_sizes": 2,
     "dedup_clusters": 0,
     "dedup_exact": 1,
+    "ccnet_buckets": 2,  # bigram doc agg + per-lang ntile window (lookups broadcast, LM tables cached)
     "dedup_keep": 2,
+    "dedup_keep_best": 3,  # members-only cluster window + scoring scans; corpus never shuffles
     "dedup_minhash_lsh": 1,
     "dedup_ngram_jaccard": 0,
     "dedup_normalized": 1,

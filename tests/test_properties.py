@@ -1112,6 +1112,87 @@ def test_tombstone_through_compaction_matches_dict_replay(spark, log):
         assert row["action"] == last_op[name]
 
 
+def test_ccnet_buckets_structure(spark):
+    """q_ccnet_buckets semantics beyond the oracle hash: per
+    language the three buckets PARTITION the >=2-token docs with
+    ntile's balanced sizes (within 1 of each other), and the
+    millibit ranges are ordered head <= middle <= tail (equality
+    allowed — ties split across bucket boundaries)."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        (r["lang"], r["bucket"]): r
+        for r in QUERIES["ccnet_buckets"](spark, SF_ORACLE).collect()
+    }
+    assert rows
+    langs = {lang for lang, _ in rows}
+    n_docs_lm = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang in langs:
+        b = {k: rows[(lang, k)] for k in ("head", "middle", "tail")}
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert sum(sizes) == n_docs_lm[lang], (lang, sizes)
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)  # ntile
+        assert (
+            b["head"]["min_millibits"]
+            <= b["head"]["max_millibits"]
+            <= b["middle"]["min_millibits"]
+            <= b["middle"]["max_millibits"]
+            <= b["tail"]["min_millibits"]
+            <= b["tail"]["max_millibits"]
+        ), (lang, b)
+
+
+def test_dedup_keep_best_picks_max_quality(spark):
+    """q_dedup_keep_best semantics beyond the oracle hash: exactly
+    one keeper per near-dup component (same retention COUNT as
+    q_dedup_keep), and every keeper is its component's
+    (quality DESC, doc_id ASC) maximum — recomputed independently
+    from the clusters report + the quality scores."""
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.tables import load_table
+
+    kept = {
+        r["doc_id"]: r["quality_score"]
+        for r in QUERIES["dedup_keep_best"](spark, SF_ORACLE).collect()
+    }
+    baseline = QUERIES["dedup_keep"](spark, SF_ORACLE).count()
+    assert len(kept) == baseline  # one per component either way
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, SF_ORACLE).collect()
+    }
+    score = {
+        r["doc_id"]: r["quality_score"]
+        for r in QUERIES["quality_score"](spark, SF_ORACLE).collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        winner = min(ds, key=lambda d: (-score[d], d))
+        for d in ds:
+            assert (d in kept) == (d == winner), (c, d, winner)
+            if d in kept:
+                assert kept[d] == score[d]
+    # unpaired docs are all kept
+    unpaired_kept = set(kept) - set(comp)
+    total_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert len(unpaired_kept) == total_docs - len(comp)
+
+
 def test_large_k_routing_matches_window_ranking(spark):
     """The 100 TB large-K serve-routing demonstration (r13 verdict
     item 3): cell assignment AND nprobe probe routing run through the
