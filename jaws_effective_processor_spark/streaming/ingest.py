@@ -497,6 +497,151 @@ def exsub_gate_auto(
     return exsub_join_gate_stream(docs, dup_grams, watermark=watermark)
 
 
+def ccnet_thresholds(spark, sf_dir: str) -> list:
+    """(lang, head_max_millibits, middle_max_millibits) rows off the
+    batch bucketing — the CONFIG-SIZED artifact (one row per
+    language) a CCNet deployment freezes at snapshot time and applies
+    to every arriving doc until the next snapshot. The K-row collect
+    is the codebook-load class (like load_kmeans_artifacts)."""
+    from ..functions.tokenizer import q_ccnet_buckets
+
+    per: dict = {}
+    for r in q_ccnet_buckets(spark, sf_dir).collect():
+        per.setdefault(r["lang"], {})[r["bucket"]] = r["max_millibits"]
+    return [
+        (lang, int(b["head"]), int(b["middle"]))
+        for lang, b in sorted(per.items())
+    ]
+
+
+def ccnet_gate_stream(
+    docs: DataFrame,
+    pair_table: DataFrame,
+    thresholds: list,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming CCNet gate: score each arriving document's bigram-LM
+    mean surprisal against the STATIC corpus-snapshot LM and bucket
+    it by the FROZEN per-language tercile thresholds
+    (ccnet_thresholds) — how CCNet actually deploys: terciles are
+    computed once per snapshot, then applied as plain thresholds at
+    ingest. Emits the doc columns + (n_bigrams, mean_millibits,
+    bucket) per arriving doc.
+
+    Shape: the exsub_join_gate_stream pattern — each doc explodes to
+    its adjacent bigrams (a sentinel row keeps sub-2-token docs
+    present), LEFT-joins the pair table and its left marginal as
+    stream-static equi-joins (the LM is corpus-vocab-sized — never
+    collected, never broadcast-assumed), then ONE watermarked
+    (doc_id, ingest_ts) regroup sums the exact-integer floor-log2
+    costs. The thresholds inline as a literal CASE (config-sized).
+
+    Disclosed semantics at the edges (each pinned in
+    test_ccnet_gate_matches_batch):
+    - a bigram ABSENT from the snapshot LM (novel text) costs the
+      UNK ceiling bits(total corpus bigrams) — the max-surprisal
+      backoff, so novel-heavy docs rank tail-ward, never head-ward;
+      replayed corpus docs have no unknown bigrams, so their
+      mean_millibits equal the batch report's exactly;
+    - a doc whose mean lands EXACTLY on a tercile boundary buckets
+      to the LOWER bucket (mb <= head_max -> head), whereas the
+      batch ntile may split such ties positionally — the only
+      bucket-disagreement class possible for replayed docs;
+    - docs under 2 tokens (batch: excluded) emit bucket 'short'
+      with NULL mean; docs in a language the snapshot never saw
+      emit 'unknown_lang' rather than silently inheriting another
+      language's thresholds."""
+    from ..functions.tokenizer import _adjacent_pairs
+
+    marg = pair_table.groupBy("left").agg(
+        F.sum("n_pairs").cast("long").alias("left_n")
+    )
+    total = int(
+        pair_table.agg(F.sum("n_pairs").cast("long").alias("t"))
+        .collect()[0]["t"]
+        or 0
+    )
+    unk_bits = max(total.bit_length(), 1)
+
+    tk = F.split(F.col("text"), " ")
+    staged = docs.select("*", tk.alias("_tk"))
+    real = F.when(
+        F.size("_tk") >= 2, _adjacent_pairs(F.col("_tk"))
+    ).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>")
+    )
+    # sentinel (NULL, NULL) bigram keeps every doc present through
+    # the explode + regroup (the exsub join-gate discipline); its
+    # cost is excluded by the _real flag
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("left"),
+            F.lit(None).cast("string").alias("right"),
+        )
+    )
+    exploded = staged.select(
+        *docs.columns,
+        F.explode(F.concat(sentinel, real)).alias("_p"),
+    ).select(
+        *docs.columns,
+        F.col("_p.left").alias("left"),
+        F.col("_p.right").alias("right"),
+        F.col("_p.left").isNotNull().alias("_real"),
+    )
+    pt = pair_table.select(
+        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+    joined = exploded.join(pt, ["left", "right"], "left").join(
+        marg, "left", "left"
+    )
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    cost = F.when(~F.col("_real"), F.lit(None).cast("long")).otherwise(
+        F.when(
+            F.col("n_pairs").isNotNull() & F.col("left_n").isNotNull(),
+            bits(F.col("left_n")) - bits(F.col("n_pairs")),
+        ).otherwise(F.lit(unk_bits).cast("long"))
+    )
+    other_cols = [
+        c for c in docs.columns if c not in ("doc_id", "ingest_ts")
+    ]
+    agg = (
+        joined.withColumn("_cost", cost)
+        .withWatermark("ingest_ts", watermark)
+        .groupBy("doc_id", "ingest_ts")
+        .agg(
+            *[F.first(c).alias(c) for c in other_cols],
+            F.sum(F.when(F.col("_real"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.sum("_cost").cast("long").alias("_bits"),
+        )
+    )
+    mb = F.when(
+        F.col("n_bigrams") > 0,
+        F.expr("(1000 * _bits) DIV n_bigrams"),
+    ).cast("long")
+    # frozen thresholds as a literal CASE chain, one branch per lang
+    bucket = F.when(F.col("n_bigrams") == 0, F.lit("short"))
+    for lang, head_max, middle_max in thresholds:
+        bucket = bucket.when(
+            F.col("lang") == lang,
+            F.when(
+                F.col("mean_millibits") <= head_max, F.lit("head")
+            )
+            .when(
+                F.col("mean_millibits") <= middle_max, F.lit("middle")
+            )
+            .otherwise(F.lit("tail")),
+        )
+    bucket = bucket.otherwise(F.lit("unknown_lang"))
+    return agg.withColumn("mean_millibits", mb).select(
+        *docs.columns,
+        "n_bigrams",
+        "mean_millibits",
+        bucket.alias("bucket"),
+    )
+
+
 def start_ingest_shards(
     docs: DataFrame,
     path: str,

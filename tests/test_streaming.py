@@ -696,6 +696,116 @@ def test_exsub_join_gate_matches_exact(spark, tmpdir):
     assert got
 
 
+def test_ccnet_gate_matches_batch(spark, tmpdir):
+    """Streaming CCNet gate vs the batch bucketing, THROUGH A REAL
+    WATERMARKED STREAM (the exsub join-gate harness: batch0 corpus +
+    far-future flush doc at max_files=1): replayed corpus docs'
+    mean_millibits equal the batch per-doc scores EXACTLY (no
+    unknown bigrams on a replay), buckets agree except the disclosed
+    boundary class (a doc whose mean equals a tercile boundary
+    buckets LOWER under thresholds while ntile may split the tie
+    positionally — any disagreement must sit exactly ON the
+    boundary between the two buckets), sub-2-token docs emit
+    'short', and the flush doc's unseen language emits
+    'unknown_lang' (its 'flush doc' bigram is also a novel pair,
+    exercising the UNK ceiling)."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.tokenizer import (
+        _pair_count_table,
+    )
+    from jaws_effective_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    docs = load_table(spark, sf, "documents")
+    feed = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(t0).alias("ingest_ts")
+    )
+    src = os.path.join(tmpdir, "ccnet_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    flush = spark.createDataFrame(
+        [(-1, "flush doc", "zz", "flush",
+          t0 + datetime.timedelta(days=30))],
+        ingest.DOC_FEED_SCHEMA,
+    )
+    flush.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    stream = rules.dir_stream(
+        spark, f"{src}/*", ingest.DOC_FEED_SCHEMA, max_files=1
+    )
+    th = ingest.ccnet_thresholds(spark, sf)
+    assert th and all(h <= m for _, h, m in th)
+    name = f"ccnet_{uuid.uuid4().hex[:8]}"
+    rules.run_to_memory(
+        ingest.ccnet_gate_stream(
+            stream, _pair_count_table(spark, sf), th
+        ),
+        name,
+        os.path.join(tmpdir, "ccnet_ckpt"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_millibits"], r["bucket"])
+        for r in _memory_table(spark, name).collect()
+    }
+    assert got
+    # the flush doc's OWN group stays open (nothing later advances
+    # the watermark past it) — append mode emits batch0 only
+    assert -1 not in got
+    # unseen-lang + novel-bigram (UNK ceiling) semantics, via the
+    # same gate run as a batch query (watermark no-op), like the
+    # exsub exact-gate parity pattern
+    fl = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_millibits"], r["bucket"])
+        for r in ingest.ccnet_gate_stream(
+            flush, _pair_count_table(spark, sf), th
+        ).collect()
+    }[-1]
+    assert fl[0] == 1 and fl[1] is not None and fl[2] == "unknown_lang"
+
+    # batch per-doc scores + tie-splitting ntile buckets
+    lm = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_millibits"])
+        for r in QUERIES["ngram_lm_bits"](spark, sf).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    bounds = {lang: (h, m) for lang, h, m in th}
+    # recompute the batch ntile assignment per doc for comparison
+    from pyspark.sql import Window
+
+    per_doc = (
+        QUERIES["ngram_lm_bits"](spark, sf)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "b",
+            F.ntile(3).over(
+                Window.partitionBy("lang").orderBy(
+                    "mean_millibits", "doc_id"
+                )
+            ),
+        )
+    )
+    batch_bucket = {
+        r["doc_id"]: ["head", "middle", "tail"][r["b"] - 1]
+        for r in per_doc.collect()
+    }
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for d, (nb, mb, bucket) in got.items():
+        if d not in lm:  # sub-2-token doc: excluded by batch
+            assert nb == 0 and mb is None and bucket == "short", (d, got[d])
+            continue
+        assert (nb, mb) == lm[d], (d, got[d], lm[d])
+        if bucket != batch_bucket[d]:
+            # only the disclosed boundary class may disagree, and
+            # thresholds always choose the LOWER bucket of the two
+            h, m = bounds[langs[d]]
+            assert order[bucket] < order[batch_bucket[d]], (d, bucket)
+            assert mb in (h, m), (d, mb, h, m)
+
+
 def test_vector_ingest_pq_codes_match_batch(spark, tmpdir):
     """With a PQ codebook, the streaming ingest lands the SAME packed
     code the batch coder assigns (shared with_pq_codes expressions,
