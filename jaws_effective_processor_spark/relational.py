@@ -901,10 +901,16 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs comparison."""
     from .functions.dedup import _cached_frame
     from .operators.fuzzy import edit_distance_pairs
+    from .tables import spread_if_undersplit
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name"
-    )
+    # the variant build is CPU-heavy per-row work (len(s)+1 substring
+    # constructions + xxhash each) — spread the undersplit local scan
+    # so it doesn't serialize on a few cores (measured r14: the build
+    # stage ran 7 tasks on 32 cores at sf0.1; at real scale the scan
+    # has thousands of splits and this branch disappears)
+    cust = spread_if_undersplit(
+        spark, load_table(spark, sf_dir, "customer")
+    ).select("c_custkey", "c_name")
     return edit_distance_pairs(
         cust,
         "c_custkey",
