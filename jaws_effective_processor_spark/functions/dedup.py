@@ -272,7 +272,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     values) would be a per-language near-cartesian product: ~60x
     slower at sf0.1 and quadratic-per-key at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # the verify work (array_intersect/union over token arrays per
+    # candidate pair) runs at probe-side scan parallelism when the
+    # build side broadcasts — spread the undersplit local scan so it
+    # doesn't serialize on one split (measured r14: 1-task stages at
+    # sf0.1, 0.87 -> ~0.5 s warm; no-op at real scale)
+    docs = spread_if_undersplit(
+        spark, load_table(spark, sf_dir, "documents")
+    )
     t = docs.select("doc_id", "lang", "n_chars", _toks().alias("tk"))
     a = t.alias("a")
     # each (a,b) pair with |delta|<=2 matches exactly one offset -> no dupes
