@@ -111,6 +111,13 @@ EDGE_QUERIES = (
     "importance_resampling",
     "quality_calibration",
     "dsir_weights",
+    # round-14 operators: ccnet_buckets over languages with FEWER
+    # than 3 scoreable docs (fr/zh have 1 each — ntile hands out
+    # buckets 1..n_docs, so some names are absent; the empty-bucket
+    # edge is where engine ntile semantics would diverge) and the
+    # quality-aware keeper over the exact-dup pair + unpaired docs
+    "ccnet_buckets",
+    "dedup_keep_best",
     # round-11 operators: every shared run in the edge corpus (the
     # 4-token exact-dup pair 6/7, the 3-token overlap 50/51) is
     # BELOW the EXSUB_K window, so the spans report must be EMPTY on
