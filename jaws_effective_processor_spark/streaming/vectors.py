@@ -1083,6 +1083,61 @@ def start_knn_store_server(
     return writer.start()
 
 
+def start_ann_store_server(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = False,
+    available_now: bool = False,
+):
+    """Continuous serving for THE shipped ANN default — the closed
+    loop over start_ann_store's landed index: each query micro-batch
+    runs ann_topk_against_store (trained-k-means routing, residual
+    ADC shortlist, candidates-only exact refine — the measured
+    (kmeans, residual, single) recommendation) and lands answers
+    under out_path. Completes the default's deployment story:
+    ingest = start_ann_store, batch serve = ann_topk_against_store /
+    q_ann_serve, continuous serve = THIS. The raw-knn server
+    (start_knn_store_server) stays as the member-vector variant.
+
+    `exclude_self` defaults False: a query stream is its OWN id
+    domain (the knn_query_stream stance — a corpus vector whose
+    vec_id equals a query_id is a legitimate neighbor); pass True
+    when replaying corpus vectors as queries, as the parity test
+    does to diff against q_ann_serve.
+
+    Same idempotent per-batch-overwrite discipline as the raw
+    server: foreachBatch replays the last uncommitted batch after a
+    restart, and a blind append would duplicate those answers.
+    Round-trip parity vs q_ann_serve pinned by
+    test_default_ann_store_server_round_trip."""
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        ann_topk_against_store(
+            spark,
+            sf_dir,
+            batch_df,
+            store_path,
+            k=k,
+            nprobe=nprobe,
+            exclude_self=exclude_self,
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    writer = (
+        queries.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 QUERY_FEED_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType()),

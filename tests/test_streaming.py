@@ -2614,3 +2614,87 @@ def test_default_ann_store_serve_matches_batch(spark, tmpdir):
     }
     assert served == batch
     assert served
+
+
+def test_default_ann_store_server_round_trip(spark, tmpdir):
+    """The CONTINUOUS half of the shipped default (r14): a query
+    STREAM served by start_ann_store_server against a
+    start_ann_store index lands, across its per-batch output
+    directories, exactly q_ann_serve's rows — ingest, batch serve,
+    and continuous serve all pinned to the same measured
+    configuration. Queries arrive split across TWO micro-batches
+    (max_files=1) so the per-batch overwrite discipline and
+    cross-batch union are both exercised."""
+    import datetime
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "srv_feed")
+    feed.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    store = os.path.join(tmpdir, "srv_store")
+    sv.start_ann_store(
+        spark,
+        sf,
+        rules.dir_stream(spark, f"{src}/*", sv.VEC_FEED_SCHEMA),
+        store,
+        os.path.join(tmpdir, "srv_ckpt"),
+        available_now=True,
+    ).awaitTermination()
+
+    qsrc = os.path.join(tmpdir, "srv_queries")
+    qfeed = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+    half = N_QUERIES // 2
+    qfeed.filter(F.col("query_id") < half).coalesce(1).write.parquet(
+        os.path.join(qsrc, "batch0")
+    )
+    qfeed.filter(F.col("query_id") >= half).coalesce(1).write.parquet(
+        os.path.join(qsrc, "batch1")
+    )
+    out = os.path.join(tmpdir, "srv_out")
+    sv.start_ann_store_server(
+        spark,
+        sf,
+        rules.dir_stream(
+            spark, f"{qsrc}/*", sv.QUERY_FEED_SCHEMA, max_files=1
+        ),
+        store,
+        out,
+        os.path.join(tmpdir, "srv_out_ckpt"),
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+        exclude_self=True,  # queries ARE corpus vectors here
+        available_now=True,
+    ).awaitTermination()
+
+    served = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("query_id", "neighbor_id", "rank", "cos_permyriad")
+        .collect()
+    }
+    batch = {
+        tuple(r) for r in QUERIES["ann_serve"](spark, sf).collect()
+    }
+    assert served == batch
+    assert served
