@@ -1270,6 +1270,72 @@ def test_large_k_routing_matches_window_ranking(spark):
     }
 
 
+def test_route_arrow_random_and_ties(spark, monkeypatch):
+    """route_arrow vs an independent numpy reference on seeded random
+    fixtures, plus the exact-tie rule: (1) across random draws the
+    kernel's full (cell, dist_sq, rn) ranking equals a brute-force
+    lexicographic (dist, cid) sort, under a forced tiny k_block so
+    the cross-block top-p merge is live; (2) DUPLICATE centroids
+    (exact distance ties) rank in ascending cid order — the
+    tie-break every cross-engine parity pin leans on."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    import jaws_effective_processor_spark.functions.clustering as cl
+
+    monkeypatch.setattr(cl, "ASSIGN_ARROW_K_BLOCK", 5)
+
+    def run_case(seed, n, k, dims, nprobe, with_ties):
+        rng = np.random.RandomState(seed)
+        X = rng.uniform(-1, 1, size=(n, dims)).astype(np.float64)
+        cm = rng.randint(-1_000_000, 1_000_000, size=(k, dims))
+        if with_ties:
+            cm[1] = cm[0]  # cids 0 and 1 equidistant from everything
+            cm[k - 1] = cm[k - 2]
+        cent_rows = [
+            {"cid": c, "dim": d, "cm": int(cm[c, d])}
+            for c in range(k)
+            for d in range(dims)
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(n), pa.int64()),
+                        "embedding": pa.array(
+                            [list(map(float, row)) for row in X],
+                            pa.list_(pa.float64()),
+                        ),
+                    }
+                ),
+                f"{td}/emb.parquet",
+            )
+            emb = spark.read.parquet(f"{td}/emb.parquet")
+            got = {
+                (r["vec_id"], r["rn"]): (r["cell"], r["dist_sq"])
+                for r in cl.route_arrow(emb, cent_rows, nprobe).collect()
+            }
+        Xm = np.floor(X * cl.KMEANS_MICRO).astype(np.int64)
+        for v in range(n):
+            d = ((Xm[v][None, :] - cm) ** 2).sum(axis=1)
+            order = sorted(range(k), key=lambda c: (d[c], c))[:nprobe]
+            for rn, c in enumerate(order, 1):
+                assert got[(v, rn)] == (c, int(d[c])), (seed, v, rn)
+        return got
+
+    for seed in (0, 1, 2):
+        run_case(seed, n=7, k=13, dims=8, nprobe=4, with_ties=False)
+    # exact ties: duplicated centroid pairs must rank smaller-cid
+    # first, and both members of a pair appear at adjacent ranks
+    got = run_case(9, n=5, k=6, dims=4, nprobe=6, with_ties=True)
+    for v in range(5):
+        ranking = [got[(v, rn)][0] for rn in range(1, 7)]
+        assert ranking.index(0) < ranking.index(1)
+        assert ranking.index(4) < ranking.index(5)
+
+
 def test_assign_arrow_multiblock_matches_single(spark, monkeypatch):
     """assign_arrow's blockwise K loop: forcing k_block=3 (several
     blocks over the K=8 codebook, exercising the cross-block running
