@@ -451,6 +451,41 @@ def start_vector_shards(
     return writer.start()
 
 
+def compact_vector_shards(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Compact a landed cell-partitioned vector store (the per-
+    microbatch files start_vector_shards / start_ann_store
+    accumulate — a file sink cannot re-cluster across triggers)
+    back into one bounded file set per cell directory — the
+    vector-store twin of sources.io.compact_corpus_shards, and the
+    periodic maintenance job an IVF deployment actually runs: a
+    probe reads its WHOLE cell directory, so probe cost at serve
+    time is (files x open cost + rows), and a day of micro-batches
+    multiplies the file term a few hundredfold while rows stay flat.
+
+    Reads the partitioned layout (cell comes back as the partition
+    column), re-clusters with repartition(cell), restores
+    within-file vec_id order (tight parquet min/max stats for any
+    vec_id-keyed lookup), and rewrites with bounded file sizes.
+    Compaction changes file geometry, never rows — and therefore
+    never answers: pinned by test_compact_vector_shards_preserves_serving
+    (row-set identity AND served top-k identity across the rewrite).
+    Run it per hot cell subtree in production."""
+    df = spark.read.parquet(path)
+    (
+        df.repartition("cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 def _dequant_store(store: DataFrame) -> DataFrame:
     """Reconstruct servable vectors from the landed quantized layout:
     v[i] ~= q[i] * scale_micro / 1e6. Both serving paths (pruned and

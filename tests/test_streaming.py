@@ -2616,6 +2616,93 @@ def test_default_ann_store_serve_matches_batch(spark, tmpdir):
     assert served
 
 
+def test_compact_vector_shards_preserves_serving(spark, tmpdir):
+    """The ANN store compactor: land the default store across
+    MULTIPLE micro-batches (max_files=1 -> several files per cell
+    directory), compact, and pin (1) row-set identity, (2) fewer
+    data files, (3) IDENTICAL served answers from the compacted
+    store — compaction changes file geometry, never answers."""
+    import datetime
+    import glob as globmod
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from jaws_effective_processor_spark.streaming import vectors as sv
+
+    sf = "/root/testdata/sf0.001"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("ingest_ts", F.lit(t0))
+        .select("vec_id", "embedding", "label", "ingest_ts")
+    )
+    src = os.path.join(tmpdir, "cmp_feed")
+    # three micro-batches -> at least three files in any shared cell
+    for i in range(3):
+        feed.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+    store = os.path.join(tmpdir, "cmp_store")
+    sv.start_ann_store(
+        spark,
+        sf,
+        rules.dir_stream(
+            spark, f"{src}/*", sv.VEC_FEED_SCHEMA, max_files=1
+        ),
+        store,
+        os.path.join(tmpdir, "cmp_ckpt"),
+        available_now=True,
+    ).awaitTermination()
+
+    compacted = os.path.join(tmpdir, "cmp_store_c")
+    sv.compact_vector_shards(spark, store, compacted)
+
+    def files(p):
+        return [
+            f
+            for f in globmod.glob(f"{p}/**/*.parquet", recursive=True)
+            if "_spark_metadata" not in f
+        ]
+
+    assert len(files(compacted)) < len(files(store))
+    before = {
+        tuple(r) for r in spark.read.parquet(store).collect()
+    }
+    after = {
+        tuple(r) for r in spark.read.parquet(compacted).collect()
+    }
+    assert before == after and before
+
+    queries = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.lit(t0).alias("query_ts"),
+        )
+    )
+
+    def serve(p):
+        return {
+            tuple(r)
+            for r in sv.ann_topk_against_store(
+                spark,
+                sf,
+                queries,
+                p,
+                k=TOP_K,
+                nprobe=IVF_NPROBE,
+                exclude_self=True,
+            ).collect()
+        }
+
+    assert serve(compacted) == serve(store)
+
+
 def test_default_ann_store_server_round_trip(spark, tmpdir):
     """The CONTINUOUS half of the shipped default (r14): a query
     STREAM served by start_ann_store_server against a
