@@ -565,10 +565,11 @@ def test_kmeans_coarse_exact_stage_candidates_only(spark):
     from jaws_effective_processor_spark.functions.similarity import (
         q_ann_ivfpq_kmeans,
         q_ann_ivfpq_spill_kmeans,
+        q_ann_serve,
     )
     from jaws_effective_processor_spark.plans import broadcast_subtrees
 
-    for fn in (q_ann_ivfpq_kmeans, q_ann_ivfpq_spill_kmeans):
+    for fn in (q_ann_ivfpq_kmeans, q_ann_ivfpq_spill_kmeans, q_ann_serve):
         df = fn(spark, SF_SMOKE)
         plan = explain_str(df)
         subs = broadcast_subtrees(df)
