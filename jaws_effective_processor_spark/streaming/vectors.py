@@ -456,6 +456,7 @@ def compact_vector_shards(
     path: str,
     out_path: str,
     max_records_per_file: int = 1_000_000,
+    drop_vec_ids: list | None = None,
 ) -> None:
     """Compact a landed cell-partitioned vector store (the per-
     microbatch files start_vector_shards / start_ann_store
@@ -474,8 +475,23 @@ def compact_vector_shards(
     Compaction changes file geometry, never rows — and therefore
     never answers: pinned by test_compact_vector_shards_preserves_serving
     (row-set identity AND served top-k identity across the rewrite).
-    Run it per hot cell subtree in production."""
+    Run it per hot cell subtree in production.
+
+    `drop_vec_ids` turns the same rewrite into the store's DELETE
+    path (removal requests — the one mutation an append-only
+    file-sink index cannot express in place): the listed vectors'
+    rows (ALL their assignment rows, on a spill store) are filtered
+    out during the rewrite, so the compacted store serves as if
+    they were never ingested — a deleted vector cannot appear as a
+    neighbor, because serve-path candidates come exclusively from
+    the store's code rows (the raw-vector side table never
+    generates candidates). Pinned by
+    test_compact_vector_shards_preserves_serving's delete leg."""
     df = spark.read.parquet(path)
+    if drop_vec_ids:
+        df = df.filter(
+            ~F.col("vec_id").isin([int(v) for v in drop_vec_ids])
+        )
     (
         df.repartition("cell")
         .sortWithinPartitions("cell", "vec_id")

@@ -2702,6 +2702,30 @@ def test_compact_vector_shards_preserves_serving(spark, tmpdir):
 
     assert serve(compacted) == serve(store)
 
+    # DELETE path: the same rewrite with drop_vec_ids removes every
+    # assignment row of the listed vectors, and a deleted vector can
+    # never come back as a neighbor (candidates come only from the
+    # store's code rows). Deleted ids chosen FROM the original
+    # answers so the assertion is not vacuous; every query still
+    # gets a full top-k from the survivors.
+    victims = sorted(
+        {r[1] for r in serve(store)}
+    )[:2]
+    assert victims
+    deleted = os.path.join(tmpdir, "cmp_store_d")
+    sv.compact_vector_shards(
+        spark, store, deleted, drop_vec_ids=victims
+    )
+    left = spark.read.parquet(deleted)
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert left.count() == spark.read.parquet(store).filter(
+        ~F.col("vec_id").isin(victims)
+    ).count()
+    after_del = serve(deleted)
+    assert not {r[1] for r in after_del} & set(victims)
+    assert {r[0] for r in after_del} == {r[0] for r in serve(store)}
+    assert len(after_del) == len(serve(store))  # full top-k refilled
+
 
 def test_default_ann_store_server_round_trip(spark, tmpdir):
     """The CONTINUOUS half of the shipped default (r14): a query
