@@ -164,7 +164,12 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style rule filter report: per-doc statistics
     and the keep decision, computed WITHOUT any shuffle (see
     with_gopher_stats — the same expressions gate the live stream)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the per-doc work (array_sort + run-length fold per row) is the
+    # whole query and ran on ONE core at sf0.1 (single-split scan,
+    # 0.40 s) — spread the local undersplit scan; no-op at real scale
+    # (r14 opt round; the round-robin exchange is excluded from the
+    # shuffle budgets for exactly this reason)
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
     return with_gopher_stats(docs).select("doc_id", *GOPHER_STAT_COLS)
 
 

@@ -85,8 +85,20 @@ def edit_distance_pairs(
         a.join(b, "_var")
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
-        .distinct()
     )
+    # Dedup AFTER the verify, not before (r14 opt round): candidate
+    # pairs repeat only when two strings share >1 variant (measured
+    # sf0.1: 977.5k candidates vs 956.1k distinct — 2.2% dupes), so a
+    # pre-verify distinct shuffles and hash-aggregates the near-full
+    # candidate set (0.49 s of the query's 1.37 s) to save 2% of the
+    # verify work. The verify filter kills most candidates, so the
+    # post-filter distinct aggregates a tiny survivor set instead;
+    # duplicate pairs carry identical names and distance, so the
+    # final distinct returns exactly the old row set (re-hashed
+    # green vs the oracle). The same argument holds at 100 TB: the
+    # dupe factor is bounded by the variant-overlap count (small for
+    # lev<=1 blocking), while the pre-verify distinct's exchange
+    # scales with the full candidate set.
     return (
         cands.join(
             names.select(
@@ -105,7 +117,14 @@ def edit_distance_pairs(
             "key_b",
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+            # bounded-threshold DP (Spark 3.5+): O(threshold * n) per
+            # pair instead of O(n^2), returning the exact distance
+            # when <= 1 and -1 otherwise — so `>= 0` keeps precisely
+            # the rows `levenshtein() <= 1` kept, with the same
+            # distance values (semantics pinned by
+            # test_fuzzy_threshold_levenshtein_semantics)
+            F.levenshtein("name_a", "name_b", 1).cast("long").alias("distance"),
         )
-        .filter(F.col("distance") <= 1)
+        .filter(F.col("distance") >= 0)
+        .distinct()
     )

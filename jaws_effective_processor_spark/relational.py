@@ -594,7 +594,15 @@ def q_json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON + array scalar functions: build a JSON doc per row (same
     string both engines), extract typed fields back out, and exercise
     array construct/aggregate/predicate ops."""
-    orders = load_table(spark, sf_dir, "orders")
+    from .tables import spread_if_undersplit
+
+    # the per-row work (from_json parse + sequence/aggregate lambdas)
+    # is the whole query, and the projection runs interpreted (no
+    # codegen id in the plan) — at sf0.1 the single-split orders scan
+    # serialized it on one core (0.61 s). Spread so the map-only work
+    # uses the cluster; at real scale the scan has thousands of splits
+    # and the branch disappears (r14 opt round, guide §2.5 input skew).
+    orders = spread_if_undersplit(spark, load_table(spark, sf_dir, "orders"))
     js = F.concat(
         F.lit('{"k":'),
         F.col("o_orderkey").cast("string"),

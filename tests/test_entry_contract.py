@@ -75,6 +75,43 @@ def test_fuzzy_pairs_parity_without_broadcast(spark):
         pin_session_conf(spark)
 
 
+def test_fuzzy_threshold_levenshtein_semantics(spark):
+    """The r14 verify-stage rewrite leans on two properties of
+    Spark's bounded levenshtein(a, b, threshold=1): it returns the
+    EXACT distance whenever that distance is <= threshold, and -1
+    otherwise — so `d1 >= 0` keeps precisely the rows the unbounded
+    `levenshtein(a, b) <= 1` filter kept, with identical distance
+    values. Pin that equivalence on every edit class (equal,
+    substitution, deletion, insertion, far) so a future Spark
+    changing the sentinel or the boundary fails here, not in the
+    oracle hash."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("abc", "abc"),  # distance 0
+            ("abc", "abd"),  # substitution, 1
+            ("abc", "ab"),  # deletion, 1
+            ("abc", "abcd"),  # insertion, 1
+            ("abc", "adc"),  # substitution mid, 1
+            ("abc", "xyz"),  # 3 — must drop
+            ("abc", "acb"),  # transposition = 2 — must drop
+        ],
+        "a string, b string",
+    )
+    rows = df.select(
+        "a",
+        "b",
+        F.levenshtein("a", "b").alias("d"),
+        F.levenshtein("a", "b", 1).alias("d1"),
+    ).collect()
+    for r in rows:
+        if r.d <= 1:
+            assert r.d1 == r.d, (r.a, r.b, r.d, r.d1)
+        else:
+            assert r.d1 == -1, (r.a, r.b, r.d, r.d1)
+
+
 def test_shed_sql_ui_listener_detaches_on_ui_disabled(spark):
     """Foreign-session heap hygiene (r11): on a UI-disabled context
     the SQL status-store listener is removed — its retained
