@@ -163,13 +163,17 @@ GOPHER_STAT_COLS = (
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style rule filter report: per-doc statistics
     and the keep decision, computed WITHOUT any shuffle (see
-    with_gopher_stats — the same expressions gate the live stream)."""
-    # the per-doc work (array_sort + run-length fold per row) is the
-    # whole query and ran on ONE core at sf0.1 (single-split scan,
-    # 0.40 s) — spread the local undersplit scan; no-op at real scale
-    # (r14 opt round; the round-robin exchange is excluded from the
-    # shuffle budgets for exactly this reason)
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    with_gopher_stats — the same expressions gate the live stream).
+
+    Deliberately NOT spread_if_undersplit (r14 opt round): a spread
+    would halve the local warm time (0.40 -> 0.30 s, single-split
+    scan), but this query is a member of the zero-exchange scan-local
+    family whose whole-stage-codegen property is pinned by
+    test_scan_local_queries_stay_in_codegen — the pin only renders
+    for exchange-free plans, and keeping the codegen guard on the
+    Gopher expression set (shared verbatim with the streaming gate)
+    is worth more than 0.1 s of local wall."""
+    docs = load_table(spark, sf_dir, "documents")
     return with_gopher_stats(docs).select("doc_id", *GOPHER_STAT_COLS)
 
 

@@ -45,6 +45,21 @@ def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let AQE coalesce partitions INSIDE cached plans (default
+        # false): the session-cached serving artifacts (centroid
+        # tables, ground truth, code/routing frames) otherwise pin
+        # their build-time 32-partition shape forever — a 50-row
+        # ground-truth table was read as 32 near-empty tasks by every
+        # recall query (measured r14: ~35-50 ms of pure scheduling per
+        # such scan; ANN family total 11.1 -> 9.9 s with this on).
+        # Size-adaptive by construction: AQE only coalesces small
+        # outputs, so corpus-scaled cached frames keep their
+        # parallelism at real scale (guide §2.2: fewer, larger
+        # partitions).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # marks sessions built by this engine: consumers that trade
@@ -127,6 +142,15 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # encoding: adapters.event_ms()/event_ts() and relational.ms_of()/
     # ts_of() dispatch on the actual column type per-DataFrame.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # cached-plan AQE partition coalescing (see get_spark) — pinned
+    # here too so a foreign driver session serves the session-cached
+    # artifacts at their size-appropriate partition count instead of
+    # the build-time shuffle width. Set BEFORE any artifact builds
+    # (this runs per query construction); results never depend on
+    # partitioning (rankings ride total orders), only task counts do.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     # foreign-session heap hygiene (r11): a UI-less session keeps no
     # SQL status store — see _shed_sql_ui_listener. Engine sessions
     # (16g, UI conf under our control) skip the walk.
