@@ -266,30 +266,27 @@ def q_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     other document — the cross-corpus duplication score (Lee et al.'s
     duplicate-substring fraction at gram granularity).
 
-    Reuses the session-cached contamination gram table, so warm runs
-    pay only the per-gram doc counting. A gram counts as duplicated
-    when it appears in >= 2 distinct docs (the per-doc gram arrays
-    are already distinct, so the per-gram row count IS the doc
-    count); the count rides ONE window pass partitioned on the gram
-    hash instead of a groupBy + join-back that would shuffle the
-    same key twice."""
-    from pyspark.sql import Window
-
+    Reuses the session-cached contamination gram table AND the
+    session-cached dup-gram set (r14 opt round): a gram counts as
+    duplicated when it appears in >= 2 distinct docs, which is
+    exactly membership in _dup_gram_set — so the per-doc score is a
+    broadcast left join against the cached index plus one partial-
+    aggregated doc regroup, and the gram explosion never crosses an
+    exchange (the previous shape shuffled + sorted every exploded
+    gram row through a per-gram_h window pass each run; measured
+    0.50 -> 0.27 s warm). At a scale where the dup-gram snapshot
+    outgrows a broadcast, the join flips to the shuffled equi-join
+    (the exsub_gate_auto trade) — the same bytes the old window
+    shape shuffled."""
     g = _contam_gram_table(spark, sf_dir)
     exploded = g.select("doc_id", F.explode("grams").alias("gram_h"))
-    counted = exploded.select(
-        "doc_id",
-        F.count("*")
-        .over(Window.partitionBy("gram_h"))
-        .alias("_n_docs_with"),
-    )
+    dup = _dup_gram_set(spark, sf_dir).withColumn("_dup", F.lit(True))
     return (
-        counted.groupBy("doc_id")
+        exploded.join(F.broadcast(dup), "gram_h", "left")
+        .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum((F.col("_n_docs_with") >= 2).cast("long")).alias(
-                "n_dup_grams"
-            ),
+            F.count("_dup").alias("n_dup_grams"),
         )
         .select(
             "doc_id",
@@ -314,15 +311,29 @@ def _dup_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct gram hashes occurring in >= 2 documents — the
     cross-document dup definition shared by the exact-substring pair
     (one aggregation over the cached per-doc-distinct gram table:
-    the row count per gram IS the doc count)."""
-    return (
-        _contam_gram_table(spark, sf_dir)
-        .select(F.explode("grams").alias("gram_h"))
-        .groupBy("gram_h")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("gram_h")
-    )
+    the row count per gram IS the doc count).
+
+    Session-cached per snapshot (r14 opt round): this IS the static
+    dup-gram index the ExactSubstr family serves from — the batch
+    pair joins it and the streaming gates broadcast a frozen
+    snapshot of it (exsub_gate_auto) — so it is built once per
+    corpus snapshot like the signature/code artifacts, not re-
+    aggregated from the gram table inside every consumer execution
+    (measured r14: each warm exact_substring_* run re-ran the
+    explode + groupBy + broadcast-build of ~240k gram rows)."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        return (
+            _contam_gram_table(spark, sf_dir)
+            .select(F.explode("grams").alias("gram_h"))
+            .groupBy("gram_h")
+            .agg(F.count("*").alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("gram_h")
+        )
+
+    return _cached_frame(spark, sf_dir, "exsub_dup_grams", _build)
 
 
 def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1913,26 +1913,64 @@ def q_ann_spill_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost shape of the SURFACE: still ONE index pass —
     _ivfpq_scored_probed_spill scores the spill code layout once at
     max routing with BOTH ranks retained (candidate sets nest along
-    both axes, so every grid point is a filter), byte-identical
-    multi-cell duplicates dedupe per grid point with DISTINCT exactly
-    like q_ann_ivfpq_spill, and the exact stage is the
-    candidates-only broadcast lookup with (spill, nprobe) riding in
-    the group key. One row per grid point, emitted even at zero
-    hits."""
+    both axes, so every grid point is a filter). r14 opt round: the
+    per-grid-point dedup is ONE (query, neighbor) reduction with a
+    max(cos_hat WHERE probe_rn <= p AND assign_rn <= s) column per
+    grid point, exploded afterwards into the non-null (spill,
+    nprobe) rows — instead of exploding every candidate row |grid|
+    ways BEFORE the dedup exchange (guide §2.3: the dedup shuffle
+    now carries one row per (query, neighbor) with |grid| narrow
+    doubles, not |grid| x the candidate set). Identical rows: raw
+    multi-cell duplicates are byte-identical (same code,
+    cell-independent LUT), so the max over qualifying rows IS the
+    value the previous per-grid-point DISTINCT kept, and a NULL max
+    means no qualifying row — exactly the rows the explode+filter
+    dropped. The exact stage is unchanged: the candidates-only
+    broadcast lookup with (spill, nprobe) riding in the group key.
+    One row per grid point, emitted even at zero hits."""
     scored = _ivfpq_scored_probed_spill(spark, sf_dir)
-    ps = F.array(
-        *[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES]
+    gridpts = [
+        (s, p) for s in SPILL_TUNING_SPILLS for p in SPILL_TUNING_NPROBES
+    ]
+    agg = scored.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("probe_rn") <= p) & (F.col("assign_rn") <= s),
+                    F.col("_cos_hat"),
+                )
+            ).alias(f"_h_{s}_{p}")
+            for s, p in gridpts
+        ]
     )
-    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
-    staged = (
-        scored.select("*", F.explode(ps).alias("nprobe"))
-        .filter(F.col("probe_rn") <= F.col("nprobe"))
-        .select("*", F.explode(ss).alias("spill"))
-        .filter(F.col("assign_rn") <= F.col("spill"))
+    cand = (
+        agg.select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).cast("long").alias("spill"),
+                                F.lit(p).cast("long").alias("nprobe"),
+                                F.col(f"_h_{s}_{p}").alias("_cos_hat"),
+                            )
+                            for s, p in gridpts
+                        ]
+                    ),
+                    lambda x: x["_cos_hat"].isNotNull(),
+                )
+            ).alias("_g"),
+        )
+        .select(
+            F.col("_g.spill").alias("spill"),
+            F.col("_g.nprobe").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            F.col("_g._cos_hat").alias("_cos_hat"),
+        )
     )
-    cand = staged.select(
-        "spill", "nprobe", "query_id", "neighbor_id", "_cos_hat"
-    ).distinct()
     short = partial_topk(
         cand,
         ["spill", "nprobe", "query_id"],
@@ -1979,6 +2017,8 @@ def q_ann_spill_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
     nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    ps = F.array(*[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES])
+    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
     grid = (
         spark.range(1)
         .select(F.explode(ss).alias("spill"))
@@ -2390,18 +2430,29 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at zero hits.
 
     Cost shape (restructured late r13 to the spill-tuning
-    discipline): ONE rank-retaining ADC pass per (coarse, codes)
-    family — candidate sets nest along the spill axis, so both index
-    settings are FILTERS over it (single = assign_rn == 1; spill =
-    dedupe over all rows: DISTINCT for byte-identical raw rows,
-    best-reconstruction max for residual rows) — then one UNION-keyed
-    shortlist ranking and ONE shared candidates-only exact stage with
-    the (coarse, codes, index) key riding in the group key, instead
-    of eight independent serve pipelines. Grid rows stay EXACTLY the
-    shipped serve paths' results (the filter-over-retained-rank
-    equivalence test_spill_tuning_surface_anchors pins for the spill
-    surface; test_residual_recall_grid_consistency pins it here
-    against q_ann_refine_recall, q_ann_ivfpq_spill, and
+    discipline; r14 opt round: ONE subtree per family): ONE
+    rank-retaining ADC pass per (coarse, codes) family — candidate
+    sets nest along the spill axis, so both index settings fall out
+    of ONE (query, neighbor) reduction over it: _single_hat =
+    max(cos_hat WHERE assign_rn = 1) (at most one such row exists —
+    the home-cell code of a probed neighbor — so the max IS that
+    row's score, NULL when the home cell is unprobed) and _spill_hat
+    = max(cos_hat) over all assigned-cell rows (the FAISS
+    best-reconstruction rule; for the raw families duplicate rows
+    are byte-identical — same code, cell-independent LUT — so the
+    max equals the DISTINCT the previous shape used). Each family
+    then EXPLODES into its non-null (index_kind, cos_hat) pairs, so
+    the union has FOUR branches, not eight: before this round the
+    single branch (a filter) and the spill branch (an aggregation)
+    were separate subtrees over the same base and Spark re-ran the
+    family's whole ADC scoring pass for each — 8 corpus ADC passes
+    for a 4-family grid (no common-subexpression elimination across
+    union branches, and ReuseExchange cannot fire on exchange-free
+    subtrees). Then one UNION-keyed shortlist ranking and ONE shared
+    candidates-only exact stage with the (coarse, codes, index) key
+    riding in the group key. Grid rows stay EXACTLY the shipped
+    serve paths' results (test_residual_recall_grid_consistency pins
+    it against q_ann_refine_recall, q_ann_ivfpq_spill, and
     q_ann_ivfpq_kmeans). Evaluation joins are O(queries x k) with
     the truth side broadcast."""
     fams = [
@@ -2411,49 +2462,62 @@ def q_ann_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _ivfpq_scored_probed_spill(spark, sf_dir)
             .filter(F.col("probe_rn") <= IVF_NPROBE)
             .select("query_id", "neighbor_id", "assign_rn", "_cos_hat"),
-            "distinct",
         ),
         (
             "member_vectors",
             "residual",
             lambda: _res_scored_ranked(spark, sf_dir),
-            "max",
         ),
         (
             "kmeans",
             "raw",
             lambda: _kraw_scored_ranked(spark, sf_dir),
-            "distinct",
         ),
         (
             "kmeans",
             "residual",
             lambda: _kres_scored_ranked(spark, sf_dir),
-            "max",
         ),
     ]
     parts = []
-    for coarse_name, codes_name, fn, dd in fams:
-        base = fn()
-        single = base.filter(F.col("assign_rn") == 1).drop("assign_rn")
-        spillc = base.drop("assign_rn")
-        if dd == "distinct":
-            spillc = spillc.distinct()
-        else:
-            spillc = spillc.groupBy("query_id", "neighbor_id").agg(
-                F.max("_cos_hat").alias("_cos_hat")
+    for coarse_name, codes_name, fn in fams:
+        agg = fn().groupBy("query_id", "neighbor_id").agg(
+            F.max(
+                F.when(F.col("assign_rn") == 1, F.col("_cos_hat"))
+            ).alias("_single_hat"),
+            F.max("_cos_hat").alias("_spill_hat"),
+        )
+        ik = F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("single").alias("index_kind"),
+                        F.col("_single_hat").alias("_cos_hat"),
+                    ),
+                    F.struct(
+                        F.lit("spill").alias("index_kind"),
+                        F.col("_spill_hat").alias("_cos_hat"),
+                    ),
+                ),
+                lambda s: s["_cos_hat"].isNotNull(),
             )
-        for index_name, cand in (("single", single), ("spill", spillc)):
-            parts.append(
-                cand.select(
-                    F.lit(coarse_name).alias("coarse"),
-                    F.lit(codes_name).alias("codes"),
-                    F.lit(index_name).alias("index_kind"),
-                    "query_id",
-                    "neighbor_id",
-                    "_cos_hat",
-                )
+        )
+        parts.append(
+            agg.select(
+                F.lit(coarse_name).alias("coarse"),
+                F.lit(codes_name).alias("codes"),
+                "query_id",
+                "neighbor_id",
+                ik.alias("_ik"),
+            ).select(
+                "coarse",
+                "codes",
+                F.col("_ik.index_kind").alias("index_kind"),
+                "query_id",
+                "neighbor_id",
+                F.col("_ik._cos_hat").alias("_cos_hat"),
             )
+        )
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
@@ -3001,22 +3065,60 @@ def q_ann_kmeans_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost shape: still ONE index pass — _kres_scored_probed_spill
     scores the spill code layout once at max routing with both ranks
-    retained (every grid point a filter), per-grid-point
-    best-reconstruction dedupe (residual rows differ per cell —
-    groupBy/max, not DISTINCT), candidates-only exact stage with the
-    grid key in the group key."""
+    retained (every grid point a filter). r14 opt round (the
+    q_ann_spill_tuning restructure, same proof): the per-grid-point
+    best-reconstruction dedupe is ONE (query, neighbor) reduction
+    with a max(cos_hat WHERE probe_rn <= p AND assign_rn <= s)
+    column per grid point — the FAISS max over qualifying
+    assigned-cell rows, exactly what the previous per-grid-point
+    groupBy/max computed — exploded afterwards into the non-null
+    (spill, nprobe) rows, so the dedup exchange carries one row per
+    (query, neighbor) with |grid| narrow doubles instead of |grid| x
+    the candidate set (guide §2.3). Candidates-only exact stage with
+    the grid key in the group key, unchanged."""
     scored = _kres_scored_probed_spill(spark, sf_dir)
-    ps = F.array(*[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES])
-    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
-    staged = (
-        scored.select("*", F.explode(ps).alias("nprobe"))
-        .filter(F.col("probe_rn") <= F.col("nprobe"))
-        .select("*", F.explode(ss).alias("spill"))
-        .filter(F.col("assign_rn") <= F.col("spill"))
+    gridpts = [
+        (s, p) for s in SPILL_TUNING_SPILLS for p in SPILL_TUNING_NPROBES
+    ]
+    agg = scored.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("probe_rn") <= p) & (F.col("assign_rn") <= s),
+                    F.col("_cos_hat"),
+                )
+            ).alias(f"_h_{s}_{p}")
+            for s, p in gridpts
+        ]
     )
-    cand = staged.groupBy(
-        "spill", "nprobe", "query_id", "neighbor_id"
-    ).agg(F.max("_cos_hat").alias("_cos_hat"))
+    cand = (
+        agg.select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).cast("long").alias("spill"),
+                                F.lit(p).cast("long").alias("nprobe"),
+                                F.col(f"_h_{s}_{p}").alias("_cos_hat"),
+                            )
+                            for s, p in gridpts
+                        ]
+                    ),
+                    lambda x: x["_cos_hat"].isNotNull(),
+                )
+            ).alias("_g"),
+        )
+        .select(
+            F.col("_g.spill").alias("spill"),
+            F.col("_g.nprobe").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            F.col("_g._cos_hat").alias("_cos_hat"),
+        )
+    )
     short = partial_topk(
         cand,
         ["spill", "nprobe", "query_id"],
@@ -3063,6 +3165,8 @@ def q_ann_kmeans_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
     nq = bf.agg(F.countDistinct("query_id").cast("long").alias("_nq"))
+    ps = F.array(*[F.lit(p).cast("long") for p in SPILL_TUNING_NPROBES])
+    ss = F.array(*[F.lit(s).cast("long") for s in SPILL_TUNING_SPILLS])
     grid = (
         spark.range(1)
         .select(F.explode(ss).alias("spill"))
