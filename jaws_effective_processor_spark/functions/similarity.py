@@ -71,35 +71,46 @@ def partial_topk(
     k: int,
     rank_col: str = "_tk_rank",
 ) -> DataFrame:
-    """Scale-safe top-k per group: per-(group, INPUT-partition)
-    partial top-k first, then the global top-k over the at most
-    k x n_partitions survivors.
+    """Scale-safe top-k per group: one ranked window whose rank <= k
+    filter Spark plans as a MAP-SIDE partial group-limit.
 
-    A bare row_number() OVER (PARTITION BY group) puts every row of a
-    group on ONE reducer — for the exact/ADC evaluation family the
-    group is a query_id and the rows are the whole corpus, a
-    corpus-sized single-reducer sort at 100 TB (the round-8 verdict's
-    watch item). Splitting the window by spark_partition_id() bounds
-    each first-level sort by the input partition size (the classic
-    partial top-k + merge); the final window sees k rows per input
-    partition per group. The result is IDENTICAL to the naive window
-    — a row beaten by k rows within its own input partition cannot be
-    in the global top-k, and (order, tie-break) must be a total order
-    (every caller orders by a score plus a unique id) so ranking is
-    deterministic regardless of how rows landed in partitions.
-    Identity vs the naive window is pinned by
-    tests/test_similarity.py::test_partial_topk_matches_naive_window.
+    A bare row_number() OVER (PARTITION BY group) naively puts every
+    row of a group on ONE reducer — for the exact/ADC evaluation
+    family the group is a query_id and the rows are the whole corpus,
+    a corpus-sized single-reducer sort at 100 TB (the round-8
+    verdict's watch item). Rounds 9-13 bounded that manually with a
+    two-level scheme (a first window split by spark_partition_id(),
+    then the global window over the <= k x n_partitions survivors).
+    r14 opt round: Spark 3.5+'s InsertWindowGroupLimit plans the
+    rank-filter pattern below as WindowGroupLimitExec in PARTIAL mode
+    BEFORE the exchange and FINAL mode after it (visible in every
+    committed plan as the Sort + WindowGroupLimit pair on each side
+    of the window's Exchange) — i.e. the engine performs the
+    per-input-partition top-k prune natively, and each reducer
+    receives at most k rows per map partition per group: exactly the
+    bound the manual first level enforced. The manual level therefore
+    only ADDED an exchange and two sorts per call (its window
+    partitioned by (group, spark_partition_id()) still requires a
+    hash exchange — partitioning by a computed pid is not
+    partition-local), and dropping it removes one full-candidate-set
+    shuffle + sort round from every ranking in the ANN/kNN family.
+    Requires k <= spark.sql.window.group.limit.threshold (default
+    1000; our k is <= REFINE_K = 80). On a Spark without
+    InsertWindowGroupLimit (< 3.5) the manual two-level scheme would
+    be needed again.
+
+    (order, tie-break) must be a total order (every caller orders by
+    a score plus a unique id) so ranking is deterministic regardless
+    of how rows landed in partitions. Identity vs the naive window is
+    pinned by
+    tests/test_similarity.py::test_partial_topk_matches_naive_window,
+    and the map-side prune is pinned by
+    test_partial_topk_plans_partial_group_limit.
     """
-    w1 = Window.partitionBy(*part_cols, "_tk_pid").orderBy(*order_cols)
     w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("_tk_pid", F.spark_partition_id())
-        .withColumn("_tk_prn", F.row_number().over(w1))
-        .filter(F.col("_tk_prn") <= k)
-        .drop("_tk_pid", "_tk_prn")
-        .withColumn(rank_col, F.row_number().over(w2).cast("long"))
-        .filter(F.col(rank_col) <= k)
-    )
+    return df.withColumn(
+        rank_col, F.row_number().over(w2).cast("long")
+    ).filter(F.col(rank_col) <= k)
 
 
 def _brute_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -372,6 +372,36 @@ def test_partial_topk_matches_naive_window(spark):
     )
 
 
+def test_partial_topk_plans_partial_group_limit(spark):
+    """The scale guarantee partial_topk's docstring claims (r14 opt
+    round): Spark's InsertWindowGroupLimit plans the rank <= k filter
+    as a WindowGroupLimit pair — PARTIAL mode before the window's
+    exchange (the map-side per-input-partition top-k prune the old
+    manual two-level scheme implemented by hand), FINAL mode after —
+    so a reducer receives at most k rows per map partition per group,
+    never a corpus-sized single-reducer sort. If a Spark upgrade ever
+    drops the rule, this trips and the manual two-level form must
+    come back."""
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions.similarity import (
+        partial_topk,
+    )
+    from jaws_effective_processor_spark.plans.inspect import explain_str
+
+    df = spark.range(0, 5000, 1, 16).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 13).alias("score"),
+        F.col("id").alias("uid"),
+    )
+    out = partial_topk(
+        df, ["g"], [F.col("score").desc(), F.col("uid")], 9
+    )
+    plan = explain_str(out)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan, plan
+
+
 def test_ann_pq_recall_matches_python_replay(spark):
     """The ADC recall table equals a plain-Python replay: reconstruct
     each corpus vector from its codes, rank by reconstructed cosine
