@@ -40,6 +40,23 @@ def get_spark(app_name: str = "jaws-effective-processor-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by the advisory TARGET SIZE
+        # instead of maximizing parallelism (the Spark tuning guide's
+        # own recommendation — parallelismFirst=true exists only to
+        # avoid regressions when first enabling AQE). With it true,
+        # every exchange of a small intermediate fans out into
+        # core-count micro-tasks whose scheduling dwarfs their work
+        # (measured r14 opt round, 13-query mixed subset, A/B/A:
+        # window/aggregate-heavy queries 10-40% faster with false —
+        # rag_bucket_report 0.82 -> 0.54-0.63 s, event_funnel 0.38 ->
+        # 0.32-0.38, effective_registrations 0.44 -> 0.39-0.47 — no
+        # consistent regression anywhere). Scale-adaptive by
+        # construction: at real data sizes the 64 MB advisory target
+        # yields full parallelism; only small reduce sides coalesce.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -150,6 +167,12 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # partitioning (rankings ride total orders), only task counts do.
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    # size-based (not parallelism-first) AQE partition coalescing —
+    # see get_spark for the measurement; pinned here so a foreign
+    # driver session gets the same task sizing.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
     )
     # foreign-session heap hygiene (r11): a UI-less session keeps no
     # SQL status store — see _shed_sql_ui_listener. Engine sessions
