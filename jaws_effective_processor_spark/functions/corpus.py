@@ -469,13 +469,23 @@ def _contam_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def holdout_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distinct gram hashes of the held-out set (gram_h) — the
-    static side a streaming decontamination gate joins against."""
-    g = _contam_gram_table(spark, sf_dir)
-    return (
-        g.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
-        .select(F.explode("grams").alias("gram_h"))
-        .distinct()
-    )
+    static side a streaming decontamination gate joins against.
+    Session-cached per snapshot (r14 opt round): it is a STATIC
+    artifact by nature (the holdout set moves only when the benchmark
+    suite does), and before caching, its explode + distinct re-ran
+    inside every warm execution of q_contamination — the same class
+    and argument as the exsub_dup_grams index."""
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        g = _contam_gram_table(spark, sf_dir)
+        return (
+            g.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+            .select(F.explode("grams").alias("gram_h"))
+            .distinct()
+        )
+
+    return _cached_frame(spark, sf_dir, "holdout_grams", _build)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,37 +508,40 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _contam_gram_table(spark, sf_dir)
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     # the same holdout gram set the streaming decontamination gate
-    # broadcasts — one definition, both paths
+    # broadcasts — one definition, both paths (session-cached)
     test_grams = holdout_gram_set(spark, sf_dir)
-    # the gram array is ONLY ever exploded — never also size()'d:
-    # referencing it twice would inline (re-evaluate) the whole md5
-    # construction once per reference. n_grams falls out of the same
-    # aggregation as count(*) because the broadcast join is LEFT outer
-    # (every gram row survives, hits marked), halving construction cost
-    train = g.filter(~is_test).select(
-        "doc_id", F.explode("grams").alias("gram_h")
-    )
-    hit = test_grams.withColumn("hit", F.lit(True))
-    # No explicit broadcast hint: the hit side is tiny but DERIVED
-    # (explode + md5 + distinct), and forcing an eager broadcast
-    # exchange of a computed subplan intermittently stalled 5-20 s on
-    # a busy driver (measured; the unhinted plan never did). AQE
-    # still picks a broadcast join from the runtime row count — same
-    # physical join, built from materialized shuffle stats instead.
-    return (
-        train.join(hit, "gram_h", "left")
+    train = g.filter(~is_test)
+    # r14 opt round (guide: aggregate before you shuffle / shuffle
+    # only what decides): the old LEFT join + count(hit) regrouped
+    # EVERY exploded train gram by doc_id (231k narrow rows at sf0.1)
+    # to count the rare hits. The INNER join keeps only hit rows —
+    # contamination is rare by nature — so the doc regroup carries
+    # hits alone, and n_grams comes scan-locally from size(grams) on
+    # the CACHED gram table (the array is materialized — no md5
+    # re-evaluation; q_decontaminate reads it the same way). A doc's
+    # exploded-row count equals size(grams) exactly (grams is
+    # array_distinct'ed at construction), and zero-gram docs were
+    # filtered by n_contam > 0 before, dropped by the inner doc join
+    # now — identical output.
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram_h"))
+        # No explicit broadcast hint: the hit side is tiny but
+        # DERIVED, and forcing an eager broadcast exchange of a
+        # computed subplan intermittently stalled 5-20 s on a busy
+        # driver (measured r9; the unhinted plan never did). AQE
+        # still picks a broadcast join from the runtime row count.
+        .join(test_grams, "gram_h")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count("hit").alias("n_contam"),
-        )
-        .filter(F.col("n_contam") > 0)
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_contam",
-            F.expr("(1000 * n_contam) DIV n_grams").alias("contam_permille"),
-        )
+        .agg(F.count("*").alias("n_contam"))
+    )
+    sizes = train.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contam",
+        F.expr("(1000 * n_contam) DIV n_grams").alias("contam_permille"),
     )
 
 
@@ -1294,6 +1307,40 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Past this many vocab entries the ranked (token -> id) table no
+# longer ships as a literal map expression and q_packed_token_ids
+# falls back to the general explode + vocab-join plan. The bound is
+# the literal-expression-tree discipline of the PQ codebook (K x SUB
+# = 2048 literals, analysis measured bounded by
+# test_pq_quantize_plan_build_bounded); a real subword tokenizer's
+# vocab (tens of thousands+) takes the join path.
+VOCAB_LITERAL_MAX = 2048
+
+
+def _vocab_id_pairs(spark: SparkSession, sf_dir: str):
+    """Planner probe (r14 opt round): the ranked corpus vocabulary
+    (token, token_id) as driver-side pairs when it fits the
+    literal-map bound, else None. The ranked frame is session-cached
+    (derived from the cached token_freq — a vocab-sized window, never
+    the corpus), and the collect is limit(MAX + 1), so an over-bound
+    vocab costs MAX+1 rows of driver transfer, not the table. Same
+    probe class as _distinct_sources / the kmeans codebook loads."""
+    from .dedup import _cached_frame
+    from pyspark.sql import Window
+
+    def _build() -> DataFrame:
+        w = Window.orderBy(F.col("tok_count").desc(), F.col("token"))
+        return token_freq(spark, sf_dir).select(
+            "token", F.row_number().over(w).cast("long").alias("token_id")
+        )
+
+    vocab = _cached_frame(spark, sf_dir, "vocab_ids", _build)
+    head = vocab.limit(VOCAB_LITERAL_MAX + 1).collect()
+    if len(head) > VOCAB_LITERAL_MAX:
+        return None
+    return [(r["token"], r["token_id"]) for r in head]
+
+
 def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training pipeline's last mile: tokenize every document
     against the corpus vocabulary (id = rank by occurrence count desc,
@@ -1302,21 +1349,91 @@ def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids of its documents in doc_id order — exactly what a loader
     streams into a trainer.
 
-    Scale shape: the vocab id table is the ranked unigram aggregate
-    (a window over vocab-sized rows); tokenization is posexplode ->
-    vocab equi-join (broadcast-range head at any real scale, AQE skew
-    split beyond) -> per-doc regroup via collect_list(struct(pos,id))
-    + array_sort, which keeps token order without an ordered-window
-    shuffle per token. Pack assembly reuses q_pack_sequences'
-    deterministic cumsum packing and aggregates csv fragments sorted
-    by doc_id. Everything that moves after the join is narrow ints /
-    csv text."""
+    Two plans behind one probe (r14 opt round — the q_source_overlap
+    pattern; before it, the join plan ran unconditionally and its
+    per-doc regroup exchange carried every token OCCURRENCE of the
+    corpus, the widest shuffle of the whole packing family):
+
+    - vocab <= VOCAB_LITERAL_MAX: tokenization is a SCAN-LOCAL
+      literal-map lookup (try_element_at on the ranked vocab map)
+      inside the same projection that sizes each doc, the pack
+      assignment is q_pack_sequences' cumsum window INLINED on that
+      frame (same window spec and budget constant, so assignments are
+      identical by construction), and the final (lang, pack_id)
+      regroup rides the window's lang hash partitioning (subset key —
+      no second exchange). One exchange total; token ids never move
+      as rows.
+    - vocab > VOCAB_LITERAL_MAX (a real subword vocabulary): the
+      general plan — posexplode -> vocab equi-join (broadcast-range
+      head at any real scale, AQE skew split beyond) -> per-doc
+      regroup via collect_list(struct(pos, id)) + array_sort, then
+      the q_pack_sequences join. Everything that moves after the
+      join is narrow ints / csv text.
+
+    The two plans agree exactly: every corpus token is IN the vocab
+    by construction (both derive from the same token_freq artifact),
+    so the literal map never misses where the inner join would drop —
+    including the empty-string token of an empty doc (the edge-docs
+    fixture pins parity on both plans' corpora)."""
     from pyspark.sql import Window
 
     docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    pairs = _vocab_id_pairs(spark, sf_dir)
+    if pairs is not None:
+        vmap = F.create_map(
+            *[x for t, i in pairs for x in (F.lit(t), F.lit(i))]
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.size(tk).cast("long").alias("n_tokens"),
+                F.array_join(
+                    F.transform(
+                        tk,
+                        # NULL-on-missing under any ANSI setting; by
+                        # construction it never misses (vocab is the
+                        # corpus's own token set)
+                        lambda t: F.try_element_at(vmap, t).cast(
+                            "string"
+                        ),
+                    ),
+                    ",",
+                ).alias("ids_csv"),
+            )
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .select(
+                "doc_id",
+                "lang",
+                "n_tokens",
+                F.expr(
+                    f"(cum_tokens - n_tokens) DIV {PACK_BUDGET_TOKENS}"
+                ).alias("pack_id"),
+                "ids_csv",
+            )
+        )
+        return base.groupBy("lang", "pack_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "ids_csv"))
+                    ),
+                    lambda s: s["ids_csv"],
+                ),
+                ",",
+            ).alias("pack_ids_csv"),
+        )
     tok = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        F.posexplode(tk).alias("pos", "token"),
     )
     # the frequency table is the SAME session-cached artifact
     # q_token_rarity / q_vocab_topk read (token_freq, derived from

@@ -261,6 +261,80 @@ def _left_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached per-doc bigram-surprisal plan — what
+    _lm_bits_frame materializes, and what the plan-shape pin inspects
+    (the cached frame would show only an InMemoryTableScan). Shape:
+    ONE pair explode over the doc scan (token array projected once —
+    the Generate-recompute hazard documented on _pair_count_table),
+    then straight to the per-pair lookups and ONE doc-key
+    aggregation. No (doc, l, r) pre-aggregation: both lookups — the
+    session-cached corpus pair table and its left marginal — are
+    vocab-keyed broadcast joins, so pre-grouping would only add a
+    second exchange to save the broadcasts work they don't feel. At a
+    vocab too large to broadcast, AQE falls back to shuffled joins
+    and the pre-aggregation becomes worth re-adding — that trade is
+    the same one q_token_rarity documents."""
+    from ..tables import load_table, spread_if_undersplit
+
+    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("_tk")
+    ).filter(F.size("_tk") >= 2)
+    per_pair = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(_adjacent_pairs(F.col("_tk"))).alias("p"),
+    ).select("doc_id", "lang", "p.left", "p.right")
+    pairs = _pair_count_table(spark, sf_dir).select(
+        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+    marg = _left_marginal(spark, sf_dir)
+
+    def bits(c: F.Column) -> F.Column:
+        return F.length(F.bin(c)).cast("long")
+
+    return (
+        per_pair.join(pairs, ["left", "right"])
+        .join(marg, "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits(F.col("left_n")) - bits(F.col("n_pairs")))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "surprisal_bits",
+            F.expr("(1000 * surprisal_bits) DIV n_bigrams").alias(
+                "mean_millibits"
+            ),
+        )
+    )
+
+
+def _lm_bits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc bigram-surprisal table, session-cached
+    ('ngram_lm_bits' — r14 opt round): a curation pipeline computes
+    the fluency signal ONCE per corpus snapshot and every consumer
+    reads it — the report (q_ngram_lm_bits) and the CCNet bucketing
+    action (q_ccnet_buckets) — instead of each re-running the pair
+    explode + broadcast lookups + doc aggregation per execution. The
+    dsir_weights precedent exactly (the signal table IS the persisted
+    artifact)."""
+    from .dedup import _cached_frame
+
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "ngram_lm_bits",
+        lambda: _build_lm_bits(spark, sf_dir),
+    )
+
+
 def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM conditional surprisal per document — the
     KenLM-style fluency signal one context step beyond
@@ -273,51 +347,10 @@ def q_ngram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram signal cannot see. Docs under 2 tokens have no bigrams
     and are excluded (documented; the twin applies the same guard).
 
-    Scale shape: ONE pair explode over the doc scan (token array
-    projected once — the Generate-recompute hazard documented on
-    _pair_count_table), then straight to the per-pair lookups and ONE
-    doc-key aggregation. No (doc, l, r) pre-aggregation: both lookups
-    — the session-cached corpus pair table and its left marginal —
-    are vocab-keyed broadcast joins, so pre-grouping would only add a
-    second exchange to save the broadcasts work they don't feel. At a
-    vocab too large to broadcast, AQE falls back to shuffled joins
-    and the pre-aggregation becomes worth re-adding — that trade is
-    the same one q_token_rarity documents."""
-    from ..tables import load_table, spread_if_undersplit
-
-    docs = spread_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
-    staged = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_tk")
-    ).filter(F.size("_tk") >= 2)
-    per_pair = staged.select(
-        "doc_id", F.explode(_adjacent_pairs(F.col("_tk"))).alias("p")
-    ).select("doc_id", "p.left", "p.right")
-    pairs = _pair_count_table(spark, sf_dir).select(
-        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
-    )
-    marg = _left_marginal(spark, sf_dir)
-
-    def bits(c: F.Column) -> F.Column:
-        return F.length(F.bin(c)).cast("long")
-
-    return (
-        per_pair.join(pairs, ["left", "right"])
-        .join(marg, "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(bits(F.col("left_n")) - bits(F.col("n_pairs")))
-            .cast("long")
-            .alias("surprisal_bits"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "surprisal_bits",
-            F.expr("(1000 * surprisal_bits) DIV n_bigrams").alias(
-                "mean_millibits"
-            ),
-        )
+    Scale shape: reads the session-cached per-doc signal table
+    (_lm_bits_frame; build shape documented on _build_lm_bits)."""
+    return _lm_bits_frame(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "surprisal_bits", "mean_millibits"
     )
 
 
@@ -338,47 +371,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's observed millibit range — head's max <= middle's min <=
     tail's min by construction.
 
-    Scale shape: q_ngram_lm_bits' one pair-explode + broadcast
-    lookups + doc aggregation, then ONE ntile window partitioned by
-    lang (the per-language sort a real CCNet shard pass does) and a
-    final few-row (lang, bucket) aggregation on the same exchange's
-    output. The LM tables are the session-cached corpus artifacts —
-    built once per snapshot, read here."""
-    docs = spread_if_undersplit(
-        spark, load_table(spark, sf_dir, "documents")
-    )
-    staged = docs.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("_tk")
-    ).filter(F.size("_tk") >= 2)
-    per_pair = staged.select(
-        "doc_id", "lang", F.explode(_adjacent_pairs(F.col("_tk"))).alias("p")
-    ).select("doc_id", "lang", "p.left", "p.right")
-    pairs = _pair_count_table(spark, sf_dir).select(
-        "left", "right", F.col("n_pairs").cast("long").alias("n_pairs")
-    )
-    marg = _left_marginal(spark, sf_dir)
-
-    def bits(c: F.Column) -> F.Column:
-        return F.length(F.bin(c)).cast("long")
-
-    per_doc = (
-        per_pair.join(pairs, ["left", "right"])
-        .join(marg, "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(bits(F.col("left_n")) - bits(F.col("n_pairs")))
-            .cast("long")
-            .alias("surprisal_bits"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            F.expr("(1000 * surprisal_bits) DIV n_bigrams").alias(
-                "mean_millibits"
-            ),
-        )
+    Scale shape (r14 opt round): reads the session-cached per-doc
+    signal table (_lm_bits_frame — the same artifact q_ngram_lm_bits
+    reports; before, this query re-ran the whole pair-explode +
+    broadcast-lookup + doc-aggregation chain per execution), then ONE
+    ntile window partitioned by lang (the per-language sort a real
+    CCNet shard pass does) and a final few-row (lang, bucket)
+    aggregation riding the same exchange's lang partitioning."""
+    per_doc = _lm_bits_frame(spark, sf_dir).select(
+        "doc_id", "lang", "n_bigrams", "mean_millibits"
     )
     w = Window.partitionBy("lang").orderBy("mean_millibits", "doc_id")
     bucket = F.element_at(

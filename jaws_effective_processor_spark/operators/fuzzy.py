@@ -126,5 +126,12 @@ def edit_distance_pairs(
             F.levenshtein("name_a", "name_b", 1).cast("long").alias("distance"),
         )
         .filter(F.col("distance") >= 0)
-        .distinct()
+        # key-pair dedup, not full-row distinct (r14 opt round):
+        # duplicate candidate pairs carry identical names and
+        # distance (same keys -> same rows), so deduping on the key
+        # pair alone returns the identical row set while the hash
+        # aggregate groups on two longs instead of five mixed
+        # columns (strings included) — less hashing and comparison
+        # work in both the partial and final aggregates.
+        .dropDuplicates(["key_a", "key_b"])
     )
