@@ -874,7 +874,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than CONTAM_K tokens have zero grams and are retained by
     construction (nothing to overlap)."""
     g = _contam_gram_table(spark, sf_dir)
-    contaminated = _contam_doc_ids(spark, sf_dir)
+    # explicit broadcast (r14 opt round): the id list is the tiny
+    # persisted artifact by nature, but the REBUILT contamination
+    # chain behind the cache (inner join) carries a product-rule
+    # static size estimate, which flipped this join to a plan-time
+    # SortMergeJoin (AQE still broadcast it at runtime). The hint
+    # pins the plan-time shape to the runtime one the budgets price.
+    contaminated = F.broadcast(_contam_doc_ids(spark, sf_dir))
     train = g.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
         "doc_id", F.size("grams").cast("long").alias("n_grams")
     )
@@ -1135,8 +1141,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok"),
         (score >= 500).alias("q_ok"),
     )
-    contam = _contam_doc_ids(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("is_contam")
+    contam = F.broadcast(
+        # explicit broadcast: tiny persisted id-list artifact; see
+        # q_decontaminate's note on the rebuilt chain's static
+        # size estimate (r14 opt round)
+        _contam_doc_ids(spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("is_contam")
+        )
     )
     flags = (
         scored.withColumn(
@@ -1274,8 +1285,13 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok"),
         score.alias("score"),
     )
-    contam = _contam_doc_ids(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("is_contam")
+    contam = F.broadcast(
+        # explicit broadcast: tiny persisted id-list artifact; see
+        # q_decontaminate's note on the rebuilt chain's static
+        # size estimate (r14 opt round)
+        _contam_doc_ids(spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("is_contam")
+        )
     )
     flags = (
         base.withColumn(
@@ -2380,8 +2396,13 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok"),
         score.alias("score_permille"),
     )
-    contam = _contam_doc_ids(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("is_contam")
+    contam = F.broadcast(
+        # explicit broadcast: tiny persisted id-list artifact; see
+        # q_decontaminate's note on the rebuilt chain's static
+        # size estimate (r14 opt round)
+        _contam_doc_ids(spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("is_contam")
+        )
     )
     flags = (
         base.withColumn(
