@@ -691,12 +691,119 @@ def _pq_seed(
     )
 
 
+def _pq_xs(
+    spark: SparkSession, sf_dir: str, res: bool = False
+) -> DataFrame:
+    """(vec_id, m, xs): the family's trainer input pivoted to ONE row
+    per (vector, subspace) carrying the PQ_SUB micro ints in d order —
+    built once per family from the exploded micro table (d is unique
+    per (vec_id, m), so the struct sort is total and the pivot
+    deterministic), session-cached '{pq|pqr|pqk}_xs'.
+
+    This frame exists so every Lloyd ROUND is scan-local (guide §2.4:
+    remove shuffles outright): against a LITERAL codebook the
+    assignment argmin needs the whole subvector in one row — exactly
+    the shape with_pq_codes already codes from — so one pivot exchange
+    here replaces a (vecs x dims x K)-row broadcast-join blowup + an
+    aggregation exchange + a window PER ROUND (r14 opt round; the
+    trainer's distances stay the identical integer arithmetic)."""
+
+    def _build() -> DataFrame:
+        px = _pq_micro_of(spark, sf_dir, res)
+        return px.groupBy("vec_id", "m").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xm"))),
+                lambda s: s["xm"],
+            ).alias("xs")
+        )
+
+    return _pq_chain_frame(
+        spark, sf_dir, f"{_pq_tag(res)}_xs", _build
+    )
+
+
+def _pq_cb_sql(cb: list) -> str:
+    """The codebook as ONE SQL array-of-arrays-of-arrays literal,
+    indexed [m][j][d]. A string for F.expr on purpose: building the
+    same tree through the Column API costs ~1.5 s of py4j round trips
+    PER PLAN (1024 F.lit calls — measured r14 opt round), paid twice
+    per Lloyd round; the JVM parses this ~8 KB string in
+    milliseconds."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(str(int(c)) for c in cb[m][j])
+                + ")"
+                for j in range(PQ_K)
+            )
+            + ")"
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
+
+
+def _pq_round_scored(
+    spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
+) -> DataFrame:
+    """(vec_id, m, j, dist_sq, xs): scan-local nearest-sub-centroid of
+    every (vector, subspace) against the round rnd-1 codebook folded
+    into ONE literal array-of-arrays-of-arrays indexed by m (M x K x
+    SUB int literals — the with_pq_codes analysis-tree discipline).
+    Exact integer distances (the same (xm - cm)^2 fold in d order,
+    commutative long addition); argmin = array_position(array_min),
+    first match = smallest j — bit-identical to _pq_assign's window
+    ORDER BY (dist_sq, j). Zero exchanges: the round reads the cached
+    pivot and computes its assignment inside the scan. Chain-cached
+    '{pq|pqr|pqk}_s{rnd}' so the round's two consumers (the
+    assignment artifact and the centroid update) share ONE build and
+    ONE execution."""
+
+    def _build() -> DataFrame:
+        cb = _pq_codebook_at(spark, sf_dir, rnd - 1, res)
+        dists = F.expr(
+            f"transform(element_at({_pq_cb_sql(cb)}, "
+            "cast(m + 1 as int)), "
+            "c -> aggregate(zip_with(xs, c, (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, z) -> acc + z))"
+        )
+        staged = _pq_xs(spark, sf_dir, res).select(
+            "vec_id", "m", "xs", dists.alias("_pqds")
+        )
+        return staged.select(
+            "vec_id",
+            "m",
+            (
+                F.array_position(
+                    F.col("_pqds"), F.array_min(F.col("_pqds"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("j"),
+            F.array_min(F.col("_pqds")).alias("dist_sq"),
+            "xs",
+        )
+
+    return _pq_chain_frame(
+        spark, sf_dir, f"{_pq_tag(res)}_s{rnd}", _build
+    )
+
+
 def _pq_assign(px: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest sub-centroid per (vector, subspace): (vec_id, m, j,
     dist_sq), ties to the smallest j — clustering._assign re-keyed by
     subspace. cent is M x K x SUB rows, broadcast by construction;
     the join materializes vecs x dims x K rows pre-aggregation with
-    map-side partials (linear in K, the documented k-means trade)."""
+    map-side partials (linear in K, the documented k-means trade).
+
+    Kept as the REFERENCE implementation of the round assignment
+    (test_pq_training_decreases_distortion drives it directly); the
+    shipped per-round builds ride _pq_round_scored's scan-local form,
+    pinned equal integers by test_pq_round_scored_matches_reference."""
     d = (
         px.join(F.broadcast(cent), ["m", "d"])
         .groupBy("vec_id", "m", "j")
@@ -717,20 +824,15 @@ def _pq_assign(px: DataFrame, cent: DataFrame) -> DataFrame:
 def _pq_assignment(
     spark: SparkSession, sf_dir: str, rnd: int, res: bool = False
 ) -> DataFrame:
-    """The round-`rnd` assignment (against the round rnd-1 centroids),
-    session-cached '{pq|pqr|pqk}_a{rnd}' per _pq_tag — read by the
-    centroid update and the convergence report."""
-
-    def _build() -> DataFrame:
-        cent = (
-            _pq_seed(spark, sf_dir, res)
-            if rnd == 1
-            else _pq_centroids(spark, sf_dir, rnd - 1, res)
-        )
-        return _pq_assign(_pq_micro_of(spark, sf_dir, res), cent)
-
-    return _pq_chain_frame(
-        spark, sf_dir, f"{_pq_tag(res)}_a{rnd}", _build
+    """The round-`rnd` assignment (against the round rnd-1 centroids)
+    — read by the centroid update and the convergence report. A plain
+    projection over the round's chain-cached scored frame (r14 opt
+    round, see _pq_round_scored): same schema, same integers as the
+    _pq_assign reference form (pinned by
+    test_pq_round_scored_matches_reference), one cached
+    materialization per round instead of two."""
+    return _pq_round_scored(spark, sf_dir, rnd, res).select(
+        "vec_id", "m", "j", "dist_sq"
     )
 
 
@@ -755,12 +857,18 @@ def _pq_centroids(
             if rnd == 1
             else _pq_centroids(spark, sf_dir, rnd - 1, res)
         )
-        a = _pq_assignment(spark, sf_dir, rnd, res)
-        means = (
-            a.select("vec_id", "m", "j")
-            .join(_pq_micro_of(spark, sf_dir, res), ["vec_id", "m"])
-            .groupBy("m", "j", "d")
-            .agg(F.expr("sum(xm) DIV count(*)").cast("long").alias("_cm_new"))
+        # members come from the scan-local round scoring (identical
+        # integers to the cached assignment — the same deterministic
+        # expression over the same pivot); carrying xs through lets
+        # the mean update posexplode it in place (position IS d, the
+        # pivot's sort order), so the whole update is ONE bounded
+        # (m, j, d) aggregation with map-side partials instead of a
+        # join back against the exploded micro table (r14 opt round).
+        memb = _pq_round_scored(spark, sf_dir, rnd, res).select(
+            "m", "j", F.posexplode("xs").alias("d", "xm")
+        )
+        means = memb.groupBy("m", "j", "d").agg(
+            F.expr("sum(xm) DIV count(*)").cast("long").alias("_cm_new")
         )
         return prev.join(means, ["m", "j", "d"], "left").select(
             "m",

@@ -99,6 +99,37 @@ def test_pq_training_reduces_distortion(spark):
     assert dist[0] > dist[1] > dist[2], dist
 
 
+def test_pq_round_scored_matches_reference(spark):
+    """The shipped scan-local Lloyd round (literal-codebook argmin
+    over the xs pivot, r14 opt round) equals the _pq_assign reference
+    join+window form bit-for-bit — every round to ship+1, every
+    family. Given equal assignments the centroid means are the same
+    aggregation, so chain equality follows inductively (the builder's
+    full-chain parity harness verified assignments AND centroids at
+    sf0.001/sf0.01/sf0.1 on land day)."""
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    for res in (False, True, "kmeans"):
+        px = s._pq_micro_of(spark, SF_ORACLE, res)
+        ship = s._pq_ship_round(spark, SF_ORACLE, res)
+        for rnd in range(1, ship + 2):
+            cent = (
+                s._pq_seed(spark, SF_ORACLE, res)
+                if rnd == 1
+                else s._pq_centroids(spark, SF_ORACLE, rnd - 1, res)
+            )
+            ref = sorted(map(tuple, s._pq_assign(px, cent).collect()))
+            new = sorted(
+                map(
+                    tuple,
+                    s._pq_assignment(
+                        spark, SF_ORACLE, rnd, res
+                    ).collect(),
+                )
+            )
+            assert new == ref, (res, rnd)
+
+
 def test_pq_training_stops_at_convergence(spark):
     """The shipped depth IS the stop rule (r10): every update before
     the last improved distortion by >= PQ_CONVERGE_PERMILLE, and the
