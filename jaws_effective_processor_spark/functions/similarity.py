@@ -722,26 +722,45 @@ def _pq_xs(
     )
 
 
-def _pq_cb_sql(cb: list) -> str:
-    """The codebook as ONE SQL array-of-arrays-of-arrays literal,
-    indexed [m][j][d]. A string for F.expr on purpose: building the
-    same tree through the Column API costs ~1.5 s of py4j round trips
-    PER PLAN (1024 F.lit calls — measured r14 opt round), paid twice
-    per Lloyd round; the JVM parses this ~8 KB string in
-    milliseconds."""
+def _int_aa_sql(aa: list) -> str:
+    """A K x SUB int matrix as one SQL array-of-arrays literal
+    string. Strings for F.expr on purpose throughout the codebook
+    machinery: building the same tree through the Column API costs
+    ~1.5 s of py4j round trips PER PLAN (~1024 F.lit calls — measured
+    r14 opt round, and paid by EVERY plan that folds a codebook in);
+    the JVM parses these ~4-8 KB strings in milliseconds. Integer
+    values parse exactly (int/bigint literals)."""
     return (
         "array("
         + ",".join(
-            "array("
-            + ",".join(
-                "array("
-                + ",".join(str(int(c)) for c in cb[m][j])
-                + ")"
-                for j in range(PQ_K)
-            )
-            + ")"
-            for m in range(PQ_M)
+            "array(" + ",".join(str(int(c)) for c in a) + ")"
+            for a in aa
         )
+        + ")"
+    )
+
+
+def _dbl_a_sql(a: list) -> str:
+    """A double vector as one SQL array literal string. repr(float)
+    is Python's shortest round-trip form and Spark's 'D'-suffixed
+    literal parses it correctly-rounded, so the parsed double is
+    bit-identical to the F.lit value it replaces (both sides are
+    IEEE-754 doubles of the same decimal string)."""
+    return "array(" + ",".join(f"{float(c)!r}D" for c in a) + ")"
+
+
+def _dbl_aa_sql(aa: list) -> str:
+    """A K x SUB double matrix as one SQL array-of-arrays literal
+    string (see _dbl_a_sql for the exactness argument)."""
+    return "array(" + ",".join(_dbl_a_sql(a) for a in aa) + ")"
+
+
+def _pq_cb_sql(cb: list) -> str:
+    """The codebook as ONE SQL array-of-arrays-of-arrays literal,
+    indexed [m][j][d] (see _int_aa_sql for why a string)."""
+    return (
+        "array("
+        + ",".join(_int_aa_sql(cb[m]) for m in range(PQ_M))
         + ")"
     )
 
@@ -1062,27 +1081,18 @@ def with_pq_codes(
             for m in range(PQ_M)
         ],
     )
+    # the K per-subspace distances from ONE transform lambda over a
+    # literal array-of-arrays, built as a SQL string (see _int_aa_sql:
+    # the Column-API form of this tree cost ~1.5 s of py4j round
+    # trips per plan; the parsed expression is the same integer fold)
     dist_stage = staged.select(
         "*",
         *[
-            F.transform(
-                F.array(
-                    *[
-                        F.array(*[F.lit(int(c)) for c in cb[m][j]])
-                        for j in range(PQ_K)
-                    ]
-                ),
-                # one-arg lambda only: F.transform hands a 2-arg
-                # lambda (element, index); the loop var m is safe to
-                # close over because transform consumes the Python
-                # lambda eagerly inside this comprehension iteration
-                lambda c: F.aggregate(
-                    F.zip_with(
-                        F.col(f"_pqx{m}"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, z: acc + z,
-                ),
+            F.expr(
+                f"transform({_int_aa_sql(cb[m])}, "
+                f"c -> aggregate(zip_with(_pqx{m}, c, "
+                "(a, b) -> (a - b) * (a - b)), "
+                "cast(0 as bigint), (acc, z) -> acc + z))"
             ).alias(f"_pqd{m}")
             for m in range(PQ_M)
         ],
@@ -1253,13 +1263,14 @@ def adc_query_luts(q: DataFrame, cd: list, keep: tuple = ()) -> DataFrame:
             *keep,
             "_qnorm",
             *[
-                F.transform(
-                    F.array(
-                        *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
-                    ),
-                    # one-arg lambda (see with_pq_codes); eager
-                    # transform makes the m closure safe
-                    lambda c: dot(F.col(f"_q{m}"), c),
+                # the K dots per subspace from ONE transform over a
+                # literal array-of-arrays built as a SQL string (see
+                # _dbl_aa_sql); the inner fold is dot()'s sequential
+                # aggregate, token for token
+                F.expr(
+                    f"transform({_dbl_aa_sql(cd[m])}, "
+                    f"c -> aggregate(zip_with(_q{m}, c, "
+                    "(p, q) -> p * q), 0.0D, (acc, z) -> acc + z))"
                 ).alias(f"_lut{m}")
                 for m in range(PQ_M)
             ],
@@ -1289,7 +1300,8 @@ def _adc_cos_hat(cd: list) -> Column:
         idx = (F.col(f"code_{m}") + 1).cast("int")
         term = F.element_at(F.col(f"_lut{m}"), idx)
         n2 = F.element_at(
-            _lit_vec([_sq_fold(cd[m][j]) for j in range(PQ_K)]), idx
+            F.expr(_dbl_a_sql([_sq_fold(cd[m][j]) for j in range(PQ_K)])),
+            idx,
         )
         num = term if num is None else num + term
         recon2 = n2 if recon2 is None else recon2 + n2
@@ -2324,19 +2336,23 @@ def _cell_luts_frame(
                 F.lit(cell).cast("long").alias("cell"),
                 "_qnorm",
                 *[
-                    F.transform(
-                        F.array(
-                            *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
-                        ),
-                        # one-arg lambda; eager transform makes the
-                        # m closure safe (see with_pq_codes)
-                        lambda c: dot(F.col(f"_q{m}"), c),
+                    # SQL-string literal matrices (see _dbl_aa_sql):
+                    # the Column-API form of this N_CELLS x ~1.2k-
+                    # literal union cost ~10 s of py4j round trips
+                    # per build; the inner fold is dot()'s sequential
+                    # aggregate, token for token
+                    F.expr(
+                        f"transform({_dbl_aa_sql(cd[m])}, "
+                        f"c -> aggregate(zip_with(_q{m}, c, "
+                        "(p, q) -> p * q), 0.0D, (acc, z) -> acc + z))"
                     ).alias(f"_lut{m}")
                     for m in range(PQ_M)
                 ],
                 *[
-                    _lit_vec(
-                        [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                    F.expr(
+                        _dbl_a_sql(
+                            [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                        )
                     ).alias(f"_cn2_{m}")
                     for m in range(PQ_M)
                 ],

@@ -855,7 +855,8 @@ def _res_luts_on(qframe: DataFrame, cellbooks: dict) -> DataFrame:
         PQ_K,
         PQ_M,
         PQ_SUB,
-        _lit_vec,
+        _dbl_a_sql,
+        _dbl_aa_sql,
         _sq_fold,
     )
 
@@ -873,19 +874,24 @@ def _res_luts_on(qframe: DataFrame, cellbooks: dict) -> DataFrame:
             staged.filter(F.col("cell") == cell).select(
                 "*",
                 *[
-                    F.transform(
-                        F.array(
-                            *[_lit_vec(cd[m][j]) for j in range(PQ_K)]
-                        ),
-                        # one-arg lambda; eager transform makes the m
-                        # closure safe (see with_pq_codes)
-                        lambda c: dot(F.col(f"_q{m}"), c),
+                    # SQL-string literal matrices (similarity.
+                    # _dbl_aa_sql — the Column-API tree cost seconds
+                    # of py4j per build); the inner fold is dot()'s
+                    # sequential aggregate, token for token, so a
+                    # stored vector still scores bit-identically to
+                    # the batch serve paths
+                    F.expr(
+                        f"transform({_dbl_aa_sql(cd[m])}, "
+                        f"c -> aggregate(zip_with(_q{m}, c, "
+                        "(p, q) -> p * q), 0.0D, (acc, z) -> acc + z))"
                     ).alias(f"_lut{m}")
                     for m in range(PQ_M)
                 ],
                 *[
-                    _lit_vec(
-                        [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                    F.expr(
+                        _dbl_a_sql(
+                            [_sq_fold(cd[m][j]) for j in range(PQ_K)]
+                        )
                     ).alias(f"_cn2_{m}")
                     for m in range(PQ_M)
                 ],
