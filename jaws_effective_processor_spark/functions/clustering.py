@@ -71,6 +71,93 @@ KMEANS_BROADCAST_K_MAX = 1024
 ASSIGN_ARROW_K_BLOCK = 256
 
 
+def _emb_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xs): the embedding table flattened to ONE fixed-point
+    micro-int array per vector (the same floor(x * MICRO) expression
+    as _emb_micro, element i = dim i), session-cached 'kmeans_xs'.
+    The scan-local Lloyd rounds below read this instead of the
+    exploded micro table, so an assignment never moves a row (r14 opt
+    round, the similarity._pq_xs discipline)."""
+    from ..tables import load_table
+    from .dedup import _cached_frame
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda t: F.floor(t * KMEANS_MICRO).cast("long"),
+            ).alias("xs"),
+        )
+
+    return _cached_frame(spark, sf_dir, "kmeans_xs", _build)
+
+
+def _km_cent_matrix(cent: DataFrame) -> tuple[list, list]:
+    """Collect a (cid, dim, cm) centroid table into (sorted cid list,
+    matching row-per-cid int matrix in dim order) — the codebook-load
+    class of .collect() (K x dims bounded artifact rows, the
+    streaming/vectors.py precedent). cids may be non-contiguous: a
+    cell emptied by the previous round has no trained centroid."""
+    by: dict[int, dict[int, int]] = {}
+    for r in cent.collect():
+        by.setdefault(int(r["cid"]), {})[int(r["dim"])] = int(r["cm"])
+    cids = sorted(by)
+    dims = sorted(by[cids[0]])
+    return cids, [[by[c][d] for d in dims] for c in cids]
+
+
+def _km_scored(
+    spark: SparkSession, sf_dir: str, tag: str, cent
+) -> DataFrame:
+    """(vec_id, cid, dist_sq, xs): scan-local nearest-centroid of
+    every vector against the centroid table `cent` folded in as ONE
+    SQL-string literal matrix (similarity._int_aa_sql — the Column-
+    API tree costs seconds of py4j per plan). Exact integer distances
+    (the same (xm - cm)^2 fold as _assign, commutative long
+    addition); argmin = array_position(array_min) over the cid-sorted
+    matrix, first match = smallest cid — _assign's window ORDER BY
+    (dist_sq, cid) exactly, mapped back through a literal cid array
+    because trained cids may be non-contiguous. Chain-cached under
+    `tag` so the assignment artifact and the centroid update share
+    one build. Literal plan size is K x dims ints — the same
+    KMEANS_BROADCAST_K_MAX bound as the join form; beyond it use
+    assign_arrow (unchanged advice)."""
+    from .dedup import _cached_frame
+    from .similarity import _int_aa_sql
+
+    def _build() -> DataFrame:
+        cids, mat = _km_cent_matrix(cent)
+        dists = F.expr(
+            f"transform({_int_aa_sql(mat)}, "
+            "c -> aggregate(zip_with(xs, c, "
+            "(a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, z) -> acc + z))"
+        )
+        cid_arr = F.expr(
+            "array(" + ",".join(str(int(c)) for c in cids) + ")"
+        )
+        staged = _emb_xs(spark, sf_dir).select(
+            "vec_id", "xs", dists.alias("_kds")
+        )
+        return staged.select(
+            "vec_id",
+            F.element_at(
+                cid_arr,
+                F.array_position(
+                    F.col("_kds"), F.array_min(F.col("_kds"))
+                ).cast("int"),
+            )
+            .cast("long")
+            .alias("cid"),
+            F.array_min(F.col("_kds")).alias("dist_sq"),
+            "xs",
+        )
+
+    return _cached_frame(spark, sf_dir, tag, _build)
+
+
 def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, cid, dist_sq), ties
     broken toward the smallest cid. cent is (cid, dim, cm) — K x dims
@@ -80,7 +167,9 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     (see KMEANS_BROADCAST_K_MAX above); for K beyond that use
     assign_arrow, parity-pinned in
     tests/test_properties.py::test_assign_arrow_matches_broadcast_join.
-    """
+    Kept as the REFERENCE implementation of a Lloyd round; the
+    shipped per-round builds ride _km_scored's scan-local form,
+    pinned equal integers by test_km_scored_matches_reference."""
     d = (
         e.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "cid")
@@ -245,21 +334,20 @@ def route_arrow(
 
 def _assignment_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-2 assignment (vec_id, cid, dist_sq), session-cached
-    under tag 'kmeans_assign_r2': like the trained centroids it is a
+    behind the chain-cached round-2 scored frame ('kmeans_s2'): like
+    the trained centroids it is a
     persisted pipeline artifact — every consumer (the partition table,
     the quality report, label purity, balanced sampling) reads the
     SAME materialized assignment instead of re-running the argmin
     exchange, and plans that use it twice (balanced_sample's census +
     join-back) scan the cache instead of evaluating the assignment
     subtree twice."""
-    from .dedup import _cached_frame
-
-    def _build() -> DataFrame:
-        return _assign(
-            _emb_micro(spark, sf_dir), _trained_centroids(spark, sf_dir)
-        )
-
-    return _cached_frame(spark, sf_dir, "kmeans_assign_r2", _build)
+    return _km_scored(
+        spark,
+        sf_dir,
+        "kmeans_s2",
+        _trained_centroids(spark, sf_dir),
+    ).select("vec_id", "cid", "dist_sq")
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,12 +376,18 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _cached_frame
 
     def _build() -> DataFrame:
-        e = _emb_micro(spark, sf_dir)
-        a1 = _assignment_r1(spark, sf_dir)
+        # members from the round-1 scored frame, the carried xs
+        # posexploded in place (position IS dim) — one bounded
+        # (cid, dim) aggregation with map-side partials instead of a
+        # join back against the exploded micro table (r14 opt round)
+        memb = _km_scored(
+            spark,
+            sf_dir,
+            "kmeans_s1",
+            _seed_centroids(spark, sf_dir),
+        ).select("cid", F.posexplode("xs").alias("dim", "xm"))
         return (
-            a1.select("vec_id", "cid")
-            .join(e, "vec_id")
-            .groupBy("cid", "dim")
+            memb.groupBy("cid", "dim")
             .agg(F.sum("xm").alias("_s"), F.count("*").alias("_c"))
             .select("cid", "dim", F.expr("_s DIV _c").alias("cm"))
         )
@@ -443,17 +537,14 @@ def _seed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assignment_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-1 assignment against the seed centroids,
-    session-cached (tag 'kmeans_assign_r1') — read by the centroid
-    trainer and the convergence report."""
-    from .dedup import _cached_frame
-
-    def _build() -> DataFrame:
-        return _assign(
-            _emb_micro(spark, sf_dir), _seed_centroids(spark, sf_dir)
-        )
-
-    return _cached_frame(spark, sf_dir, "kmeans_assign_r1", _build)
+    """The round-1 assignment against the seed centroids — read by
+    the centroid trainer and the convergence report. A projection
+    over the round's chain-cached scored frame ('kmeans_s1', shared
+    with the centroid update): same schema, same integers as the
+    _assign reference form."""
+    return _km_scored(
+        spark, sf_dir, "kmeans_s1", _seed_centroids(spark, sf_dir)
+    ).select("vec_id", "cid", "dist_sq")
 
 
 def q_kmeans_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -854,6 +854,45 @@ def test_assign_arrow_matches_broadcast_join(spark):
     assert arrow_rows == join_rows
 
 
+def test_km_scored_matches_reference(spark):
+    """The shipped scan-local Lloyd rounds (literal-codebook argmin
+    over the kmeans_xs frame, r14 opt round) equal the _assign
+    reference join+window form bit-for-bit — both rounds AND the
+    trained centroid means, including the non-contiguous-cid mapping
+    of the round-2 codebook."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from jaws_effective_processor_spark.functions import clustering as c
+
+    e = c._emb_micro(spark, SF_ORACLE)
+    c0 = c._seed_centroids(spark, SF_ORACLE)
+    a1_ref = c._assign(e, c0).localCheckpoint(eager=False)
+    c1_ref = (
+        a1_ref.select("vec_id", "cid")
+        .join(e, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.sum("xm").alias("_s"), F.count("*").alias("_c"))
+        .select("cid", "dim", F.expr("_s DIV _c").alias("cm"))
+        .localCheckpoint(eager=False)
+    )
+    a2_ref = c._assign(e, c1_ref)
+
+    def rows(df, cols):
+        return sorted(tuple(r[k] for k in cols) for r in df.collect())
+
+    akeys = ["vec_id", "cid", "dist_sq"]
+    assert rows(c._assignment_r1(spark, SF_ORACLE), akeys) == rows(
+        a1_ref, akeys
+    )
+    assert rows(
+        c._trained_centroids(spark, SF_ORACLE), ["cid", "dim", "cm"]
+    ) == rows(c1_ref, ["cid", "dim", "cm"])
+    assert rows(c._assignment_r2(spark, SF_ORACLE), akeys) == rows(
+        a2_ref, akeys
+    )
+
+
 def test_split_leakage_bounds_and_masks(spark):
     """split_leakage's matrix is internally consistent: shared counts
     never exceed either side's gram vocabulary, permilles stay in
