@@ -902,13 +902,16 @@ def test_split_leakage_grams_move_once(spark):
     assert not has_cartesian(df)
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """kmeans_assign's per-execution plan joins the (K x dims)
-    centroid table onto the cached vector table as a broadcast —
-    never a shuffled join keyed on dim — and ends in one vec-keyed
-    exchange for the argmin window."""
+def test_kmeans_assignment_is_scan_local(spark):
+    """kmeans_assign's per-execution plan reads the chain-cached
+    scored frame whose build computed the argmin SCAN-LOCALLY against
+    the literal centroid matrix (r14 opt round, clustering._km_scored)
+    — so the whole plan carries NO join and NO exchange at all. The
+    r13 shape (broadcast centroid join + vec-keyed argmin window
+    exchange) is superseded; never a shuffled join keyed on dim."""
     df = QUERIES["kmeans_assign"](spark, SF_SMOKE)
     df.write.format("noop").mode("overwrite").save()  # AQE final
     plan = explain_str(df)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert not has_cartesian(df)
