@@ -242,11 +242,12 @@ N_CELLS = 8  # IVF coarse-quantizer cells; centroids are the vectors
 # identical in the oracle SQL
 
 
-def _cell_ranked(e: DataFrame) -> DataFrame:
-    """Rank every (vector, centroid) pair by cosine (ties on centroid
-    id): rn=1 is the home cell, rn<=p the p nearest cells (multiprobe
-    order). Centroids are K rows — broadcast cross join + per-vector
-    window, all built-in ops."""
+def _cell_ranked_join(e: DataFrame) -> DataFrame:
+    """REFERENCE form of the member-vector cosine ranking: broadcast
+    cross join + per-vector window. Kept for the empty-centroid edge
+    (an empty literal array cannot be typed) and as the parity anchor
+    for the shipped scan-local form below
+    (test_cell_ranked_matches_reference)."""
     cent = e.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
     ).select(
@@ -268,6 +269,73 @@ def _cell_ranked(e: DataFrame) -> DataFrame:
         F.col("ccos").desc(), F.col("cent_id")
     )
     return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _cell_ranked(e: DataFrame) -> DataFrame:
+    """Rank every (vector, centroid) pair by cosine (ties on centroid
+    id): rn=1 is the home cell, rn<=p the p nearest cells (multiprobe
+    order).
+
+    Scan-local (r14 opt round, the _km_scored discipline on the
+    cosine level): the K centroid vectors AND their Spark-computed
+    norms are collected once (the codebook-load class — exactly what
+    an IVF index ships to every prober) and folded in as SQL-string
+    literals; each row computes its K cosines with dot()'s sequential
+    fold — dot(v, literal cv) is the identical expression the
+    reference's joined cv column fed — divides by norm * the
+    collected cnorm double (repr round-trip, bit-exact), sorts the
+    (ccos DESC, cent_id ASC) candidate structs with an explicit
+    comparator (the window's ORDER BY), and posexplodes so position
+    + 1 is rn. No cross join, no window exchange."""
+    cent_rows = sorted(
+        (
+            int(r["vec_id"]),
+            [float(x) for x in r["v"]],
+            float(r["norm"]),
+        )
+        for r in e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        )
+        .select("vec_id", "v", "norm")
+        .collect()
+    )
+    if not cent_rows:
+        return _cell_ranked_join(e)
+    cv_sql = (
+        "array(" + ",".join(_dbl_a_sql(cv) for _, cv, _ in cent_rows) + ")"
+    )
+    meta_sql = (
+        "array("
+        + ",".join(
+            f"struct({cid}L as cent_id, {float(cn)!r}D as cnorm)"
+            for cid, _, cn in cent_rows
+        )
+        + ")"
+    )
+    gen = F.expr(
+        "posexplode(array_sort(zip_with("
+        f"transform({cv_sql}, cv -> aggregate(zip_with(v, cv, "
+        "(p, q) -> p * q), 0.0D, (acc, z) -> acc + z)), "
+        f"{meta_sql}, "
+        "(d, mm) -> struct(d / (norm * mm.cnorm) as ccos, "
+        "mm.cent_id as cent_id)), "
+        "(l, r) -> CASE WHEN l.ccos > r.ccos THEN -1 "
+        "WHEN l.ccos < r.ccos THEN 1 "
+        "WHEN l.cent_id < r.cent_id THEN -1 "
+        "WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END))"
+    )
+    return e.select(
+        "vec_id", "label", "v", "norm", gen.alias("_p", "_s")
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        F.col("_s.cent_id").alias("cent_id"),
+        F.col("_s.ccos").alias("ccos"),
+        (F.col("_p") + 1).alias("rn"),
+    )
 
 
 def _cell_assignment(e: DataFrame) -> DataFrame:
@@ -2842,25 +2910,42 @@ def _kranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: both serve stacks join probes to query LUT frames that are
     built from _vectors, so zero-norm queries drop there — see
     _cell_luts_frame / _adc_query_luts)."""
-    from .clustering import _emb_micro, _trained_centroids
+    from .clustering import (
+        _emb_xs,
+        _km_cent_matrix,
+        _trained_centroids,
+    )
     from .dedup import _cached_frame
 
     def _build() -> DataFrame:
-        e = _emb_micro(spark, sf_dir)
-        cent = _trained_centroids(spark, sf_dir)
-        d = (
-            e.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("xm") - F.col("cm"))
-                    * (F.col("xm") - F.col("cm"))
-                ).alias("dist_sq")
-            )
+        # scan-local rank-retaining routing (r14 opt round, the
+        # _km_scored discipline extended from argmin to ALL ranks):
+        # exact integer distances against the literal centroid
+        # matrix, then array_sort of (dist_sq, cell) structs —
+        # ascending struct order IS the window's ORDER BY (dist_sq,
+        # cid) — posexploded so position + 1 is rn. No join, no
+        # aggregation, no window exchange; route_arrow remains the
+        # large-K form of the same ranking.
+        cids, mat = _km_cent_matrix(_trained_centroids(spark, sf_dir))
+        cid_sql = "array(" + ",".join(str(int(c)) for c in cids) + ")"
+        gen = F.expr(
+            "posexplode(array_sort(zip_with("
+            f"transform({_int_aa_sql(mat)}, "
+            "c -> aggregate(zip_with(xs, c, "
+            "(a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, z) -> acc + z)), "
+            f"{cid_sql}, "
+            "(d, c) -> struct(d as dist_sq, c as cell))))"
         )
-        w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
-        return d.withColumn("rn", F.row_number().over(w)).select(
-            "vec_id", F.col("cid").alias("cell"), "dist_sq", "rn"
+        return (
+            _emb_xs(spark, sf_dir)
+            .select("vec_id", gen.alias("_p", "_s"))
+            .select(
+                "vec_id",
+                F.col("_s.cell").cast("long").alias("cell"),
+                F.col("_s.dist_sq").alias("dist_sq"),
+                (F.col("_p") + 1).alias("rn"),
+            )
         )
 
     return _cached_frame(spark, sf_dir, "kivf_cell_ranked", _build)

@@ -130,6 +130,67 @@ def test_pq_round_scored_matches_reference(spark):
             assert new == ref, (res, rnd)
 
 
+def test_cell_ranked_matches_reference(spark):
+    """The shipped scan-local cosine cell ranking (_cell_ranked —
+    literal centroid vectors + collected norms + comparator sort, r14
+    opt round) equals the _cell_ranked_join reference (broadcast
+    cross join + window) BIT-FOR-BIT, doubles included."""
+    import struct as st
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    def rows(df):
+        return sorted(
+            (
+                r["vec_id"],
+                r["cent_id"],
+                r["rn"],
+                st.pack("<d", r["ccos"]),
+                st.pack("<d", r["norm"]),
+            )
+            for r in df.collect()
+        )
+
+    e = s._vectors(spark, SF_ORACLE)
+    assert rows(s._cell_ranked(e)) == rows(s._cell_ranked_join(e))
+
+
+def test_kranked_cells_matches_reference(spark):
+    """The shipped scan-local k-means routing ranking
+    (_kranked_cells: literal centroid matrix + (dist_sq, cell) struct
+    sort, r14 opt round) equals the broadcast-join + window reference
+    — exact integers, same (dist_sq, cid) tie-break, all ranks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions import clustering as c
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    e = c._emb_micro(spark, SF_ORACLE)
+    cent = c._trained_centroids(spark, SF_ORACLE)
+    d = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+    ref = d.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", F.col("cid").alias("cell"), "dist_sq", "rn"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cell"], r["dist_sq"], r["rn"])
+            for r in df.collect()
+        )
+
+    assert rows(s._kranked_cells(spark, SF_ORACLE)) == rows(ref)
+
+
 def test_pq_training_stops_at_convergence(spark):
     """The shipped depth IS the stop rule (r10): every update before
     the last improved distortion by >= PQ_CONVERGE_PERMILLE, and the
