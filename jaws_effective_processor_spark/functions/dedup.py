@@ -482,7 +482,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides carry the norm>0 guard).
     """
     import numpy as np
-    import pandas as pd
 
     from .similarity import dot
 
@@ -579,35 +578,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = int(NEARDUP_CUT * 10000)
 
-    def score(batches):
-        """Exact re-score of the candidates, cumsum == fold order.
-        Arrow traffic is O(candidates * dim) — candidate-driven, the
-        point of the LSH stage (the exhaustive all-pairs layout this
-        replaced shipped O(n^2/B * dim))."""
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            va = np.vstack(pdf["va"].to_numpy())
-            vb = np.vstack(pdf["vb"].to_numpy())
-            dots = np.cumsum(va * vb, axis=1)[:, -1]
-            cos = dots / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
-            val = np.floor(cos * 10000).astype("int64")
-            keep = val >= cut
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "cos_permyriad": val[keep],
-                }
-            )
-
-    # score on the (possibly band-duplicated) candidates, then
+    # Exact re-score of the candidates IN THE JVM (r14 opt round,
+    # guide §4.1: built-ins over the Python boundary). The previous
+    # shape shipped every candidate pair's two full vectors through a
+    # MapInPandas stage per execution — O(candidates x dim) doubles of
+    # Arrow traffic plus a Python-worker stage launch every run — to
+    # compute np.cumsum(va*vb)[-1], i.e. the sequential left fold.
+    # Catalyst's `dot` (F.aggregate over zip_with, init 0.0) IS that
+    # fold: 0.0 + p0 == p0 exactly in IEEE754, so every partial sum
+    # matches cumsum's and floor((dot/(na*nb)) * 10000) is computed
+    # on identical doubles — the result set is bit-identical (oracle
+    # re-driven green). Scoring now runs join-local inside the
+    # candidate join's stage; the one Arrow stage left in the family
+    # is the signature matmul, which is session-cached and runs once
+    # per snapshot, not per execution.
+    #
+    # Score on the (possibly band-duplicated) candidates, then
     # distinct on the final ints: the score per pair is deterministic,
     # so dedup before or after scoring yields the same set and
-    # distinct-after avoids re-joining vectors onto deduped pairs
-    return pairs.mapInPandas(
-        score, "vec_a long, vec_b long, cos_permyriad long"
-    ).distinct()
+    # distinct-after avoids re-joining vectors onto deduped pairs.
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 10000
+            )
+            .cast("long")
+            .alias("cos_permyriad"),
+        )
+        .filter(F.col("cos_permyriad") >= cut)
+        .distinct()
+    )
 
 
 def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -759,15 +759,19 @@ def test_embedding_neardup_reuses_cached_signatures(spark):
     """The LSH band self-join must read the session-cached signature
     frame on BOTH sides (InMemoryRelation), not re-run the Arrow
     signature stage per join input — the signature scan is the
-    dominant cost of the query and runs once per (session, sf_dir)."""
+    dominant cost of the query and runs once per (session, sf_dir).
+    The candidate re-score runs in Catalyst (r14 opt round): NO live
+    Python stage remains in the query body — the only MapInPandas
+    mentions are the sig_bands build repeated textually under the
+    InMemoryTableScans, which executes only at cache build."""
     df = QUERIES["embedding_neardup"](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
-    # both join inputs read the cached relation (the sig_bands stage
-    # textually repeats under each InMemoryTableScan but executes only
-    # at cache build); the candidate re-score is the single live
-    # Arrow stage in the query body
     assert plan.count("InMemoryTableScan") >= 2, plan
-    assert plan.count("MapInPandas score") == 1, plan
+    assert plan.count("MapInPandas score") == 0, plan
+    # every MapInPandas line is the cached signature build, none other
+    for line in plan.splitlines():
+        if "MapInPandas" in line:
+            assert "sig_bands" in line, line
 
 
 def test_keyword_topk_single_document_scan(spark):

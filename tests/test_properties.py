@@ -1689,6 +1689,70 @@ def test_media_neardup_matches_python_replay(spark):
     assert expected, "fixture must contain perceptual near-dups"
 
 
+def test_embedding_neardup_matches_python_replay(spark):
+    """The LSH candidates + JVM fold re-score equal a plain-Python
+    sequential-fold replay end to end (r14 opt round: the re-score
+    moved from a numpy-cumsum MapInPandas stage into Catalyst's
+    F.aggregate fold — this replay pins BIT-IDENTICAL floored scores
+    and the full banding/candidate semantics, including the BLAS
+    sign-recheck window of the cached signature stage, whose contract
+    is sign parity with exactly this sequential fold)."""
+    import itertools
+    import math
+
+    from jaws_effective_processor_spark.entry_queries import QUERIES
+    from jaws_effective_processor_spark.functions.dedup import (
+        NEARDUP_BAND_BITS,
+        NEARDUP_BANDS,
+        NEARDUP_CUT,
+        NEARDUP_PLANES,
+    )
+    from jaws_effective_processor_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    def fold_dot(xs, ys):
+        acc = 0.0
+        for a, b in zip(xs, ys):
+            acc = acc + a * b
+        return acc
+
+    rows = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(fold_dot(v, v))
+        if n > 0:
+            vecs[r["vec_id"]] = (int(r["label"]), v, n)
+    buckets: dict[tuple, list] = {}
+    for vid, (label, v, _n) in vecs.items():
+        for b in range(NEARDUP_BANDS):
+            val = 0
+            for bit in range(NEARDUP_BAND_BITS):
+                p = NEARDUP_PLANES[b * NEARDUP_BAND_BITS + bit]
+                if fold_dot(v, p) >= 0:
+                    val |= 1 << bit
+            buckets.setdefault((label, b, val), []).append(vid)
+    cut = int(NEARDUP_CUT * 10000)
+    expected = set()
+    for members in buckets.values():
+        for va, vb in itertools.combinations(sorted(members), 2):
+            _, xa, na = vecs[va]
+            _, xb, nb = vecs[vb]
+            permyriad = math.floor(fold_dot(xa, xb) / (na * nb) * 10000)
+            if permyriad >= cut:
+                expected.add((va, vb, permyriad))
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_permyriad"])
+        for r in QUERIES["embedding_neardup"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain embedding near-dups"
+
+
 def test_source_overlap_bitmask_general_parity(spark):
     """The <=64-source bitmask fast path and the general sorted-set
     path emit identical rows (same discipline as the near-dup gate's
