@@ -279,10 +279,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past 0.505 by the tie mass even when the sketch meets its rank
     # contract, so assert frac(<) <= 0.505 AND frac(<=) >= 0.495 —
     # the estimate's rank INTERVAL straddles the median.
+    # r14 opt round: the 1-row sketch frame used to be referenced
+    # TWICE — as the final output's left side AND (projected to
+    # _approx_median) as the broadcast inside this rank check — and
+    # Spark re-executes an unmaterialized subtree per reference, so
+    # the sketch pass scanned lineitem twice per run. The rank check
+    # now broadcasts the FULL 1-row sketch frame and carries the
+    # sketch columns through its aggregate with first() (constant
+    # across the crossJoined rows — identical values), so the sketch
+    # subtree appears exactly once in the plan: 5 lineitem scans -> 4
+    # (guide §2.4: remove duplicate passes). Empty-input parity: with
+    # an empty table the exact-count subframes are empty, so the final
+    # crossJoin output is empty under both shapes.
     median_rank = (
         li.select("l_extendedprice")
-        .crossJoin(F.broadcast(sketches.select("_approx_median")))
+        .crossJoin(F.broadcast(sketches))
         .agg(
+            F.first("_approx_parts").alias("_approx_parts"),
+            F.first("_approx_orders").alias("_approx_orders"),
             (
                 F.sum(
                     (F.col("l_extendedprice") < F.col("_approx_median")).cast(
@@ -303,9 +317,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # approx_count_distinct default rsd=0.05: assert within 3*rsd.
     return (
-        sketches.crossJoin(F.broadcast(exact_parts))
+        median_rank.crossJoin(F.broadcast(exact_parts))
         .crossJoin(F.broadcast(exact_orders))
-        .crossJoin(F.broadcast(median_rank))
         .select(
             "exact_parts",
             "exact_orders",
@@ -831,7 +844,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance — one window pass partitioned by key, no join at all,
     the same single-exchange shape Delta/Iceberg MERGE compiles to
     when the change set is not broadcastable. Delete-vs-update
-    precedence falls out of version ordering, not special cases."""
+    precedence falls out of version ordering, not special cases.
+
+    r14 opt round, evaluated and KEPT as the union: synthesizing the
+    changelog scan-locally (explode of per-row role structs — one base
+    scan instead of four) produced the identical row multiset but
+    measured 0.49 -> 0.84 s (1.06 s with a pre-explode spread): the
+    four single-split branch scans run as CONCURRENT single-task
+    stages locally, which beats one serialized scan+explode, and the
+    spread's exchange costs more than the duplicate decode it removes
+    (the lineitem_cube finding again). In a real MERGE the change set
+    is a different table, so the 4-scan shape is fixture-only anyway."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",

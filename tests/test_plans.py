@@ -81,7 +81,7 @@ _SHUFFLE_BUDGETS = {
     "ann_recall": 6,
     "ann_refine_curve": 10,
     "ann_refine_recall": 8,
-    "approx_distinct": 7,
+    "approx_distinct": 6,
     "approx_percentiles": 2,
     "asof_last_purchase": 2,
     "best_of_source": 2,
