@@ -62,25 +62,30 @@ _SHUFFLE_BUDGETS = {
     "activation_transitions": 1,
     "alarm_snapshot_cdc": 2,
     "ann_cell_balance": 3,
-    "ann_ivfpq": 2,
-    "ann_ivfpq_refined": 4,
+    # r14 opt (member-coarse artifact batch): the rn<=SPILL_ASSIGN
+    # ranked x codes layout and the trained query LUTs are session
+    # artifacts ('pqm_codes'/'kraw_codes'/'pq_qluts') — the
+    # per-execution broadcast-build joins left the plans, tightening
+    # the whole member/raw family's ceilings by 1-2 each
+    "ann_ivfpq": 1,
+    "ann_ivfpq_refined": 2,
     "ann_ivfpq_residual": 4,
     "ann_ivfpq_kmeans": 4,
     "ann_serve": 4,  # == ann_ivfpq_kmeans by construction (the r14 shipped default)
-    "ann_ivfpq_spill": 4,
+    "ann_ivfpq_spill": 3,
     "ann_ivfpq_spill_kmeans": 5,
     "ann_ivfpq_spill_residual": 5,
-    "ann_joint_tuning": 9,
+    "ann_joint_tuning": 7,
     "ann_kmeans_tuning": 8,
     "ann_coarse_cost": 6,
-    "ann_residual_recall": 10,  # 2x2x2 grid: ONE rank-retaining ADC pass per (coarse, codes) family, union-keyed shortlist, ONE shared exact stage
-    "ann_spill_tuning": 7,
+    "ann_residual_recall": 9,  # 2x2x2 grid: ONE rank-retaining ADC pass per (coarse, codes) family, union-keyed shortlist, ONE shared exact stage
+    "ann_spill_tuning": 6,
     "pq_residual_diagnosis": 6,
-    "ann_pq_recall": 6,
-    "ann_probe_curve": 9,
+    "ann_pq_recall": 5,
+    "ann_probe_curve": 7,
     "ann_recall": 6,
-    "ann_refine_curve": 10,
-    "ann_refine_recall": 8,
+    "ann_refine_curve": 8,
+    "ann_refine_recall": 6,
     "approx_distinct": 6,
     "approx_percentiles": 2,
     "asof_last_purchase": 2,

@@ -1006,3 +1006,64 @@ def test_residual_recall_grid_consistency(spark):
     for (coarse, codes, kind), (n_hits, permille) in grid.items():
         assert 0 <= permille <= 1000, (coarse, codes, kind, permille)
         assert n_hits >= 0
+
+
+def test_pqm_kraw_code_artifacts_match_inline_join(spark):
+    """The r14-opt cached code layouts ('pqm_codes'/'kraw_codes') and
+    the cached trained query LUTs ('pq_qluts') equal the inline
+    per-execution forms they replaced, row for row (codes/ranks are
+    ints; LUT doubles compared bit-for-bit)."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from jaws_effective_processor_spark.functions import similarity as s
+
+    ranked = s._ranked_cells(spark, SF_ORACLE)
+    codes = s._pq_codes(spark, SF_ORACLE)
+    inline_pqm = (
+        ranked.filter(F.col("rn") <= s.SPILL_ASSIGN)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.col("rn").cast("long").alias("assign_rn"),
+        )
+        .join(codes, "vec_id")
+    )
+    key = lambda r: tuple(r)  # noqa: E731 — all-int rows
+    assert sorted(
+        key(r) for r in s._pqm_codes(spark, SF_ORACLE).collect()
+    ) == sorted(key(r) for r in inline_pqm.collect())
+
+    kranked = s._kranked_cells(spark, SF_ORACLE)
+    inline_kraw = (
+        kranked.filter(F.col("rn") <= s.SPILL_ASSIGN)
+        .select(
+            "vec_id", "cell", F.col("rn").cast("long").alias("assign_rn")
+        )
+        .join(s._vectors(spark, SF_ORACLE).select("vec_id"), "vec_id")
+        .join(codes, "vec_id")
+    )
+    assert sorted(
+        key(r) for r in s._kraw_codes(spark, SF_ORACLE).collect()
+    ) == sorted(key(r) for r in inline_kraw.collect())
+
+    cd = s._pq_codebook_double(s._pq_codebook(spark, SF_ORACLE))
+    inline_luts = s._adc_query_luts(spark, SF_ORACLE, cd)
+
+    def lut_rows(df):
+        return sorted(
+            (
+                r["query_id"],
+                st.pack("<d", r["_qnorm"]),
+                tuple(
+                    tuple(st.pack("<d", x) for x in r[f"_lut{m}"])
+                    for m in range(s.PQ_M)
+                ),
+            )
+            for r in df.collect()
+        )
+
+    assert lut_rows(
+        s._adc_trained_query_luts(spark, SF_ORACLE)
+    ) == lut_rows(inline_luts)
