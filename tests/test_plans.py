@@ -69,21 +69,21 @@ _SHUFFLE_BUDGETS = {
     # the whole member/raw family's ceilings by 1-2 each
     "ann_ivfpq": 1,
     "ann_ivfpq_refined": 2,
-    "ann_ivfpq_residual": 4,
-    "ann_ivfpq_kmeans": 4,
-    "ann_serve": 4,  # == ann_ivfpq_kmeans by construction (the r14 shipped default)
+    "ann_ivfpq_residual": 2,
+    "ann_ivfpq_kmeans": 2,
+    "ann_serve": 2,  # == ann_ivfpq_kmeans by construction (the r14 shipped default)
     "ann_ivfpq_spill": 3,
-    "ann_ivfpq_spill_kmeans": 5,
-    "ann_ivfpq_spill_residual": 5,
+    "ann_ivfpq_spill_kmeans": 3,
+    "ann_ivfpq_spill_residual": 3,
     "ann_joint_tuning": 7,
-    "ann_kmeans_tuning": 8,
+    "ann_kmeans_tuning": 6,
     "ann_coarse_cost": 6,
     "ann_residual_recall": 9,  # 2x2x2 grid: ONE rank-retaining ADC pass per (coarse, codes) family, union-keyed shortlist, ONE shared exact stage
     "ann_spill_tuning": 6,
     "pq_residual_diagnosis": 6,
     "ann_pq_recall": 5,
     "ann_probe_curve": 7,
-    "ann_recall": 6,
+    "ann_recall": 5,
     "ann_refine_curve": 8,
     "ann_refine_recall": 6,
     "approx_distinct": 6,
