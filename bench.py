@@ -10,6 +10,15 @@ cost with one-time JIT/codegen warm-up and background machine load
 (round-1 showed 4-10x iteration-to-iteration swings on identical
 plans). A warm-up pass of the flagship amortizes JVM/codegen startup
 so numbers reflect plan execution, not session boot.
+
+Besides the two stdout lines (per-query detail, then the ~400-byte
+summary LAST — the driver tail-parses the last line), the full
+per-query medians, per-sweep raw samples, oracle medians and
+session-artifact tags are written to BENCH_DETAIL.json next to this
+file (r15; the driver's stdout tail truncates the fat detail line, so
+the file is the machine-readable per-query contract). The summary
+carries cold_total_sec = value + artifact_prime_sec; set
+SPARK_GRAFT_NO_PRIME=1 to skip the prime and measure sweep 1 cold.
 """
 
 from __future__ import annotations
@@ -97,9 +106,33 @@ def main() -> None:
     spark.range(0, 1000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Per-query session-artifact reads (r15, VERDICT r14 item 3):
+    # during each query's FIRST build per sf_dir — the only moment the
+    # query function body runs (entry_queries._PLAN_CACHE memoizes the
+    # DataFrame afterwards) — record which SessionFrameCache artifacts
+    # it serves from, so BENCH_DETAIL.json can tag warm-artifact
+    # numbers apart from pure-compute numbers. The tag set is
+    # sf-independent, so the warm-up builds (and, if SF_DIR == SF_WARM
+    # or SPARK_GRAFT_NO_PRIME=1, the prime/sweep-1 builds) all feed
+    # the same per-query record.
+    from jaws_effective_processor_spark import cache as _cache_mod
+
+    artifact_tags: dict[str, list[str]] = {}
+
+    def _build_with_touches(name: str, sf_dir: str):
+        touches: list = []
+        _cache_mod.set_touch_log(touches)
+        try:
+            return queries[name](spark, sf_dir)
+        finally:
+            _cache_mod.set_touch_log(None)
+            tags = set(touches) | set(artifact_tags.get(name, ()))
+            if tags:
+                artifact_tags[name] = sorted(tags)
+
     for name in sorted(queries):
         try:
-            force(queries[name](spark, SF_WARM))
+            force(_build_with_touches(name, SF_WARM))
         except Exception:
             pass  # a warm-up miss only costs warm-up coverage
     # Artifact prime at SF_DIR (r13): the session-cached per-snapshot
@@ -119,13 +152,20 @@ def main() -> None:
     # prevent — so name the casualties before the sweeps start, and
     # report the measured build cost (verdict r13 #6: the cold-build
     # line that keeps the warm-serving headline honest).
+    # SPARK_GRAFT_NO_PRIME=1 (r15, VERDICT r14 item 3 "strongest
+    # form"): skip the untimed artifact prime entirely so timed sweep
+    # 1 pays every artifact build COLD; the summary then reports the
+    # observed cold sweep alongside the warm medians (the median of 5
+    # absorbs the one cold sample). Default behavior is unchanged.
+    no_prime = os.environ.get("SPARK_GRAFT_NO_PRIME", "0") == "1"
     prime_failed: list[str] = []
     prime_t0 = time.perf_counter()
-    for name in sorted(queries):
-        try:
-            force(queries[name](spark, SF_DIR))
-        except Exception:
-            prime_failed.append(name)
+    if not no_prime:
+        for name in sorted(queries):
+            try:
+                force(_build_with_touches(name, SF_DIR))
+            except Exception:
+                prime_failed.append(name)
     prime_secs = round(time.perf_counter() - prime_t0, 2)
     if prime_failed:
         print(
@@ -161,7 +201,13 @@ def main() -> None:
         sweep_t0 = time.perf_counter()
         for name in sorted(queries):
             t0 = time.perf_counter()
-            force(queries[name](spark, SF_DIR))
+            # in NO_PRIME mode sweep 1 holds the first builds, so the
+            # artifact-touch recording happens here instead
+            force(
+                _build_with_touches(name, SF_DIR)
+                if no_prime and sweep == 0
+                else queries[name](spark, SF_DIR)
+            )
             runs[name].append(time.perf_counter() - t0)
         spark_elapsed += time.perf_counter() - sweep_t0
         sweeps_done = sweep + 1
@@ -255,7 +301,47 @@ def main() -> None:
         "ratio_vs_oracle": (
             round(total / oracle_total, 3) if oracle_total else None
         ),
+        # first-class cold number (r15, VERDICT r14 item 3): warm
+        # total + untimed artifact prime. With SPARK_GRAFT_NO_PRIME=1
+        # the prime is skipped and sweep 1 itself is the cold sweep
+        # (reported below); prime_secs is then 0 and `value`'s median
+        # already absorbed the cold sample.
+        "cold_total_sec": round(total + prime_secs, 3),
+        # full per-query medians + per-sweep raw samples + artifact
+        # tags, machine-readable WITHOUT depending on the stdout tail
+        # the driver truncates (r15, VERDICT r14 item 2)
+        "detail_file": "BENCH_DETAIL.json",
     }
+    if no_prime:
+        summary["cold_sweep1_sec"] = round(
+            sum(rs[0] for rs in runs.values() if rs), 3
+        )
+    detail = {
+        "queries_sec": timings,
+        "sweep_samples_sec": {
+            name: [round(s, 3) for s in rs]
+            for name, rs in sorted(runs.items())
+        },
+        "oracle_queries_sec": {
+            name: round(statistics.median(rs), 3)
+            for name, rs in sorted(oracle_runs.items())
+        },
+        # session-artifact reads per query (empty list = pure
+        # compute): a query listed here serves part of its warm timed
+        # body from a SessionFrameCache artifact built during the
+        # untimed prime — read its warm number alongside
+        # artifact_prime_sec / cold_total_sec, never as pure compute
+        "artifact_tags": artifact_tags,
+        "summary": summary,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: keep the bench alive
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
     print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 

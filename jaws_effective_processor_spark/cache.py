@@ -37,12 +37,30 @@ def _is_stopped(spark: SparkSession) -> bool:
         return True
 
 
+# Bench/test observability hook (r15, VERDICT r14 item 3): when set to
+# a list, every SessionFrameCache read appends its (sf_dir, tag) key —
+# bench.py records, per query, which session ARTIFACTS the query's
+# timed body serves from, so warm per-query numbers can be told apart
+# from pure-compute numbers in BENCH_DETAIL.json. Plan-only memos
+# (SessionPlanCache) are excluded: they pin no data, only resolved
+# file listings. No effect when unset; never touched by query code.
+_TOUCH_LOG: list | None = None
+
+
+def set_touch_log(log: list | None) -> None:
+    global _TOUCH_LOG
+    _TOUCH_LOG = log
+
+
 class SessionFrameCache:
     """get_or_build(spark, key, build) -> build().cache(), memoized
     per (session, key); stopped sessions' entries are purged on the
     next access from any session."""
 
-    def __init__(self) -> None:
+    def __init__(self, label: str | None = None) -> None:
+        # label: human-readable family name used by the touch log for
+        # caches keyed on (sf_dir,) alone (monolog/history/snapshot)
+        self.label = label
         self._by_session: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
             weakref.WeakKeyDictionary()
         )
@@ -59,6 +77,9 @@ class SessionFrameCache:
         build: Callable[[], DataFrame],
     ) -> DataFrame:
         self._purge_stopped()
+        if _TOUCH_LOG is not None and type(self) is SessionFrameCache:
+            tag = key[-1] if len(key) > 1 else (self.label or "frame")
+            _TOUCH_LOG.append(str(tag))
         per = self._by_session.get(spark)
         if per is None:
             per = {}

@@ -182,7 +182,7 @@ def _notification_struct() -> F.Column:
     )
 
 
-_ASSEMBLED_CACHE = SessionFrameCache()
+_ASSEMBLED_CACHE = SessionFrameCache("nested_assembled")
 
 
 def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,7 +45,7 @@ def snapshot_split_seq(events: DataFrame) -> DataFrame:
     )
 
 
-_BASE_SNAPSHOT_CACHE = SessionFrameCache()
+_BASE_SNAPSHOT_CACHE = SessionFrameCache("incremental_base_snapshot")
 
 
 def _base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,7 +70,7 @@ OUTPUT_COLS = (
 )
 
 
-_MONOLOG_CACHE = SessionFrameCache()
+_MONOLOG_CACHE = SessionFrameCache("alarm_monolog")
 
 
 def alarm_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +168,7 @@ def effective_alarms_from_events(
     return with_effective_state(settled).select(*OUTPUT_COLS)
 
 
-_HISTORY_CACHE = SessionFrameCache()
+_HISTORY_CACHE = SessionFrameCache("state_history")
 
 
 def effective_state_history(
