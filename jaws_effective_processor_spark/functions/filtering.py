@@ -343,11 +343,13 @@ def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Positioned duplicated windows (cross-document dup definition off
     the cached gram table) merged gaps-and-islands; see
     q_exact_substring_spans for the semantics argument.
-    Session-cached per snapshot ('exsub_islands', r14 opt round): the
-    span table is exactly the artifact an ExactSubstr pass
-    materializes once and both consumers (the spans report and the
-    cut) re-read — before caching, the hit join + two island window
-    passes re-ran inside every warm execution of BOTH queries.
+    NOT session-cached (r15, VERDICT r14 item 4): the merged-span
+    table is the spans report's result modulo one aggregation, so
+    caching it made both consumers' timed bodies memoised reads. The
+    INDEX artifacts stay cached — the positioned gram windows
+    ('exsub_pos_grams') and the dup-gram set ('exsub_dup_grams'),
+    which are what an ExactSubstr pass persists per snapshot — and
+    the hit join + two island window passes price per execution.
 
     CANDIDATE-ONLY explode (the house verify discipline): positioned
     windows are built ONLY for docs already known to own >= 1
@@ -403,31 +405,28 @@ def _exsub_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exsub_pos_grams", _build_positioned
     )
 
-    def _build_islands() -> DataFrame:
-        hit = positioned.join(
-            _dup_gram_set(spark, sf_dir), "gram_h"
-        ).select("doc_id", "n_tokens", "pos")
-        by_pos = Window.partitionBy("doc_id").orderBy("pos")
-        flagged = hit.withColumn(
-            "_brk",
-            F.when(
-                F.col("pos") - F.lag("pos").over(by_pos) > EXSUB_K, 1
-            ).otherwise(0),
-        )
-        isl = flagged.withColumn(
-            "_isl",
-            F.sum("_brk").over(
-                by_pos.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        return isl.groupBy("doc_id", "_isl").agg(
-            F.max("n_tokens").alias("n_tokens"),
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + EXSUB_K - 1).alias("span_end"),
-            (F.max("pos") - F.min("pos") + EXSUB_K).alias("_span_tok"),
-        )
-
-    return _cached_frame(spark, sf_dir, "exsub_islands", _build_islands)
+    hit = positioned.join(
+        _dup_gram_set(spark, sf_dir), "gram_h"
+    ).select("doc_id", "n_tokens", "pos")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hit.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(by_pos) > EXSUB_K, 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return isl.groupBy("doc_id", "_isl").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + EXSUB_K - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + EXSUB_K).alias("_span_tok"),
+    )
 
 
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
